@@ -1,13 +1,121 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.core.Tables
+import graft.operators.{Knn, SearchParams}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exact cosine KNN with threshold + meta filter over the orders corpus —
+    * the reference's core search path (SURVEY §2.2/§2.4) end-to-end.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Knn.search(
+      Tables.ordersCorpus(spark, dir),
+      Tables.queryBatch(spark, 4),
+      SearchParams(metric = "COSINE", limit = 10))
+  }
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A1 exact top-k dense search, three metrics ----
+    "q_knn_cosine" -> ((s, dir) =>
+      Knn.search(Tables.ordersCorpus(s, dir), Tables.queryBatch(s, 8),
+        SearchParams(metric = "COSINE", limit = 10, outputFields = Nil))),
+    "q_knn_l2" -> ((s, dir) =>
+      Knn.search(Tables.ordersCorpus(s, dir), Tables.queryBatch(s, 8),
+        SearchParams(metric = "L2", limit = 10, outputFields = Nil))),
+    "q_knn_ip" -> ((s, dir) =>
+      Knn.search(Tables.ordersCorpus(s, dir), Tables.queryBatch(s, 8),
+        SearchParams(metric = "IP", limit = 10, outputFields = Nil))),
+
+    // ---- P2 threshold + A5 offset ----
+    "q_knn_threshold" -> ((s, dir) =>
+      Knn.search(Tables.ordersCorpus(s, dir), Tables.queryBatch(s, 8),
+        SearchParams(metric = "COSINE", limit = 10, offset = 5,
+          scoreThreshold = Some(0.15), outputFields = Nil))),
+
+    // ---- A3 range search ----
+    "q_knn_range" -> ((s, dir) =>
+      Knn.search(Tables.ordersCorpus(s, dir), Tables.queryBatch(s, 8),
+        SearchParams(metric = "COSINE", limit = 10,
+          rangeFilter = Some((0.05, 0.3)), outputFields = Nil))),
+
+    // ---- P5/P7 meta filter over JSON metadata ----
+    "q_knn_meta" -> ((s, dir) =>
+      Knn.search(Tables.ordersCorpus(s, dir), Tables.queryBatch(s, 8),
+        SearchParams(metric = "COSINE", limit = 10,
+          metaFilter = Map("priority" -> "URGENT"), outputFields = Seq("meta")))),
+
+    // ---- P3/P4 text filter with over-fetch over documents corpus ----
+    "q_knn_text" -> ((s, dir) => {
+      val corpus = Tables.docsCorpus(s, dir)
+        .select(col("doc_id"), col("qv").as("dv"), col("text").as("chunk"))
+      val queries = Tables.docsCorpus(s, dir).filter(col("doc_id") < 4)
+        .select(col("doc_id").as("qid"), col("qv"))
+      Knn.search(corpus, queries,
+        SearchParams(metric = "COSINE", limit = 10,
+          textFilter = Some("the spark join window"), minimumWordsMatch = 2,
+          increaseLimitForTextSearch = 10, outputFields = Nil))
+    }),
+
+    // ---- relational coverage: agg / join / window ----
+    "q1_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    "q_join_agg" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o  = Tables.load(s, dir, "orders")
+      val c  = Tables.load(s, dir, "customer")
+      val n  = Tables.load(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q_window_top3" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(dec("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+          dec("o_totalprice").cast("double").as("price"))
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_knn_cosine"    -> Oracles.knnCosine(8, 10),
+    "q_knn_l2"        -> Oracles.knnL2(8, 10),
+    "q_knn_ip"        -> Oracles.knnIp(8, 10),
+    "q_knn_threshold" -> Oracles.knnThreshold(8, 10, 5, 0.15),
+    "q_knn_range"     -> Oracles.knnRange(8, 10, 0.05, 0.3),
+    "q_knn_meta"      -> Oracles.knnMeta(8, 10, fetchK = 10, priorityContains = "URGENT"),
+    "q_knn_text"      -> Oracles.knnText(4, 10, 10,
+      graft.functions.Text.filterWords("the spark join window", includeStopWords = false),
+      minWords = 2),
+    "q1_agg"          -> Oracles.q1Agg,
+    "q_join_agg"      -> Oracles.joinAgg,
+    "q_window_top3"   -> Oracles.windowTop3,
+  )
 }

@@ -1,0 +1,76 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata plus deterministic synthetic columns.
+  *
+  * The reference system (gmalakar/Flouds.VectorDB) stores rows of
+  * (id, chunk, dense vector, sparse vector, JSON meta) — see
+  * `/root/reference/app/milvus/base_milvus.py:920-997`. The driver testdata has
+  * no vector column on the TPC-H tables, so we derive one deterministically
+  * from the row key. Components are small INTEGERS (stored as double):
+  *
+  *   v(key)(i) = (key*131 + i*313 + 7) % 97 - 48,   i = 0..63
+  *
+  * Integer-valued components make dot products and squared norms exact
+  * integers (< 2^53), so cosine = dot / (sqrt(nq)*sqrt(nd)) is a chain of
+  * IEEE correctly-rounded ops — bitwise reproducible by the DuckDB oracle
+  * regardless of summation order. This is what makes the §2.10 KNN queries
+  * hash-checkable.
+  */
+object Tables {
+
+  val Dim = 64
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Deterministic integer-valued vector for a row key (as array<double>). */
+  def synthVec(key: Column, dim: Int = Dim): Column =
+    transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => ((key.cast("long") * 131 + i.cast("long") * 313 + 7) % 97 - 48).cast("double"))
+
+  /** Query vector q(qid) = synthVec(qid*997 + 1). */
+  def queryVec(qid: Column, dim: Int = Dim): Column =
+    synthVec(qid.cast("long") * 997 + 1, dim)
+
+  /** A batch of `n` query vectors: (qid BIGINT, qv ARRAY<DOUBLE>). */
+  def queryBatch(spark: SparkSession, n: Int, dim: Int = Dim): DataFrame =
+    spark.range(n).select(col("id").as("qid"), queryVec(col("id"), dim).as("qv"))
+
+  /** `orders` as a vector-store corpus: (doc_id, dv, meta JSON, chunk).
+    * Mirrors the reference row shape (base_milvus.py:1032-1065): PK + dense
+    * vector + JSON metadata + text chunk.
+    */
+  def ordersCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "orders").select(
+      col("o_orderkey").as("doc_id"),
+      synthVec(col("o_orderkey")).as("dv"),
+      to_json(struct(
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))).as("meta"),
+      concat_ws(" ", col("o_orderstatus"), col("o_orderpriority")).as("chunk"))
+
+  /** `documents` joined with `embeddings` (doc_id == vec_id): text corpus with
+    * a real float embedding, quantized to integers for determinism.
+    * Columns: doc_id, text, lang, source, n_chars, label, qv ARRAY<DOUBLE>
+    * (quantized: round(e*1000)).
+    */
+  def docsCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = load(spark, sfDir, "documents")
+    val emb  = load(spark, sfDir, "embeddings")
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("label"),
+        quantize(col("embedding")).as("qv"))
+  }
+
+  /** Quantize a float embedding to integer-valued doubles:
+    * round(x*1000) — identical in Spark and DuckDB, making downstream dot
+    * products exact integers.
+    */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1000, 0))
+}
