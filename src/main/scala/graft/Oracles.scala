@@ -150,6 +150,83 @@ object Oracles {
        |FROM cut QUALIFY rank <= $k""".stripMargin
   }
 
+  /** BM25 corpus-stats + fixed-point posting weights over `documents` —
+    * mirrors [[graft.operators.Bm25]] expression-for-expression (same
+    * association, same fixed-point 1e9 rounding), so scores are
+    * order-independent and bit-exact.
+    */
+  val bm25Ctes: String =
+    """toks AS (
+      |  SELECT doc_id, t AS term FROM (
+      |    SELECT doc_id,
+      |           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                              x -> x <> '')) AS t
+      |    FROM documents)),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |tdf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |g AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dls),
+      |post AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         CAST(ROUND((ln(1.0 + (g.n - tdf.df + 0.5) / (tdf.df + 0.5))
+      |                     * (tf.tf * 2.5)
+      |                     / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * (dls.dl / (CAST(g.sumdl AS DOUBLE) / g.n)))))
+      |                    * 1000000000.0) AS BIGINT) AS ws
+      |  FROM tf JOIN dls USING (doc_id) JOIN tdf USING (term) CROSS JOIN g)""".stripMargin
+
+  private def tokenizeQuery(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+
+  private def queryTermValues(queries: Seq[(Long, String)]): String =
+    queries.flatMap { case (qid, t) => tokenizeQuery(t).map(term => s"($qid, '$term')") }
+      .mkString(", ")
+
+  /** Sparse BM25 top-k (A2/H1/H2). */
+  def bm25TopK(queries: Seq[(Long, String)], k: Int): String =
+    s"""WITH $bm25Ctes,
+       |qt(qid, term) AS (SELECT CAST(c0 AS BIGINT), c1 FROM (VALUES ${queryTermValues(queries)}) v(c0, c1)),
+       |sp AS (
+       |  SELECT qt.qid, post.doc_id, CAST(SUM(ws) AS DOUBLE) / 1000000000.0 AS score
+       |  FROM post JOIN qt USING (term) GROUP BY 1, 2)
+       |SELECT qid, rank, doc_id, score FROM (
+       |  SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM sp)
+       |WHERE rank <= $k""".stripMargin
+
+  /** Hybrid dense+sparse RRF (H3–H5): dense leg = quantized-embedding cosine
+    * top-`legK`; sparse leg = BM25 top-`legK`; RRF k=60; threshold on dense
+    * score only; truncate to `k`.
+    */
+  def hybridRrf(nq: Int, queries: Seq[(Long, String)], k: Int, threshold: Double): String = {
+    val legK = math.min(k, 50)
+    s"""WITH ${docScores(nq)},
+       |dense AS (
+       |  SELECT qid, doc_id, $cosineExpr AS dense_score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $cosineExpr DESC, doc_id) AS dense_rank
+       |  FROM dscores QUALIFY dense_rank <= $legK),
+       |$bm25Ctes,
+       |qt(qid, term) AS (SELECT CAST(c0 AS BIGINT), c1 FROM (VALUES ${queryTermValues(queries)}) v(c0, c1)),
+       |sp AS (
+       |  SELECT qt.qid, post.doc_id, CAST(SUM(ws) AS DOUBLE) / 1000000000.0 AS sparse_score
+       |  FROM post JOIN qt USING (term) GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT qid, doc_id, sparse_score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sparse_score DESC, doc_id) AS sparse_rank
+       |  FROM sp QUALIFY sparse_rank <= $legK),
+       |fused AS (
+       |  SELECT COALESCE(d.qid, s.qid) AS qid, COALESCE(d.doc_id, s.doc_id) AS doc_id,
+       |         COALESCE(1.0 / (60.0 + d.dense_rank), 0.0)
+       |           + COALESCE(1.0 / (60.0 + s.sparse_rank), 0.0) AS rrf_score,
+       |         d.dense_score, s.sparse_score
+       |  FROM dense d FULL OUTER JOIN sparse s ON d.qid = s.qid AND d.doc_id = s.doc_id),
+       |thresholded AS (
+       |  SELECT * FROM fused WHERE dense_score IS NULL OR dense_score >= $threshold)
+       |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS rank,
+       |       doc_id, rrf_score, dense_score, sparse_score
+       |FROM thresholded QUALIFY rank <= $k""".stripMargin
+  }
+
   /** TPC-H Q1-style pricing summary with decimal-exact sums. */
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,

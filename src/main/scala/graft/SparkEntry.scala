@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{Knn, SearchParams}
+import graft.operators.{Bm25, Hybrid, Knn, SearchParams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,6 +22,10 @@ object SparkEntry {
   }
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** Shared query texts for the sparse/hybrid queries (2 qids, same text). */
+  val HybridQueryTexts: Seq[(Long, String)] =
+    Seq(0L -> "spark join window merge data", 1L -> "spark join window merge data")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -64,6 +68,23 @@ object SparkEntry {
         SearchParams(metric = "COSINE", limit = 10,
           textFilter = Some("the spark join window"), minimumWordsMatch = 2,
           increaseLimitForTextSearch = 10, outputFields = Nil))
+    }),
+
+    // ---- A2/H1/H2: sparse BM25 top-k over documents ----
+    "q_bm25_topk" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Bm25.searchTopK(Bm25.fit(docs), HybridQueryTexts, 10)
+    }),
+
+    // ---- H3-H5: hybrid dense+sparse RRF fusion ----
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val corpus = Tables.docsCorpus(s, dir)
+        .select(col("doc_id"), col("qv").as("dv"))
+      val queries = Tables.docsCorpus(s, dir).filter(col("doc_id") < 2)
+        .select(col("doc_id").as("qid"), col("qv"))
+      val docs = Tables.load(s, dir, "documents")
+      Hybrid.search(corpus, queries, Bm25.fit(docs), HybridQueryTexts,
+        SearchParams(metric = "COSINE", limit = 10, scoreThreshold = Some(0.0)))
     }),
 
     // ---- relational coverage: agg / join / window ----
@@ -114,6 +135,8 @@ object SparkEntry {
     "q_knn_text"      -> Oracles.knnText(4, 10, 10,
       graft.functions.Text.filterWords("the spark join window", includeStopWords = false),
       minWords = 2),
+    "q_bm25_topk"     -> Oracles.bm25TopK(HybridQueryTexts, 10),
+    "q_hybrid_rrf"    -> Oracles.hybridRrf(2, HybridQueryTexts, 10, 0.0),
     "q1_agg"          -> Oracles.q1Agg,
     "q_join_agg"      -> Oracles.joinAgg,
     "q_window_top3"   -> Oracles.windowTop3,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Native BM25 — replaces the reference's pymilvus BM25 embedder + Milvus
+  * SPARSE_INVERTED_INDEX (`/root/reference/app/milvus/vector_store.py:42-52,
+  * 148-191,640-659`; index `base_milvus.py:1286-1310`).
+  *
+  * Design (SURVEY §2.5 H1/H2, §7.4): two-pass DataFrame aggregation — no UDAF,
+  * no driver-side collect. Corpus statistics (doc freq, doc length, N, Σdl)
+  * live in small DataFrames that Catalyst broadcasts into the scoring join;
+  * at 100 TB the posting-list join `(term) tf ⋈ query-terms` is a broadcast
+  * join against a handful of query terms, and the per-doc aggregation is
+  * map-side combinable.
+  *
+  * Determinism: per-(doc,term) weights are doubles (one `ln`), but they are
+  * accumulated in FIXED-POINT — `round(w*1e9)::bigint` summed exactly — so the
+  * per-doc score is independent of Spark's aggregation order and the DuckDB
+  * oracle reproduces it bit-for-bit (modulo a measure-zero knife-edge on the
+  * per-term rounding).
+  */
+object Bm25 {
+
+  val K1 = 1.5
+  val B  = 0.75
+  /** Fixed-point scale for order-independent score accumulation. */
+  val Scale = 1e9
+
+  /** Fitted corpus statistics.
+    * tf:      (doc_id, term, tf BIGINT)
+    * docLen:  (doc_id, dl BIGINT)
+    * termDf:  (term, df BIGINT)
+    * global:  single row (n BIGINT, sumdl BIGINT)
+    */
+  final case class Model(tf: DataFrame, docLen: DataFrame, termDf: DataFrame,
+      global: DataFrame)
+
+  /** Fit corpus stats over (idCol, textCol). One shuffle per aggregation; all
+    * keyed by doc or term so they scale horizontally.
+    */
+  def fit(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Model = {
+    val docTerms = docs.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(col(textCol))).as("term"))
+    val tf     = docTerms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docLen = docTerms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val global = docLen.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    Model(tf, docLen, termDf, global)
+  }
+
+  /** Robertson/Lucene idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
+    * Written with exactly this association — the oracle mirrors it.
+    */
+  private def idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+
+  /** BM25 weight of a (doc, term) pair given joined tf/dl/df/global columns. */
+  private def weight =
+    idf * (col("tf") * (K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * (col("dl") / (col("sumdl").cast("double") / col("n")))))
+
+  /** Per-(doc,term) BM25 weights for the whole corpus — the posting-list
+    * table backing the sparse index (D4). `wScaled` is the fixed-point value.
+    */
+  def postings(m: Model): DataFrame =
+    m.tf.join(m.docLen, "doc_id")
+      .join(m.termDf, "term")
+      .crossJoin(broadcast(m.global))
+      .withColumn("w", weight)
+      .withColumn("wScaled", round(col("w") * Scale, 0).cast("long"))
+      .select("doc_id", "term", "w", "wScaled")
+
+  /** Sparse top-k (A2): score docs against `queries` = (qid, text) pairs.
+    * Query analysis matches document analysis (same tokenizer); duplicate
+    * query terms count once (set semantics, as pymilvus query encoding).
+    * Returns (qid, rank, doc_id, score DOUBLE).
+    */
+  def searchTopK(m: Model, queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = m.tf.sparkSession
+    import spark.implicits._
+    val qTerms = queries
+      .flatMap { case (qid, text) =>
+        text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.map(qid -> _)
+      }
+      .toDF("qid", "term")
+    val scored = postings(m)
+      .join(broadcast(qTerms), "term")
+      .groupBy("qid", "doc_id")
+      .agg((sum("wScaled").cast("double") / Scale).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "score")
+  }
+
+  /** H1: encode documents as sparse vectors MAP<INT,FLOAT> — the stored
+    * `sparse_vector` column of the reference schema (base_milvus.py:1048-1056).
+    * Term index = 32-bit token hash; `dropRatioBuild` drops the lowest-weight
+    * fraction of postings (D4's drop_ratio_build, base_milvus.py:1301-1310).
+    */
+  def encodeDocuments(m: Model, dropRatioBuild: Double = 0.0): DataFrame = {
+    var p = postings(m)
+      .withColumn("termIdx", Text.tokenHash32(Text.tokenCode(col("term"))).cast("int"))
+    if (dropRatioBuild > 0) {
+      val cut = p.stat.approxQuantile("w", Array(dropRatioBuild), 0.001).head
+      p = p.filter(col("w") >= cut)
+    }
+    p.groupBy("doc_id")
+      .agg(map_from_arrays(collect_list("termIdx"),
+        collect_list(col("w").cast("float"))).as("sparse_vector"))
+  }
+}

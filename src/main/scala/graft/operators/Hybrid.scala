@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.functions.Vec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid dense+sparse search with Reciprocal Rank Fusion — the reference's
+  * signature operator (`/root/reference/app/milvus/vector_store.py:594-822`).
+  *
+  * Faithful quirks reproduced:
+  *  - per-leg fetch = min(limit, 50)                     (vector_store.py:609)
+  *  - RRF(d) = Σ_legs 1/(60 + rank), k=60                (vector_store.py:797-822)
+  *  - score threshold applies to the DENSE score only; sparse-only hits
+  *    survive thresholding                               (vector_store.py:766-770)
+  *  - sparse leg failure/absence degrades to dense-only  (vector_store.py:629-659)
+  *
+  * The fusion is a full-outer rank join on doc_id (SURVEY §2.3) — at scale
+  * both legs are already top-≤50 per query, so the join inputs are tiny
+  * (≤ 50·|queries| rows) regardless of corpus size.
+  */
+object Hybrid {
+
+  val RrfK = 60
+
+  /** queries: (qid, qv ARRAY<DOUBLE>, qtext STRING).
+    * corpus:  (doc_id, dv, …).
+    * Returns (qid, rank, doc_id, rrf_score, dense_score, sparse_score).
+    */
+  def search(corpus: DataFrame, queries: DataFrame, bm25: Bm25.Model,
+      queryTexts: Seq[(Long, String)], p: SearchParams): DataFrame = {
+    val legK = math.min(p.limit, 50)
+
+    // Dense leg: exact metric top-legK per qid.
+    val raw = Vec.score(p.metric, col("qv"), col("dv"))
+    val ord =
+      if (Vec.higherIsBetter(p.metric)) Seq(col("dense_score").desc, col("doc_id").asc)
+      else Seq(col("dense_score").asc, col("doc_id").asc)
+    val wd = Window.partitionBy("qid").orderBy(ord: _*)
+    val dense = corpus.crossJoin(broadcast(queries.select("qid", "qv")))
+      .withColumn("dense_score", raw)
+      .withColumn("dense_rank", row_number().over(wd).cast("long"))
+      .filter(col("dense_rank") <= legK)
+      .select("qid", "doc_id", "dense_score", "dense_rank")
+
+    // Sparse leg (gated: only when query text present — H4).
+    val sparse = Bm25.searchTopK(bm25, queryTexts, legK)
+      .select(col("qid"), col("doc_id"), col("score").as("sparse_score"),
+        col("rank").as("sparse_rank"))
+
+    // RRF fusion: full outer rank join; two fixed-order addends → deterministic.
+    val fused = dense.join(sparse, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("dense_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("sparse_rank")), lit(0.0)))
+
+    // Dense-only threshold (sparse-only hits pass).
+    val thresholded = p.scoreThreshold.fold(fused)(t =>
+      fused.filter(col("dense_score").isNull || col("dense_score") >= t))
+
+    val wf = Window.partitionBy("qid").orderBy(col("rrf_score").desc, col("doc_id").asc)
+    thresholded
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= p.limit)
+      .select("qid", "rank", "doc_id", "rrf_score", "dense_score", "sparse_score")
+  }
+}

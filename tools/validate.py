@@ -41,8 +41,10 @@ def main():
             n_fail += 1
             continue
         # reorder both to sorted column order, then sort rows
-        sp = sorted(tuple(r[spark_cols.index(c)] for c in sorted(spark_cols)) for r in spark_rows)
-        du = sorted(tuple(r[duck_cols.index(c)] for c in sorted(duck_cols)) for r in duck_rows)
+        def key(row):
+            return tuple((v is None, v) if v is not None else (True, 0) for v in row)
+        sp = sorted((tuple(r[spark_cols.index(c)] for c in sorted(spark_cols)) for r in spark_rows), key=key)
+        du = sorted((tuple(r[duck_cols.index(c)] for c in sorted(duck_cols)) for r in duck_rows), key=key)
         if len(sp) != len(du):
             print(f"FAIL {name}: rows spark={len(sp)} duck={len(du)}")
             n_fail += 1
