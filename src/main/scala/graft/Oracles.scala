@@ -227,6 +227,184 @@ object Oracles {
        |FROM thresholded QUALIFY rank <= $k""".stripMargin
   }
 
+  // ---------- dedup + text-analysis oracles ----------
+
+  /** Tokens with 1-based positions over `documents` — mirror of
+    * [[graft.operators.Dedup.tokenTable]].
+    */
+  val toksp: String =
+    """toksp AS (
+      |  SELECT doc_id, t AS term, CAST(pos AS BIGINT) AS pos FROM (
+      |    SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+      |    FROM (SELECT doc_id,
+      |                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+      |          FROM documents)))""".stripMargin
+
+  private val tc  = Text.tokenCodeSql("term")
+  private val P   = graft.operators.Dedup.P
+
+  val dedupExact: String =
+    s"""WITH $toksp,
+       |fp AS (
+       |  SELECT doc_id, CAST(SUM(pos * $tc) + COUNT(*) AS BIGINT) AS text_fp
+       |  FROM toksp GROUP BY doc_id)
+       |SELECT CAST(MIN(f.text_fp) AS BIGINT) AS text_fp, MIN(d.doc_id) AS keep_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rows
+       |FROM documents d JOIN fp f USING (doc_id)
+       |GROUP BY d.text""".stripMargin
+
+  /** 3-token shingle ids CTE (requires toksp). Fully parenthesized to match
+    * the Scala expression tree exactly.
+    */
+  val shinglesCte: String = {
+    val tcA = Text.tokenCodeSql("a.term")
+    val tcB = Text.tokenCodeSql("b.term")
+    val tcC = Text.tokenCodeSql("c.term")
+    s"""sh AS (
+       |  SELECT a.doc_id,
+       |         (((($tcA % $P) * 131 + ($tcB % $P)) % $P) * 131 + ($tcC % $P)) % $P AS shingle
+       |  FROM toksp a
+       |  JOIN toksp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN toksp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)""".stripMargin
+  }
+
+  private def minhashCols: Seq[String] = (0 until graft.operators.Dedup.NumHashes).map { j =>
+    val a = 104729L * (j + 1) % P
+    val b = 7919L * (j + 1) % P
+    s"CAST(MIN((shingle * $a + $b) % $P) AS BIGINT) AS h$j"
+  }
+
+  val sigCte: String =
+    s"""sig AS (
+       |  SELECT doc_id, ${minhashCols.mkString(", ")}
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  val dedupMinhash: String =
+    s"""WITH $toksp, $shinglesCte, $sigCte
+       |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig""".stripMargin
+
+  val dedupLshPairs: String = {
+    val bandRows = (0 until 4)
+      .map(bd => s"SELECT doc_id, $bd AS band, h${2 * bd} * $P + h${2 * bd + 1} AS bucket FROM sig")
+      .mkString(" UNION ALL ")
+    val m = (0 until 8)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $toksp, $shinglesCte, $sigCte,
+       |bands AS ($bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+       |SELECT doc_a, doc_b, CAST(($m) AS DOUBLE) / 8 AS est_sim
+       |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id""".stripMargin
+  }
+
+  val dedupSimhash: String = {
+    val h = Text.tokenHash32Sql(tc)
+    s"""WITH $toksp,
+       |tfh AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf, $h AS h
+       |  FROM toksp GROUP BY doc_id, term),
+       |bits AS (SELECT CAST(range AS BIGINT) AS b, CAST(pow(2.0, range) AS BIGINT) AS bw FROM range(32)),
+       |bs AS (
+       |  SELECT doc_id, bw,
+       |         SUM(tf * (CASE WHEN (h % (bw * 2)) >= bw THEN 1 ELSE -1 END)) AS s
+       |  FROM tfh, bits GROUP BY doc_id, bw)
+       |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN bw ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bs GROUP BY doc_id""".stripMargin
+  }
+
+  def dedupJaccard(threshold: Double): String =
+    s"""WITH sets AS (
+       |  SELECT DISTINCT doc_id, lang,
+       |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+       |  FROM documents),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sets a JOIN sets b
+       |    ON a.lang = b.lang AND a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |         CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+       |WHERE jaccard >= $threshold""".stripMargin
+
+  def dedupEmbed(threshold: Double): String =
+    s"""WITH qe AS (
+       |  SELECT vec_id, label, i, round(CAST(e AS DOUBLE) * 1000) AS x
+       |  FROM (SELECT vec_id, label, unnest(embedding) AS e,
+       |               generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)),
+       |p AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |         CAST(SUM(a.x * b.x) AS DOUBLE) AS dot,
+       |         CAST(SUM(a.x * a.x) AS DOUBLE) AS na,
+       |         CAST(SUM(b.x * b.x) AS DOUBLE) AS nb
+       |  FROM qe a JOIN qe b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, cos_sim FROM (
+       |  SELECT doc_a, doc_b, dot / (sqrt(na) * sqrt(nb)) AS cos_sim FROM p)
+       |WHERE cos_sim >= $threshold""".stripMargin
+
+  val langId: String = {
+    val scores = graft.operators.TextAnalysis.LangMarkers.map { case (l, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"CAST(COALESCE(SUM(CASE WHEN term IN ($set) THEN 1 ELSE 0 END), 0) AS BIGINT) AS s_$l"
+    }.mkString(",\n         ")
+    val langs = graft.operators.TextAnalysis.LangMarkers.map(_._1)
+    val cases = langs.dropRight(1).map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n            ")
+    s"""WITH $toksp,
+       |scored AS (
+       |  SELECT d.doc_id,
+       |         $scores
+       |  FROM documents d LEFT JOIN toksp t USING (doc_id)
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+       |       CASE $cases
+       |            ELSE '${langs.last}' END AS pred_lang
+       |FROM scored""".stripMargin
+  }
+
+  val quality: String = {
+    val stopSet = Text.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH $toksp,
+       |q AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |         SUM(CASE WHEN term IN ($stopSet) THEN 1 ELSE 0 END) AS stop_cnt,
+       |         SUM(length(term)) AS char_sum
+       |  FROM toksp GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+       |       0.4 * least(1.0, n_tokens / 100.0)
+       |         + 0.3 * (1.0 - CAST(stop_cnt AS DOUBLE) / n_tokens)
+       |         + 0.3 * least(1.0, CAST(char_sum AS DOUBLE) / n_tokens / 8.0) AS quality
+       |FROM q""".stripMargin
+  }
+
+  val tokenCounts: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(ws) AS BIGINT) AS total_ws,
+      |       CAST(SUM(re) AS BIGINT) AS total_re,
+      |       CAST(SUM(bpe) AS BIGINT) AS total_bpe
+      |FROM (
+      |  SELECT lang,
+      |         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS ws,
+      |         len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS re,
+      |         CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe
+      |  FROM documents)
+      |GROUP BY lang""".stripMargin
+
+  val fingerprint: String =
+    s"""WITH $toksp
+       |SELECT doc_id, CAST(SUM(pos * $tc) + COUNT(*) AS BIGINT) AS fp
+       |FROM toksp GROUP BY doc_id""".stripMargin
+
   /** TPC-H Q1-style pricing summary with decimal-exact sums. */
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,

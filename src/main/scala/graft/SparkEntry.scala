@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{Bm25, Hybrid, Knn, SearchParams}
+import graft.operators.{Bm25, Dedup, Hybrid, Knn, SearchParams, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -87,6 +87,30 @@ object SparkEntry {
         SearchParams(metric = "COSINE", limit = 10, scoreThreshold = Some(0.0)))
     }),
 
+    // ---- dedup family over documents (training-data pipeline ops) ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"))),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashSignatures(Tables.load(s, dir, "documents"))),
+    "q_dedup_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(Dedup.minhashSignatures(Tables.load(s, dir, "documents")))),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.load(s, dir, "documents"))),
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "lang", 0.8)),
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingPairs(Tables.docsCorpus(s, dir), "label", 0.4)),
+
+    // ---- text analysis over documents ----
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.load(s, dir, "documents"))),
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.load(s, dir, "documents"))),
+    "q_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"))),
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.load(s, dir, "documents"))),
+
     // ---- relational coverage: agg / join / window ----
     "q1_agg" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -137,6 +161,16 @@ object SparkEntry {
       minWords = 2),
     "q_bm25_topk"     -> Oracles.bm25TopK(HybridQueryTexts, 10),
     "q_hybrid_rrf"    -> Oracles.hybridRrf(2, HybridQueryTexts, 10, 0.0),
+    "q_dedup_exact"   -> Oracles.dedupExact,
+    "q_dedup_minhash" -> Oracles.dedupMinhash,
+    "q_dedup_lsh_pairs" -> Oracles.dedupLshPairs,
+    "q_dedup_simhash" -> Oracles.dedupSimhash,
+    "q_dedup_jaccard" -> Oracles.dedupJaccard(0.8),
+    "q_dedup_embed"   -> Oracles.dedupEmbed(0.4),
+    "q_lang_id"       -> Oracles.langId,
+    "q_quality"       -> Oracles.quality,
+    "q_token_counts"  -> Oracles.tokenCounts,
+    "q_fingerprint"   -> Oracles.fingerprint,
     "q1_agg"          -> Oracles.q1Agg,
     "q_join_agg"      -> Oracles.joinAgg,
     "q_window_top3"   -> Oracles.windowTop3,

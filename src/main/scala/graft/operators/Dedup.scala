@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.functions.{Text, Vec}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, token-set Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant is blocked/bucketed so no all-pairs join ever
+  * materializes over the full corpus — exact dedup is a hash groupBy; MinHash
+  * pairs come from LSH band buckets (shuffle keyed on (band, bucket));
+  * Jaccard and embedding near-dup take an explicit blocking column. All
+  * hashing is integer arithmetic on [[Text.tokenCode]] so the DuckDB oracle
+  * reproduces results exactly.
+  */
+object Dedup {
+
+  /** Shingle-id universe (prime) for MinHash. */
+  val P = 1000003L
+  val NumHashes = 8
+
+  /** Tokenized view: (doc_id, term, pos BIGINT 1-based). */
+  def tokenTable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), posexplode(Text.tokens(col(textCol))))
+      .select(col("doc_id"), col("col").as("term"), (col("pos") + 1).cast("long").as("pos"))
+
+  /** Exact dedup (hash-groupBy on full text): one row per distinct text with
+    * the kept id (min), duplicate count, and a position-weighted integer
+    * fingerprint (order-sensitive, order-independently summable).
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val toks = tokenTable(docs)
+    val fp = toks.groupBy("doc_id")
+      .agg((sum(col("pos") * Text.tokenCode(col("term"))) + count(lit(1))).as("text_fp"))
+    docs.select(col("doc_id"), col("text"))
+      .join(fp, "doc_id")
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_rows"), min("text_fp").as("text_fp"))
+      .select("text_fp", "keep_id", "n_rows")
+  }
+
+  /** 3-token shingle ids: (doc_id, shingle BIGINT). Polynomial combine of the
+    * three token codes mod P, matching the oracle's expression exactly.
+    */
+  def shingles(docs: DataFrame): DataFrame = {
+    val t = tokenTable(docs)
+    val (a, b, c) = (t.as("a"), t.as("b"), t.as("c"))
+    a.join(b, col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .join(c, col("a.doc_id") === col("c.doc_id") && col("c.pos") === col("a.pos") + 2)
+      .select(col("a.doc_id").as("doc_id"),
+        (((Text.tokenCode(col("a.term")) % P) * 131 + Text.tokenCode(col("b.term")) % P) % P * 131
+          + Text.tokenCode(col("c.term")) % P) % P).toDF("doc_id", "shingle")
+  }
+
+  private def hashCols: Seq[Column] = (0 until NumHashes).map { j =>
+    val a = 104729L * (j + 1) % P
+    val b = 7919L * (j + 1) % P
+    min((col("shingle") * a + b) % P).as(s"h$j")
+  }
+
+  /** MinHash signatures: (doc_id, h0..h7). Universal-hash family
+    * h_j(x) = (a_j·x + b_j) mod P over shingle ids.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+
+  /** LSH candidate pairs: band the 8-hash signature into `NumHashes/2` bands
+    * of 2 rows; docs sharing any band bucket become candidates; est_sim =
+    * fraction of matching signature components. The self-join is keyed on the
+    * band bucket — at 100 TB this is the shuffle key, never all-pairs.
+    */
+  def lshCandidatePairs(signatures: DataFrame): DataFrame = {
+    val bands = (0 until NumHashes / 2).map { bd =>
+      signatures.select(col("doc_id"), lit(bd).as("band"),
+        (col(s"h${2 * bd}") * P + col(s"h${2 * bd + 1}")).as("bucket"))
+    }.reduce(_.unionByName(_))
+    val l = bands.as("l")
+    val r = bands.as("r")
+    val pairs = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sig = signatures
+    val matches = (0 until NumHashes)
+      .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / NumHashes).as("est_sim"))
+  }
+
+  /** 32-bit SimHash per doc from tf-weighted token-hash bits — all integer
+    * arithmetic (bit b extracted as h mod 2·2^b >= 2^b).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val tf = tokenTable(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", Text.tokenHash32(Text.tokenCode(col("term"))))
+    val bits = spark.range(32).select(col("id").as("b"),
+      pow(lit(2.0), col("id")).cast("long").as("bw"))
+    tf.crossJoin(broadcast(bits))
+      .withColumn("bit", when(col("h") % (col("bw") * 2) >= col("bw"), 1L).otherwise(-1L))
+      .groupBy("doc_id", "b", "bw")
+      .agg(sum(col("tf") * col("bit")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, col("bw")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Token-set Jaccard near-dup within a blocking column (e.g. lang):
+    * |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. Blocking keeps the pair join keyed.
+    */
+  def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val sets = docs.select(col("doc_id"), col(blockCol).as("blk"),
+        explode(array_distinct(Text.tokens(col("text")))).as("term"))
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sets.as("x").join(sets.as("y"),
+        col("x.blk") === col("y.blk") && col("x.term") === col("y.term") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa.sz") + col("sb.sz") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup within a blocking column (e.g. cluster label).
+    * vectors must be integer-valued (quantized) for cross-engine determinism.
+    */
+  def embeddingPairs(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val e = emb.select(col("doc_id"), col(blockCol).as("blk"), col("qv"))
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Vec.cosine(col("a.qv"), col("b.qv")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

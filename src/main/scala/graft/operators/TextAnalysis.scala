@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID (marker n-gram
+  * heuristic), quality scoring, token counting, document fingerprinting.
+  * Pure column arithmetic — no UDFs — with DuckDB-replicable semantics.
+  */
+object TextAnalysis {
+
+  /** Disjoint marker-word sets per language for the n-gram/keyword heuristic.
+    * Tie-break: first match in alphabetical lang order wins (de en es fr zh).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "window", "batch"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "vector", "query"),
+    "fr" -> Seq("merge", "join", "filter"),
+    "zh" -> Seq("spark", "hash", "stream"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** (doc_id, s_de..s_zh, pred_lang): argmax marker-hit count with
+    * alphabetical tie-break, expressed as a chained CASE identical to the
+    * oracle's.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val scored = docs.select(Seq(col("doc_id")) ++
+      LangMarkers.map { case (l, m) => markerCount(toks, m).cast("long").as(s"s_$l") }: _*)
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { case (l, rest) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(isMax, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality score in [0,1]: length saturation + non-stopword ratio + mean
+    * token length saturation. (doc_id, n_tokens, stop_ratio, quality).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val stopHits = size(filter(toks, t => Text.Stopwords.map(sw => t === sw).reduce(_ || _)))
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        stopHits.cast("long").as("stop_cnt"), charSum.as("char_sum"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(lit(1.0), col("char_sum").cast("double") / col("n_tokens") / 8.0))
+      .select("doc_id", "n_tokens", "stop_ratio", "quality")
+  }
+
+  /** Per-language token accounting: whitespace tokens, BPE-ish regex tokens
+    * ([a-z0-9]+ runs or single non-space symbols), and an estimated BPE count
+    * (ceil(chars/4)).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("ws_toks"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("re_toks"),
+        ceil(col("n_chars") / 4.0).cast("long").as("est_bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ws_toks").as("total_ws"),
+        sum("re_toks").as("total_re"), sum("est_bpe").as("total_bpe"))
+
+  /** Order-sensitive integer document fingerprint: Σ pos·tokenCode + n_tokens
+    * (a rolling-hash analogue that stays aggregation-order independent).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    Dedup.tokenTable(docs).groupBy("doc_id")
+      .agg((sum(col("pos") * Text.tokenCode(col("term"))) + count(lit(1))).as("fp"))
+}
