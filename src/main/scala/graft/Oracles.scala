@@ -405,6 +405,52 @@ object Oracles {
        |SELECT doc_id, CAST(SUM(pos * $tc) + COUNT(*) AS BIGINT) AS fp
        |FROM toksp GROUP BY doc_id""".stripMargin
 
+  /** Upsert readback (S1/Q-UPSERT): MERGE-by-key (updates + inserts) then a
+    * decimal-exact aggregate over the merged table.
+    */
+  val upsert: String =
+    """WITH cur AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |upd AS (SELECT key, status, price + 100 AS price FROM cur WHERE key % 100 = 0),
+      |ins AS (SELECT -key - 1 AS key, 'N' AS status, CAST(50.00 AS DECIMAL(18,2)) AS price
+      |        FROM cur WHERE key % 97 = 0),
+      |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |merged AS (
+      |  SELECT c.* FROM cur c LEFT JOIN batch b ON c.key = b.key WHERE b.key IS NULL
+      |  UNION ALL SELECT * FROM batch)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price) AS DOUBLE) AS total_price
+      |FROM merged GROUP BY status""".stripMargin
+
+  /** Brute-force cosine top-k over the real embedding column (quantized) —
+    * the exact-ANN baseline of the similarity-search suite.
+    */
+  def annEmbedExact(nq: Int, k: Int): String =
+    s"""WITH ${docScores(nq)}
+       |SELECT qid, rank, doc_id, score FROM (
+       |  SELECT qid, doc_id, $cosineExpr AS score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $cosineExpr DESC, doc_id) AS rank
+       |  FROM dscores)
+       |WHERE rank <= $k""".stripMargin
+
+  /** Hourly tumbling-window aggregation over the events table. */
+  val eventsHourly: String =
+    """SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** JSON property extraction + aggregation over events.props. */
+  val eventsJson: String =
+    """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   /** TPC-H Q1-style pricing summary with decimal-exact sums. */
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,

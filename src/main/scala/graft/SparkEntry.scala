@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{Bm25, Dedup, Hybrid, Knn, SearchParams, TextAnalysis}
+import graft.operators.{Bm25, Dedup, Hybrid, Ivf, Knn, SearchParams, TextAnalysis, Upsert}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -111,6 +111,53 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents"))),
 
+    // ---- S1 upsert (MERGE-by-key) with decimal-exact readback ----
+    "q_upsert" -> ((s, dir) => {
+      val cur = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        dec("o_totalprice").as("price"))
+      val upd = cur.filter(col("key") % 100 === 0)
+        .withColumn("price", col("price") + 100)
+      val ins = cur.filter(col("key") % 97 === 0).select(
+        (-col("key") - 1).as("key"), lit("N").as("status"),
+        lit(BigDecimal("50.00")).cast("decimal(18,2)").as("price"))
+      val merged = Upsert.merge(cur, upd.unionByName(ins), "key")
+      merged.groupBy("status").agg(
+        count(lit(1)).as("n_rows"),
+        sum("price").cast("double").as("total_price"))
+    }),
+
+    // ---- D3/A1-approx: IVF index build + nprobe-routed search (rows-only:
+    //      KMeans centroids are not oracle-replicable; recall is spec-tested)
+    "q_ivf_knn" -> ((s, dir) => {
+      val idx = Ivf.build(Tables.ordersCorpus(s, dir).select("doc_id", "dv"),
+        nlist = 16, metric = "COSINE")
+      Ivf.probe(idx, Tables.queryBatch(s, 8), nprobe = 4, k = 10)
+    }),
+
+    // ---- similarity search over the real embedding column ----
+    "q_ann_embed" -> ((s, dir) => {
+      val c = Tables.docsCorpus(s, dir)
+      val corpus  = c.select(col("doc_id"), col("qv").as("dv"))
+      val queries = c.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("qv"))
+      Knn.search(corpus, queries,
+        SearchParams(metric = "COSINE", limit = 10, outputFields = Nil))
+    }),
+
+    // ---- events: tumbling-window agg + JSON props ----
+    "q_events_hourly" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("ts DIV 3600000000000").as("hour_bucket")) // ts = int64 nanos (nanosAsLong)
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec("value")).cast("double").as("total_value"))),
+    "q_events_json" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec("value")).cast("double").as("total_value"))),
+
     // ---- relational coverage: agg / join / window ----
     "q1_agg" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -171,6 +218,10 @@ object SparkEntry {
     "q_quality"       -> Oracles.quality,
     "q_token_counts"  -> Oracles.tokenCounts,
     "q_fingerprint"   -> Oracles.fingerprint,
+    "q_upsert"        -> Oracles.upsert,
+    "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),
+    "q_events_hourly" -> Oracles.eventsHourly,
+    "q_events_json"   -> Oracles.eventsJson,
     "q1_agg"          -> Oracles.q1Agg,
     "q_join_agg"      -> Oracles.joinAgg,
     "q_window_top3"   -> Oracles.windowTop3,

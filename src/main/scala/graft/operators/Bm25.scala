@@ -102,7 +102,8 @@ object Bm25 {
     */
   def encodeDocuments(m: Model, dropRatioBuild: Double = 0.0): DataFrame = {
     var p = postings(m)
-      .withColumn("termIdx", Text.tokenHash32(Text.tokenCode(col("term"))).cast("int"))
+      .withColumn("termIdx",
+        (Text.tokenHash32(Text.tokenCode(col("term"))) % Int.MaxValue).cast("int"))
     if (dropRatioBuild > 0) {
       val cut = p.stat.approxQuantile("w", Array(dropRatioBuild), 0.001).head
       p = p.filter(col("w") >= cut)

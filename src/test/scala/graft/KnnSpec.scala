@@ -1,0 +1,70 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.{Knn, SearchParams}
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+
+  private def corpus = Tables.ordersCorpus(spark, Sf)
+
+  /** Queries taken from the corpus itself: top-1 must be self with cosine 1. */
+  test("self-match invariant: each corpus vector's nearest neighbour is itself") {
+    val queries = corpus.limit(4).select(col("doc_id").as("qid"), col("dv").as("qv"))
+    val top1 = Knn.search(corpus, queries,
+        SearchParams(metric = "COSINE", limit = 1, outputFields = Nil))
+      .collect()
+    assert(top1.length == 4)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("qid") == r.getAs[Long]("doc_id"))
+      assert(math.abs(r.getAs[Double]("score") - 1.0) < 1e-12)
+    }
+  }
+
+  test("top-k is a subset ordered by score and bounded by limit") {
+    val res = Knn.search(corpus, Tables.queryBatch(spark, 3),
+      SearchParams(metric = "L2", limit = 5, outputFields = Nil)).collect()
+    assert(res.length == 15)
+    res.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sorted), "L2 scores ascending by rank")
+    }
+  }
+
+  test("score threshold only removes rows, keeps order (P2)") {
+    val base = Knn.search(corpus, Tables.queryBatch(spark, 2),
+      SearchParams(limit = 10, outputFields = Nil))
+    val thr = Knn.search(corpus, Tables.queryBatch(spark, 2),
+      SearchParams(limit = 10, scoreThreshold = Some(0.2), outputFields = Nil))
+    val baseIds = base.filter(col("score") >= 0.2).select("qid", "doc_id").collect().toSet
+    assert(thr.select("qid", "doc_id").collect().toSet == baseIds)
+  }
+
+  test("text filter with all-stopword filter string rejects every row (P3 quirk)") {
+    val res = Knn.search(corpus, Tables.queryBatch(spark, 2),
+      SearchParams(limit = 10, textFilter = Some("the a an of"), outputFields = Nil))
+    assert(res.isEmpty)
+  }
+
+  test("meta filter drops rows missing the key (P5)") {
+    val res = Knn.search(corpus, Tables.queryBatch(spark, 2),
+      SearchParams(limit = 10, metaFilter = Map("nonexistent_key" -> "x")))
+    assert(res.isEmpty)
+  }
+
+  test("round_decimal rounds the reported score (P8)") {
+    val res = Knn.search(corpus, Tables.queryBatch(spark, 1),
+        SearchParams(limit = 3, roundDecimal = 2, outputFields = Nil))
+      .select("score").collect().map(_.getDouble(0))
+    res.foreach(s => assert(math.abs(s * 100 - math.round(s * 100)) < 1e-9))
+  }
+
+  test("offset skips the first ranks (A5)") {
+    val full = Knn.search(corpus, Tables.queryBatch(spark, 1),
+      SearchParams(limit = 10, outputFields = Nil)).collect().sortBy(_.getAs[Long]("rank"))
+    val off = Knn.search(corpus, Tables.queryBatch(spark, 1),
+      SearchParams(limit = 5, offset = 5, outputFields = Nil)).collect().sortBy(_.getAs[Long]("rank"))
+    assert(off.map(_.getAs[Long]("doc_id")).toSeq ==
+      full.drop(5).take(5).map(_.getAs[Long]("doc_id")).toSeq)
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import graft.core.Tables
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("BM25 matches a hand-computed score on a tiny corpus") {
+    // corpus: d0="a b a", d1="b c", d2="c c c c"; N=3, avgdl=3
+    val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, "c c c c")).toDF("doc_id", "text")
+    val m = Bm25.fit(docs)
+    val res = Bm25.searchTopK(m, Seq(0L -> "a"), 10).collect()
+    // only d0 contains 'a': idf = ln(1 + (3-1+0.5)/(1+0.5)) = ln(8/3)
+    // tf=2, dl=3, avgdl=3 => w = idf*2*2.5/(2+1.5*(0.25+0.75*1)) = idf*5/3.5
+    val expected = math.log(1 + 2.5 / 1.5) * 5 / 3.5
+    assert(res.length == 1)
+    assert(res.head.getAs[Long]("doc_id") == 0L)
+    assert(math.abs(res.head.getAs[Double]("score") - expected) < 1e-6)
+  }
+
+  test("document sparse encoding drops low-weight postings with drop_ratio_build") {
+    val docs = Tables.load(spark, Sf, "documents").limit(50)
+    val m = Bm25.fit(docs)
+    val full = Bm25.encodeDocuments(m, 0.0)
+      .select(explode(map_values(col("sparse_vector")))).count()
+    val dropped = Bm25.encodeDocuments(m, 0.5)
+      .select(explode(map_values(col("sparse_vector")))).count()
+    assert(dropped < full && dropped > 0)
+  }
+}
+
+class HybridSpec extends SparkSpec {
+
+  test("RRF score equals 1/(60+rd) + 1/(60+rs) and sparse-only hits survive dense threshold") {
+    val corpus = Tables.docsCorpus(spark, Sf).select(col("doc_id"), col("qv").as("dv"))
+    val queries = Tables.docsCorpus(spark, Sf).filter(col("doc_id") === 0)
+      .select(col("doc_id").as("qid"), col("qv"))
+    val m = Bm25.fit(Tables.load(spark, Sf, "documents"))
+    val res = Hybrid.search(corpus, queries, m, Seq(0L -> "spark join window"),
+      SearchParams(limit = 10, scoreThreshold = Some(0.99))) // kills all dense hits except self
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rrf = r.getAs[Double]("rrf_score")
+      assert(rrf > 0 && rrf <= 2.0 / 61)
+    }
+    // with threshold 0.99 only the self-match survives on the dense side;
+    // sparse-only docs must still be present
+    val sparseOnly = rows.count(r => r.isNullAt(r.fieldIndex("dense_score")))
+    assert(sparseOnly > 0, "sparse-only hits must survive the dense threshold")
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dupDocs = Seq(
+    (0L, "spark join window merge data table scan filter", "en"),
+    (1L, "spark join window merge data table scan filter", "en"), // exact dup of 0
+    (2L, "completely different tokens here about streams and state", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val g = Dedup.exact(dupDocs).collect()
+    assert(g.length == 2)
+    val dupGroup = g.find(_.getAs[Long]("n_rows") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("identical docs share minhash signature and simhash; jaccard = 1") {
+    val sig = Dedup.minhashSignatures(dupDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 8).map(j => r.getAs[Long](s"h$j")))
+      .toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(2L))
+    val sh = Dedup.simhash(dupDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(1L))
+    val j = Dedup.jaccardPairs(dupDocs, "lang", 0.99).collect()
+    assert(j.length == 1 && j.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("LSH candidate pairs find the exact dup with est_sim 1.0") {
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(dupDocs)).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 0L &&
+      r.getAs[Long]("doc_b") == 1L && r.getAs[Double]("est_sim") == 1.0))
+  }
+}
+
+class IvfSpec extends SparkSpec {
+
+  test("IVF probe recall@10 >= 0.8 vs exact KNN at nprobe=8/nlist=16") {
+    val corpus = Tables.ordersCorpus(spark, Sf).select("doc_id", "dv")
+    val queries = Tables.queryBatch(spark, 8)
+    val exact = Knn.search(Tables.ordersCorpus(spark, Sf), queries,
+      SearchParams(limit = 10, outputFields = Nil))
+    val idx = Ivf.build(corpus, nlist = 16)
+    val approx = Ivf.probe(idx, queries, nprobe = 8, k = 10)
+    val recall = Ivf.recallVsExact(approx, exact)
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("nprobe=nlist degenerates to exact search (recall 1.0)") {
+    val corpus = Tables.ordersCorpus(spark, Sf).select("doc_id", "dv")
+    val queries = Tables.queryBatch(spark, 4)
+    val exact = Knn.search(Tables.ordersCorpus(spark, Sf), queries,
+      SearchParams(limit = 10, outputFields = Nil))
+    val idx = Ivf.build(corpus, nlist = 8)
+    val approx = Ivf.probe(idx, queries, nprobe = 8, k = 10)
+    assert(Ivf.recallVsExact(approx, exact) == 1.0)
+  }
+}
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge replaces matched keys and appends new ones") {
+    val cur = Seq((1L, "a"), (2L, "b")).toDF("key", "v")
+    val batch = Seq((2L, "B"), (3L, "c")).toDF("key", "v")
+    val out = Upsert.merge(cur, batch, "key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("duplicate keys in a batch are rejected (insert_request.py:89-104 parity)") {
+    val cur = Seq((1L, "a")).toDF("key", "v")
+    val bad = Seq((2L, "x"), (2L, "y")).toDF("key", "v")
+    assertThrows[IllegalArgumentException](Upsert.validateBatch(bad, "key"))
+    assert(Upsert.batchDuplicates(bad, "key").count() == 1)
+    Upsert.validateBatch(Seq((2L, "x")).toDF("key", "v"), "key") // ok
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint is order-sensitive; quality in [0,1]; langId deterministic") {
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) != fp(1L), "permuted docs must fingerprint differently")
+
+    val q = TextAnalysis.quality(Tables.load(spark, Sf, "documents")).collect()
+    q.foreach { r =>
+      val v = r.getAs[Double]("quality")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+
+    val l1 = TextAnalysis.langId(Tables.load(spark, Sf, "documents")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val l2 = TextAnalysis.langId(Tables.load(spark, Sf, "documents")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(l1 == l2)
+  }
+}
