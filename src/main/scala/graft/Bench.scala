@@ -1,24 +1,85 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.Tables
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark: headline operators on SPARK_GRAFT_SF_DIR (sf0.1 by
+  * default), one JSON line on stdout (driver contract).
+  *
+  * Headline set mirrors BASELINE.md's derived targets: B1 exact KNN (64
+  * queries), B2 filtered KNN, B3 BM25, B4 hybrid RRF, B5 IVF build+probe,
+  * B6 upsert, plus dedup (minhash+LSH) and the relational q1/join anchors.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def ordersCorpus = Tables.ordersCorpus(spark, sfDir)
+    def docs         = Tables.load(spark, sfDir, "documents")
+    def docsCorpus   = Tables.docsCorpus(spark, sfDir)
+    val q64          = Tables.queryBatch(spark, 64)
+
+    val benches: Seq[(String, () => DataFrame)] = Seq(
+      "b1_knn_cos_64q" -> (() => Knn.search(ordersCorpus, q64,
+        SearchParams(limit = 10, outputFields = Nil))),
+      "b2_knn_filtered" -> (() => Knn.search(ordersCorpus, q64,
+        SearchParams(limit = 10, scoreThreshold = Some(0.1),
+          metaFilter = Map("priority" -> "URGENT"), outputFields = Seq("meta")))),
+      "b3_bm25" -> (() => Bm25.searchTopK(Bm25.fit(docs),
+        (0L until 8L).map(_ -> "spark join window merge data"), 10)),
+      "b4_hybrid_rrf" -> (() => {
+        val corpus  = docsCorpus.select(col("doc_id"), col("qv").as("dv"))
+        val queries = docsCorpus.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("qid"), col("qv"))
+        Hybrid.search(corpus, queries, Bm25.fit(docs),
+          (0L until 8L).map(_ -> "spark join window merge data"),
+          SearchParams(limit = 10))
+      }),
+      "b5_ivf_build_probe" -> (() => {
+        val idx = Ivf.build(ordersCorpus.select("doc_id", "dv"), nlist = 256, maxIter = 10)
+        Ivf.probe(idx, q64, nprobe = 16, k = 10)
+      }),
+      "b6_upsert" -> (() => {
+        val cur = Tables.load(spark, sfDir, "orders").select(
+          col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        val batch = cur.filter(col("key") % 100 === 0)
+          .withColumn("price", col("price") + 100)
+        Upsert.merge(cur, batch, "key")
+          .groupBy("status").agg(count(lit(1)).as("n"), sum("price").as("p"))
+      }),
+      "b7_dedup_minhash_lsh" -> (() =>
+        Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))),
+      "b8_q1_agg" -> (() => SparkEntry.queries("q1_agg")(spark, sfDir)),
+      "b9_join_agg" -> (() => SparkEntry.queries("q_join_agg")(spark, sfDir)),
+      "b10_ann_embed" -> (() => {
+        val corpus  = docsCorpus.select(col("doc_id"), col("qv").as("dv"))
+        val queries = docsCorpus.filter(col("doc_id") < 64)
+          .select(col("doc_id").as("qid"), col("qv"))
+        Knn.search(corpus, queries, SearchParams(limit = 10, outputFields = Nil))
+      }),
+    )
+
+    val results = benches.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn().count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

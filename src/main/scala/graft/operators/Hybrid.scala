@@ -31,17 +31,12 @@ object Hybrid {
       queryTexts: Seq[(Long, String)], p: SearchParams): DataFrame = {
     val legK = math.min(p.limit, 50)
 
-    // Dense leg: exact metric top-legK per qid.
-    val raw = Vec.score(p.metric, col("qv"), col("dv"))
-    val ord =
-      if (Vec.higherIsBetter(p.metric)) Seq(col("dense_score").desc, col("doc_id").asc)
-      else Seq(col("dense_score").asc, col("doc_id").asc)
-    val wd = Window.partitionBy("qid").orderBy(ord: _*)
-    val dense = corpus.crossJoin(broadcast(queries.select("qid", "qv")))
-      .withColumn("dense_score", raw)
-      .withColumn("dense_rank", row_number().over(wd).cast("long"))
-      .filter(col("dense_rank") <= legK)
-      .select("qid", "doc_id", "dense_score", "dense_rank")
+    // Dense leg: exact metric top-legK per qid (codegen dot + partial top-k).
+    val dense = TopK.perKey(
+        Knn.scored(corpus, queries.select("qid", "qv"), p.metric),
+        "qid", "rawScore", "doc_id", legK, desc = Knn.higherIsBetter(p.metric))
+      .select(col("qid"), col("doc_id"), col("rawScore").as("dense_score"),
+        col("rank").as("dense_rank"))
 
     // Sparse leg (gated: only when query text present — H4).
     val sparse = Bm25.searchTopK(bm25, queryTexts, legK)

@@ -55,17 +55,17 @@ object Ivf {
       .withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= np)
       .select("qid", "qv", "centroid_id")
-    // Scan only the probed cells.
-    val raw = Vec.score(index.metric, col("qv"), col("dv"))
-    val ord =
-      if (Vec.higherIsBetter(index.metric)) Seq(col("score").desc, col("doc_id").asc)
-      else Seq(col("score").asc, col("doc_id").asc)
-    val w = Window.partitionBy("qid").orderBy(ord: _*)
-    index.clustered.join(routed, "centroid_id")
-      .withColumn("score", raw)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "doc_id", "score")
+    // Scan only the probed cells: codegen dot kernel + partial top-k.
+    val scored = index.clustered
+      .withColumn("nd2", graft.functions.VecExprs.norm2(col("dv")))
+      .join(routed.withColumn("nq2", graft.functions.VecExprs.norm2(col("qv"))),
+        "centroid_id")
+      .withColumn("dotp", graft.functions.VecExprs.dot(col("qv"), col("dv")))
+      .withColumn("rawScore", Knn.rawScore(index.metric))
+      .select("qid", "doc_id", "rawScore")
+    TopK.perKey(scored, "qid", "rawScore", "doc_id", k,
+        desc = Knn.higherIsBetter(index.metric))
+      .select(col("qid"), col("rank"), col("doc_id"), col("rawScore").as("score"))
   }
 
   /** Recall@k of the approximate result vs an exact result (both

@@ -1,8 +1,7 @@
 package graft.operators
 
-import graft.functions.{Text, Vec}
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import graft.functions.{Text, VecExprs}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Search knobs, mirroring the reference's `SearchEmbeddedRequest`
@@ -34,15 +33,44 @@ final case class SearchParams(
   * *lossy* semantics faithfully: filters run AFTER the top-k cut, so filtered
   * rows reduce the result count rather than being refetched.
   *
-  * Scale design: the corpus side stays fully distributed — queries are the
-  * broadcast side of a nested-loop join (`broadcast(queries)`), scores are
-  * codegen'd higher-order expressions, and the top-k is a per-qid window. At
-  * 100 TB the window shuffle is rank-bounded per query (qid count is small),
-  * so the shuffle payload is corpus_rows × query_count scored pairs reduced by
-  * map-side `rank <= fetchK` pruning — see [[TopK.perKey]] for the
-  * partial-top-k variant used when query count is large.
+  * Scale design:
+  *  - queries are the broadcast side of a nested-loop join; the corpus side
+  *    streams fully distributed and is never shuffled for scoring;
+  *  - per-row norms are computed ONCE per corpus row / query (not per pair);
+  *    the per-pair kernel is a single codegen'd dot product ([[VecExprs]]);
+  *  - L2 uses the exact integer identity |q−d|² = |q|² − 2⟨q,d⟩ + |d|²;
+  *  - the top-k cut is [[TopK.perKey]]: per-partition bounded heaps then a
+  *    window over ≤ k·|queries|·partitions rows — no full sort/shuffle of
+  *    the scored pairs.
   */
 object Knn {
+
+  /** Raw metric score from precomputed norms + codegen dot product.
+    * Bitwise-identical to the naive Σ formulations for integer-valued
+    * vectors (exact integer partial sums).
+    */
+  def rawScore(metric: String): Column = metric match {
+    case "COSINE" => col("dotp") / (sqrt(col("nq2")) * sqrt(col("nd2")))
+    case "L2"     => sqrt(col("nq2") - lit(2.0) * col("dotp") + col("nd2"))
+    case "IP"     => col("dotp")
+    case m        => throw new IllegalArgumentException(s"metric $m (want COSINE|L2|IP)")
+  }
+
+  def higherIsBetter(metric: String): Boolean = metric != "L2"
+
+  /** Score every (query, corpus) pair: broadcast-nested-loop join with a
+    * codegen'd dot kernel. Arrays and norms are dropped from the output —
+    * rows entering the top-k prune are narrow.
+    */
+  def scored(corpus: DataFrame, queries: DataFrame, metric: String): DataFrame = {
+    val corpusPrep  = corpus.withColumn("nd2", VecExprs.norm2(col("dv")))
+    val queriesPrep = queries.withColumn("nq2", VecExprs.norm2(col("qv")))
+    val passthrough = corpus.columns.filter(c => c != "dv" && c != "doc_id").toSeq
+    corpusPrep.crossJoin(broadcast(queriesPrep))
+      .withColumn("dotp", VecExprs.dot(col("qv"), col("dv")))
+      .withColumn("rawScore", rawScore(metric))
+      .select((Seq("qid", "doc_id", "rawScore") ++ passthrough).map(col): _*)
+  }
 
   /** corpus: (doc_id, dv, [chunk], [meta], …); queries: (qid, qv).
     * Returns (qid, rank, doc_id, score, outputFields…).
@@ -54,28 +82,18 @@ object Knn {
     val overFetch = if (p.textFilter.exists(_.trim.nonEmpty)) p.increaseLimitForTextSearch else 0
     val fetchK    = p.offset + p.limit + overFetch
 
-    val raw = Vec.score(p.metric, col("qv"), col("dv"))
-    val ord =
-      if (Vec.higherIsBetter(p.metric)) Seq(col("rawScore").desc, col("doc_id").asc)
-      else Seq(col("rawScore").asc, col("doc_id").asc)
-    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
-
-    var df = corpus
-      .crossJoin(broadcast(queries))
-      .withColumn("rawScore", raw)
+    var df = scored(corpus, queries, p.metric)
 
     // Range search (A3, vector_store.py:501-503) restricts by score band
-    // before ranking — the engine-side part of the reference's radius /
-    // range_filter params.
+    // before ranking — the engine-side part of radius / range_filter.
     df = p.rangeFilter.fold(df) { case (lo, hi) =>
-      if (Vec.higherIsBetter(p.metric))
-        df.filter(col("rawScore") >= lo && col("rawScore") <= hi)
-      else df.filter(col("rawScore") <= hi && col("rawScore") >= lo)
+      df.filter(col("rawScore") >= lo && col("rawScore") <= hi)
     }
 
-    df = df
-      .withColumn("annRank", row_number().over(w))
-      .filter(col("annRank") <= fetchK && col("annRank") > p.offset)
+    df = TopK.perKey(df, "qid", "rawScore", "doc_id", fetchK,
+        desc = higherIsBetter(p.metric))
+      .withColumnRenamed("rank", "annRank")
+      .filter(col("annRank") > p.offset)
 
     // P2: score threshold (reference drops hits below threshold client-side).
     df = p.scoreThreshold.fold(df)(t => df.filter(col("rawScore") >= t))
@@ -108,7 +126,9 @@ object Knn {
     }
 
     // A4: final truncate to `limit` in ANN-rank order; re-rank for output.
-    val wf = Window.partitionBy(col("qid")).orderBy(col("annRank").asc)
+    // (input here is ≤ fetchK·|queries| rows — a plain window is fine)
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("annRank").asc)
     df = df.withColumn("rank", row_number().over(wf).cast("long"))
       .filter(col("rank") <= p.limit)
 
