@@ -451,6 +451,19 @@ object Oracles {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Multimodal decode-stub features: byte stats of the utf-8 payload
+    * (ascii text => bytes == codepoints), rolling checksum via list_reduce
+    * with a prepended 0 seed matching the Scala fold.
+    */
+  val multimodal: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+      |       CAST(list_reduce(
+      |              list_prepend(0, list_transform(range(1, length(text) + 1),
+      |                                             i -> ascii(substr(text, i, 1)))),
+      |              (acc, x) -> (acc * 31 + x) % 997) AS BIGINT) AS checksum
+      |FROM documents""".stripMargin
+
   /** TPC-H Q1-style pricing summary with decimal-exact sums. */
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,

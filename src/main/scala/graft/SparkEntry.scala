@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{Bm25, Dedup, Hybrid, Ivf, Knn, SearchParams, TextAnalysis, Upsert}
+import graft.operators.{Bm25, Dedup, Hybrid, Ivf, Knn, Multimodal, SearchParams, TextAnalysis, Upsert}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -158,6 +158,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(dec("value")).cast("double").as("total_value"))),
 
+    // ---- multimodal plumbing: binary payload -> partition-batched decode ----
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(Tables.load(s, dir, "documents"))
+        .select("doc_id", "n_bytes", "first_byte", "checksum")),
+
     // ---- relational coverage: agg / join / window ----
     "q1_agg" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -222,6 +227,7 @@ object SparkEntry {
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),
     "q_events_hourly" -> Oracles.eventsHourly,
     "q_events_json"   -> Oracles.eventsJson,
+    "q_multimodal"    -> Oracles.multimodal,
     "q1_agg"          -> Oracles.q1Agg,
     "q_join_agg"      -> Oracles.joinAgg,
     "q_window_top3"   -> Oracles.windowTop3,

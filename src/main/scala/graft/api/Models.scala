@@ -1,0 +1,105 @@
+package graft.api
+
+/** Request/response envelopes mirroring the reference's Pydantic models
+  * (`/root/reference/app/models/` *.py) at the library boundary. Validation
+  * rules follow `app/utils/input_validator.py` and the request models.
+  */
+final case class EmbeddedVector(
+    key: String,
+    chunk: String,
+    model: String,
+    metadata: Map[String, String] = Map.empty,
+    vector: Seq[Double] = Nil)
+
+final case class EmbeddedMeta(content: String, meta: Map[String, String])
+
+/** `GenerateSchemaRequest` (generate_schema_request.py:27-65). */
+final case class SchemaSpec(
+    tenant: String,
+    model: String,
+    dimension: Int = 384,
+    metricType: String = "COSINE",
+    indexType: String = "IVF_FLAT",
+    nlist: Int = 1024,
+    metadataLength: Int = 4096,
+    dropRatioBuild: Double = 0.1) {
+  require(dimension >= 1 && dimension <= 4096, "dimension 1-4096")
+  require(Set("COSINE", "L2", "IP")(metricType), "metric COSINE|L2|IP")
+  require(Set("IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW")(indexType), "index type")
+  require(nlist >= 1 && nlist <= 65536, "nlist 1-65536")
+  require(metadataLength >= 256 && metadataLength <= 65535, "metadata_length 256-65535")
+  require(dropRatioBuild >= 0.0 && dropRatioBuild <= 1.0, "drop_ratio_build 0-1")
+}
+
+/** Search request knobs (search_request.py:49-131) — mapped onto the engine's
+  * SearchParams by the facade.
+  */
+final case class SearchRequest(
+    tenant: String,
+    model: String,
+    vector: Seq[Double],
+    limit: Int = 10,
+    offset: Int = 0,
+    nprobe: Int = 10,
+    roundDecimal: Int = -1,
+    scoreThreshold: Option[Double] = None,
+    metricType: String = "COSINE",
+    outputFields: Seq[String] = Seq("chunk", "meta"),
+    metaRequired: Boolean = false,
+    metaFilter: Map[String, String] = Map.empty,
+    textFilter: Option[String] = None,
+    minimumWordsMatch: Int = 2,
+    includeStopWords: Boolean = false,
+    increaseLimitForTextSearch: Int = 10,
+    hybridSearch: Boolean = false,
+    partitionName: Option[String] = None) {
+  require(limit >= 1 && limit <= 100, "limit 1-100")
+  require(offset >= 0 && offset <= 100, "offset 0-100")
+  require(nprobe >= 4 && nprobe <= 128, "nprobe 4-128")
+  require(roundDecimal >= -1 && roundDecimal <= 6, "round_decimal -1..6")
+  require(metaFilter.size <= 10 && metaFilter.values.forall(_.length <= 200),
+    "meta_filter <=10 keys, values <=200 chars")
+  require(textFilter.forall(_.length <= 500), "text_filter <=500 chars")
+  require(minimumWordsMatch >= 1 && minimumWordsMatch <= 10, "minimum_words_match 1-10")
+  require(increaseLimitForTextSearch >= 0 && increaseLimitForTextSearch <= 100,
+    "increase_limit_for_text_search 0-100")
+}
+
+/** Base response envelope (base_response.py:12-38): `success=false` when no
+  * results (vector_store_service.py:430-435).
+  */
+final case class SearchResponse(
+    success: Boolean,
+    message: String,
+    tenantCode: String,
+    timeTaken: Double,
+    data: Seq[EmbeddedMeta])
+
+object Validation {
+  private val ModelRe  = "[a-z0-9_.\\-]{1,100}".r
+  private val TenantRe = "[a-zA-Z0-9_]{1,64}".r
+
+  /** input_validator.py:129-153 — model id shape (validated lowercased, as
+    * the reference normalizes model names before use).
+    */
+  def requireValidModel(model: String): Unit =
+    require(ModelRe.matches(model.toLowerCase), s"invalid model name: $model")
+
+  def requireValidTenant(tenant: String): Unit =
+    require(TenantRe.matches(tenant), s"invalid tenant: $tenant")
+
+  /** input_validator.py:228-250 — vector sanity. */
+  def requireValidVector(v: Seq[Double], dim: Int): Unit = {
+    require(v.length == dim, s"vector dim ${v.length} != collection dim $dim")
+    require(v.forall(x => !x.isNaN && !x.isInfinite && math.abs(x) <= 1e6),
+      "vector values must be finite with |x| <= 1e6")
+  }
+
+  /** insert_request.py / embedded_vector.py limits. */
+  def requireValidRow(r: EmbeddedVector, dim: Int): Unit = {
+    require(r.key != null && r.key.nonEmpty && r.key.length <= 256, "key 1-256 chars")
+    require(r.chunk != null && r.chunk.length <= 60000, "chunk <=60000 chars")
+    requireValidModel(r.model)
+    requireValidVector(r.vector, dim)
+  }
+}

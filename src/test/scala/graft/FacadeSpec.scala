@@ -1,0 +1,137 @@
+package graft
+
+import graft.api._
+import graft.operators.Multimodal
+import graft.sources.VectorStoreCatalog
+import graft.streaming.Ingest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class CatalogSpec extends SparkSpec {
+
+  private def mkCatalog = new VectorStoreCatalog(spark,
+    Files.createTempDirectory("graft_cat").toString)
+
+  private def vec(seed: Int, dim: Int = 8): Seq[Double] =
+    (0 until dim).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+
+  test("generate_schema -> insert -> search lifecycle (D1/D2/S1/S4/S5/A1)") {
+    val cat = mkCatalog
+    cat.generateSchema(SchemaSpec("master", "all-MiniLM-L6-v2", dimension = 8))
+    assert(cat.collectionExists("master", "all-MiniLM-L6-v2"))
+    assert(cat.dimension("master", "all-MiniLM-L6-v2") == 8)
+    assert(cat.tableName("master", "all-MiniLM-L6-v2") ==
+      "vector_store_schema_for_master_all_minilm_l6_v2")
+
+    val rows = (0 until 20).map(i => EmbeddedVector(s"k$i", s"chunk number $i spark data",
+      "all-MiniLM-L6-v2", Map("cat" -> s"c${i % 3}"), vec(i)))
+    val n = cat.insert("master", "all-MiniLM-L6-v2", rows)
+    assert(n == 20)
+
+    // upsert: same key replaces
+    cat.insert("master", "all-MiniLM-L6-v2",
+      Seq(EmbeddedVector("k0", "replaced chunk", "all-MiniLM-L6-v2", Map(), vec(0))))
+    assert(cat.load("master", "all-MiniLM-L6-v2").count() == 20)
+
+    val resp = cat.search(SearchRequest("master", "all-MiniLM-L6-v2", vec(3),
+      limit = 5, metricType = "COSINE"))
+    assert(resp.success && resp.data.nonEmpty)
+    assert(resp.data.head.content.contains("3")) // self-match first
+
+    // meta filter via facade
+    val filt = cat.search(SearchRequest("master", "all-MiniLM-L6-v2", vec(3),
+      limit = 5, metaFilter = Map("cat" -> "c1")))
+    assert(filt.data.forall(_.meta.get("cat").contains("c1")))
+
+    // empty result envelope: success=false (vector_store_service.py:430-435)
+    val none = cat.search(SearchRequest("master", "all-MiniLM-L6-v2", vec(3),
+      limit = 5, metaFilter = Map("cat" -> "zzz")))
+    assert(!none.success)
+  }
+
+  test("dimension mismatch and invalid rows are rejected (input_validator parity)") {
+    val cat = mkCatalog
+    cat.generateSchema(SchemaSpec("t1", "m1", dimension = 8))
+    intercept[IllegalArgumentException] {
+      cat.insert("t1", "m1", Seq(EmbeddedVector("k", "c", "m1", Map(), vec(1, dim = 4))))
+    }
+    intercept[IllegalArgumentException] { // dup keys in batch
+      cat.insert("t1", "m1", Seq(
+        EmbeddedVector("k", "c", "m1", Map(), vec(1)),
+        EmbeddedVector("k", "d", "m1", Map(), vec(2))))
+    }
+    intercept[IllegalArgumentException] { // search against missing collection
+      cat.search(SearchRequest("t1", "missing", vec(1)))
+    }
+    intercept[IllegalArgumentException] { // bad schema spec
+      SchemaSpec("t1", "m1", dimension = 5000)
+    }
+  }
+
+  test("partition targeting restricts search (S6); config KV round-trips (D8)") {
+    val cat = mkCatalog
+    cat.generateSchema(SchemaSpec("t2", "m1", dimension = 8))
+    cat.insert("t2", "m1", Seq(EmbeddedVector("a", "alpha", "m1", Map(), vec(1))),
+      partition = Some("p1"))
+    cat.insert("t2", "m1", Seq(EmbeddedVector("b", "beta", "m1", Map(), vec(2))),
+      partition = Some("p2"))
+    val only = cat.search(SearchRequest("t2", "m1", vec(1), limit = 10,
+      partitionName = Some("p2")))
+    assert(only.data.map(_.content) == Seq("beta"))
+
+    cat.configSet("t2", "cors", "https://x.example")
+    assert(cat.configGet("t2", "cors").contains("https://x.example"))
+    cat.configDelete("t2", "cors")
+    assert(cat.configGet("t2", "cors").isEmpty)
+  }
+
+  test("BM25 sparse vectors are stored on insert (H1 / sparse_vector column)") {
+    val cat = mkCatalog
+    cat.generateSchema(SchemaSpec("t3", "m1", dimension = 8, dropRatioBuild = 0.0))
+    cat.insert("t3", "m1", (0 until 5).map(i =>
+      EmbeddedVector(s"k$i", s"alpha beta doc$i", "m1", Map(), vec(i))))
+    val sv = cat.load("t3", "m1").select("sparse_vector").collect()
+    assert(sv.forall(r => r.getMap[Int, Float](0).nonEmpty))
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ingest merges micro-batches by key (foreachBatch MERGE)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val dir = Files.createTempDirectory("graft_stream").resolve("tbl").toString
+    val q = Ingest.start(spark,
+      mem.toDF().toDF("key", "v", "seq"), dir, "key")
+    try {
+      mem.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      mem.addData((2L, "B", 2L), (3L, "c", 2L), (3L, "c2", 3L))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir).collect()
+        .map(r => r.getAs[Long]("key") -> r.getAs[String]("v")).toMap
+      assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c2"))
+    } finally q.stop()
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payload plumbing produces deterministic stub features") {
+    val docs = Seq((7L, "abc"), (8L, "")).toDF("doc_id", "text")
+    val f = Multimodal.extractFeatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "abc" = 97,98,99: checksum ((0*31+97)*31+98)%997... computed mod 997
+    var c = 0L; for (b <- Seq(97, 98, 99)) c = (c * 31 + b) % 997
+    assert(f(7L).getAs[Long]("n_bytes") == 3)
+    assert(f(7L).getAs[Long]("first_byte") == 97)
+    assert(f(7L).getAs[Long]("checksum") == c)
+    assert(f(8L).getAs[Long]("first_byte") == -1)
+    val hist = f(7L).getSeq[Double](f(7L).fieldIndex("feature"))
+    assert(hist.sum == 3.0)
+  }
+}
