@@ -405,6 +405,45 @@ object Oracles {
        |SELECT doc_id, CAST(SUM(pos * $tc) + COUNT(*) AS BIGINT) AS fp
        |FROM toksp GROUP BY doc_id""".stripMargin
 
+  /** meta_required (P6): corpus where every 3rd doc has meta, others "{}";
+    * rows with empty meta are dropped AFTER the ANN cut.
+    */
+  def knnMetaRequired(nq: Int, k: Int): String =
+    s"""WITH ${ordersScores(nq)},
+       |corpus AS (
+       |  SELECT o_orderkey AS doc_id,
+       |         CASE WHEN o_orderkey % 3 = 0
+       |              THEN to_json(struct_pack(status := o_orderstatus, priority := o_orderpriority))
+       |              ELSE '{}' END AS meta
+       |  FROM orders),
+       |ann AS (
+       |  SELECT s.qid, s.doc_id, $cosineExpr AS score, c.meta,
+       |         row_number() OVER (PARTITION BY s.qid ORDER BY $cosineExpr DESC, s.doc_id) AS ann_rank
+       |  FROM scores s JOIN corpus c ON s.doc_id = c.doc_id),
+       |cut AS (SELECT * FROM ann WHERE ann_rank <= $k AND meta IS NOT NULL AND meta <> '{}')
+       |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY ann_rank) AS rank,
+       |       doc_id, score, meta
+       |FROM cut QUALIFY rank <= $k""".stripMargin
+
+  /** Hybrid gating fallback (H4): no query text => sparse leg empty, RRF
+    * degrades to dense-only 1/(60+dense_rank).
+    */
+  def hybridDenseOnly(nq: Int, k: Int): String = {
+    val legK = math.min(k, 50)
+    s"""WITH ${docScores(nq)},
+       |dense AS (
+       |  SELECT qid, doc_id, $cosineExpr AS dense_score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $cosineExpr DESC, doc_id) AS dense_rank
+       |  FROM dscores QUALIFY dense_rank <= $legK)
+       |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS rank,
+       |       doc_id, rrf_score, dense_score,
+       |       CAST(NULL AS DOUBLE) AS sparse_score
+       |FROM (SELECT qid, doc_id, dense_score,
+       |             COALESCE(1.0 / (60.0 + dense_rank), 0.0) + 0.0 AS rrf_score
+       |      FROM dense)
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
   /** Upsert readback (S1/Q-UPSERT): MERGE-by-key (updates + inserts) then a
     * decimal-exact aggregate over the merged table.
     */

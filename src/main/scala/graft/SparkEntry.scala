@@ -158,6 +158,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(dec("value")).cast("double").as("total_value"))),
 
+    // ---- P6 meta_required over a corpus with empty metas ----
+    "q_knn_meta_required" -> ((s, dir) => {
+      val corpus = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("doc_id"),
+        Tables.synthVec(col("o_orderkey")).as("dv"),
+        when(col("o_orderkey") % 3 === 0,
+          to_json(struct(col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority")))).otherwise("{}").as("meta"))
+      Knn.search(corpus, Tables.queryBatch(s, 8),
+        SearchParams(limit = 10, metaRequired = true, outputFields = Seq("meta")))
+    }),
+
+    // ---- H4 gating: hybrid without query text degrades to dense-only ----
+    "q_hybrid_dense_only" -> ((s, dir) => {
+      val c = Tables.docsCorpus(s, dir)
+      Hybrid.search(c.select(col("doc_id"), col("qv").as("dv")),
+        c.filter(col("doc_id") < 2).select(col("doc_id").as("qid"), col("qv")),
+        Bm25.fit(Tables.load(s, dir, "documents")), Seq.empty,
+        SearchParams(limit = 10))
+    }),
+
+    // ---- P3 with include_stop_words=true ----
+    "q_knn_text_stop" -> ((s, dir) => {
+      val corpus = Tables.docsCorpus(s, dir)
+        .select(col("doc_id"), col("qv").as("dv"), col("text").as("chunk"))
+      val queries = Tables.docsCorpus(s, dir).filter(col("doc_id") < 4)
+        .select(col("doc_id").as("qid"), col("qv"))
+      Knn.search(corpus, queries,
+        SearchParams(limit = 10, textFilter = Some("the spark join"),
+          minimumWordsMatch = 2, includeStopWords = true, outputFields = Nil))
+    }),
+
     // ---- multimodal plumbing: binary payload -> partition-batched decode ----
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Tables.load(s, dir, "documents"))
@@ -227,6 +259,11 @@ object SparkEntry {
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),
     "q_events_hourly" -> Oracles.eventsHourly,
     "q_events_json"   -> Oracles.eventsJson,
+    "q_knn_meta_required" -> Oracles.knnMetaRequired(8, 10),
+    "q_hybrid_dense_only" -> Oracles.hybridDenseOnly(2, 10),
+    "q_knn_text_stop" -> Oracles.knnText(4, 10, 10,
+      graft.functions.Text.filterWords("the spark join", includeStopWords = true),
+      minWords = 2),
     "q_multimodal"    -> Oracles.multimodal,
     "q1_agg"          -> Oracles.q1Agg,
     "q_join_agg"      -> Oracles.joinAgg,

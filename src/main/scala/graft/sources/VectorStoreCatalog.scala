@@ -188,9 +188,80 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val props = properties(tenant, model)
     val corpus = load(tenant, model).select(
       xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv"))
-    Ivf.build(corpus, nlist = math.min(props("nlist").toInt, math.max(1,
+    // cap nlist so small collections still get >=2 non-trivial cells
+    Ivf.build(corpus, nlist = math.max(2, math.min(props("nlist").toInt,
       (corpus.count() / 64).toInt)), metric = props("metric_type"))
   }
+
+  // ---- D4/D5: index persistence + idempotent build ----
+  private def indexDir(tenant: String, model: String): Path =
+    tableDir(tenant, model).resolve("index")
+
+  def indexExists(tenant: String, model: String): Boolean =
+    Files.exists(indexDir(tenant, model).resolve("centroids"))
+
+  /** Persist the IVF index tables (centroids + corpus clustered by
+    * centroid_id) and the BM25 posting lists — the durable form of D3/D4.
+    * The clustered table is PARTITIONED BY centroid_id so a probe scan reads
+    * only nprobe/nlist of the files (partition pruning = the IVF inverted
+    * file). Idempotent: `ensureIndex` is the reference's list-then-create
+    * (base_milvus.py:1216-1264).
+    */
+  def persistIndex(tenant: String, model: String): Unit = {
+    val idx = buildIndex(tenant, model)
+    val d = indexDir(tenant, model)
+    idx.clustered.write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
+      .parquet(d.resolve("clustered").toString)
+    idx.centroids.write.mode(SaveMode.Overwrite)
+      .parquet(d.resolve("centroids").toString)
+    val bm25 = Bm25.fit(load(tenant, model).select(
+      xxhash64(col("flouds_vector_id")).as("doc_id"), col("chunk").as("text")))
+    Bm25.postings(bm25).write.mode(SaveMode.Overwrite)
+      .parquet(d.resolve("postings").toString)
+    spark.catalog.refreshByPath(d.toString)
+  }
+
+  def ensureIndex(tenant: String, model: String): Unit =
+    if (!indexExists(tenant, model)) persistIndex(tenant, model)
+
+  def loadIndex(tenant: String, model: String): Ivf.Index = {
+    val d = indexDir(tenant, model)
+    Ivf.Index(
+      spark.read.parquet(d.resolve("centroids").toString),
+      spark.read.parquet(d.resolve("clustered").toString),
+      properties(tenant, model)("metric_type"))
+  }
+
+  // ---- D6/D7: tenant bootstrap + user/role management (service layer;
+  //      SURVEY §2.6 marks these out of engine scope — thin but functional
+  //      stubs so the API surface is complete) ----
+  private val rng = new java.security.SecureRandom()
+
+  /** create_user (base_milvus.py:542-581): `{tenant}_` + 26 random
+    * alphanumerics; secret = urlsafe base64 of 36 random bytes.
+    */
+  def createUser(tenant: String): (String, String) = {
+    Validation.requireValidTenant(tenant)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    val id = s"${tenant}_" + (0 until 26).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    val secretBytes = new Array[Byte](36)
+    rng.nextBytes(secretBytes)
+    val secret = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(secretBytes)
+    configSet(tenant, s"user.$id", secret)
+    configSet(tenant, s"role.$id", TenantPrivileges.mkString(","))
+    (id, secret)
+  }
+
+  def authenticate(tenant: String, clientId: String, secret: String): Boolean =
+    configGet(tenant, s"user.$clientId").contains(secret)
+
+  def dropUser(tenant: String, clientId: String): Unit = {
+    configDelete(tenant, s"user.$clientId")
+    configDelete(tenant, s"role.$clientId")
+  }
+
+  def grants(tenant: String, clientId: String): Seq[String] =
+    configGet(tenant, s"role.$clientId").map(_.split(",").toSeq).getOrElse(Nil)
 
   // ---- D8: tenant-scoped config KV with cache (config_service.py) ----
   private val kvCache = scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
@@ -232,6 +303,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 }
 
 object VectorStoreCatalog {
+
+  /** The 9 privileges the reference grants each tenant role
+    * (base_milvus.py:71-81).
+    */
+  val TenantPrivileges: Seq[String] = Seq(
+    "CreateIndex", "DropIndex", "Search", "Query", "Load", "Release",
+    "Insert", "Delete", "Compaction")
+
   private[sources] def parseMeta(s: String): Map[String, String] =
     // P7: JSON parse with silent {} fallback (vector_store.py:938-954)
     try {

@@ -1,0 +1,97 @@
+package graft
+
+import graft.core.Tables
+import graft.operators._
+import graft.sources.VectorStoreCatalog
+import graft.api.{EmbeddedVector, SchemaSpec}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import java.nio.file.Files
+
+/** Property tests per SURVEY §5: RRF monotonicity, top-k ⊆ brute force,
+  * BM25 vs hand computation (in Bm25Spec), IVF recall (in IvfSpec).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("RRF is monotone: better ranks in both legs => higher fused score") {
+    check(Prop.forAll(Gen.choose(1L, 50L), Gen.choose(1L, 50L), Gen.choose(0L, 49L),
+      Gen.choose(0L, 49L)) { (rd: Long, rs: Long, dd: Long, ds: Long) =>
+      def rrf(d: Long, s: Long) = 1.0 / (60.0 + d) + 1.0 / (60.0 + s)
+      rrf(rd, rs) <= rrf(math.max(1, rd - dd), math.max(1, rs - ds))
+    })
+  }
+
+  test("top-k results are a prefix of the brute-force ranking (k' <= k nests)") {
+    val corpus = Tables.ordersCorpus(spark, Sf)
+    val queries = Tables.queryBatch(spark, 3)
+    val k10 = Knn.search(corpus, queries, SearchParams(limit = 10, outputFields = Nil))
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id")).toSeq).toMap
+    val k5 = Knn.search(corpus, queries, SearchParams(limit = 5, outputFields = Nil))
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id")).toSeq).toMap
+    k5.foreach { case (qid, ids) => assert(ids == k10(qid).take(5)) }
+  }
+
+  test("all TopK strategies produce identical results") {
+    val scored = Knn.scored(
+      Tables.ordersCorpus(spark, Sf).select("doc_id", "dv"),
+      Tables.queryBatch(spark, 4), "COSINE")
+    def run(strategy: String) = {
+      // exercise private strategies through the public switch via reflection-free
+      // route: perKey reads env once, so compare agg (default) vs window here
+      strategy match {
+        case "window" =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("rawScore").desc, col("doc_id").asc)
+          scored.withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= 7)
+            .select("qid", "rank", "doc_id", "rawScore")
+        case _ =>
+          TopK.perKey(scored, "qid", "rawScore", "doc_id", 7)
+            .select("qid", "rank", "doc_id", "rawScore")
+      }
+    }
+    val a = run("agg").collect().map(_.toSeq).toSet
+    val b = run("window").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
+
+class IndexAndUsersSpec extends SparkSpec {
+
+  test("persisted IVF index is idempotent (D5) and probe-equivalent; users round-trip (D6/D7)") {
+    val cat = new VectorStoreCatalog(spark, Files.createTempDirectory("graft_idx").toString)
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4))
+    cat.insert("t", "m", (0 until 100).map(i =>
+      EmbeddedVector(s"k$i", s"text $i", "m", Map(), vec(i))))
+
+    assert(!cat.indexExists("t", "m"))
+    cat.ensureIndex("t", "m")
+    assert(cat.indexExists("t", "m"))
+    cat.ensureIndex("t", "m") // idempotent no-rebuild path
+
+    val idx = cat.loadIndex("t", "m")
+    import spark.implicits._
+    val queries = Seq((0L, vec(5))).toDF("qid", "qv")
+    val res = Ivf.probe(idx, queries, nprobe = 4, k = 5).collect()
+    assert(res.length == 5) // nprobe = nlist => exact: self-match first
+    assert(res.minBy(_.getAs[Long]("rank")).getAs[Double]("score") > 0.999999)
+
+    val (id, secret) = cat.createUser("t")
+    assert(id.startsWith("t_") && id.length == 28)
+    assert(cat.authenticate("t", id, secret))
+    assert(!cat.authenticate("t", id, "wrong"))
+    assert(cat.grants("t", id).contains("Search") && cat.grants("t", id).size == 9)
+    cat.dropUser("t", id)
+    assert(!cat.authenticate("t", id, secret))
+  }
+}
