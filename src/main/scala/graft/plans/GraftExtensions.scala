@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.functions.{VecDot, VecNorm2}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Catalyst optimizer rule: rewrite interpreted higher-order-function vector
+  * math into the codegen'd kernels (SURVEY §4.2(2)).
+  *
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,x) -> acc+x)`  → VecDot(a,b)
+  * `aggregate(a, 0.0, (acc,x) -> acc + x*x)`                          → VecNorm2(a)
+  *
+  * ArrayAggregate/ZipWith are CodegenFallback (per-element interpreted
+  * lambdas) — ~20× slower than the fused loop in the KNN hot path. With this
+  * rule installed, code written naively against [[graft.functions.Vec]] gets
+  * the fast kernels automatically; the rewrite preserves results bitwise
+  * (same left-to-right summation over the same doubles).
+  */
+object RewriteVectorHofs extends Rule[LogicalPlan] {
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private object IdentityLambda {
+    def unapply(l: LambdaFunction): Boolean = l.function match {
+      case v: NamedLambdaVariable => l.arguments.lastOption.exists(_.exprId == v.exprId)
+      case _ => false
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // dot: fold of an element-wise product of two double arrays
+    case ArrayAggregate(
+        ZipWith(l, r, LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+        Literal(0.0, DoubleType),
+        LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+        fin @ IdentityLambda())
+        if isDoubleArray(l) && isDoubleArray(r) =>
+      VecDot(l, r)
+
+    // norm²: fold of x*x over one double array
+    case ArrayAggregate(
+        arr,
+        Literal(0.0, DoubleType),
+        LambdaFunction(Add(_: NamedLambdaVariable,
+          Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), _), _, _),
+        fin @ IdentityLambda())
+        if isDoubleArray(arr) && x.exprId == y.exprId =>
+      VecNorm2(arr)
+  }
+}
+
+/** Session extension entry point:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` — or
+  * [[GraftExtensions.install]] on an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => RewriteVectorHofs)
+}
+
+object GraftExtensions {
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RewriteVectorHofs))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteVectorHofs
+}

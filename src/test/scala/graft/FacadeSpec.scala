@@ -118,6 +118,32 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("event-time windowed aggregation with watermark over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val agg = mem.toDF().toDF("ts", "etype", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"), col("etype"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts(1), "a", 1.0), (ts(5), "a", 2.0), (ts(31), "b", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).toString.take(16),
+          r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00", "a", 2L, 3.0),
+        ("2024-01-01 00:30", "b", 1L, 4.0)))
+    } finally q.stop()
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
