@@ -300,6 +300,40 @@ object Oracles {
        |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id""".stripMargin
   }
 
+  def dedupMinhashVerified(threshold: Double): String = {
+    val bandRows = (0 until 4)
+      .map(bd => s"SELECT doc_id, $bd AS band, h${2 * bd} * $P + h${2 * bd + 1} AS bucket FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $toksp, $shinglesCte, $sigCte,
+       |bands AS ($bandRows),
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |  FROM cands c
+       |  JOIN shd x ON c.doc_a = x.doc_id
+       |  JOIN shd y ON c.doc_b = y.doc_id AND x.shingle = y.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  /** Top-5 terms per language by corpus frequency (vocabulary stats). */
+  val topTerms: String =
+    s"""WITH $toksp
+       |SELECT lang, rank, term, cnt FROM (
+       |  SELECT d.lang, t.term, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |         row_number() OVER (PARTITION BY d.lang ORDER BY COUNT(*) DESC, t.term) AS rank
+       |  FROM toksp t JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang, t.term)
+       |WHERE rank <= 5""".stripMargin
+
   val dedupSimhash: String = {
     val h = Text.tokenHash32Sql(tc)
     s"""WITH $toksp,

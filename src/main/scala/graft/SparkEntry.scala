@@ -94,6 +94,18 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables.load(s, dir, "documents"))),
     "q_dedup_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(Dedup.minhashSignatures(Tables.load(s, dir, "documents")))),
+    "q_dedup_verified" -> ((s, dir) =>
+      Dedup.minhashVerifiedPairs(Tables.load(s, dir, "documents"), 0.7)),
+    "q_top_terms" -> ((s, dir) => {
+      val toks = Dedup.tokenTable(Tables.load(s, dir, "documents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("cnt").desc, col("term").asc)
+      toks.join(Tables.load(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("lang", "rank", "term", "cnt")
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.load(s, dir, "documents"))),
     "q_dedup_jaccard" -> ((s, dir) =>
@@ -248,6 +260,8 @@ object SparkEntry {
     "q_dedup_exact"   -> Oracles.dedupExact,
     "q_dedup_minhash" -> Oracles.dedupMinhash,
     "q_dedup_lsh_pairs" -> Oracles.dedupLshPairs,
+    "q_dedup_verified" -> Oracles.dedupMinhashVerified(0.7),
+    "q_top_terms"     -> Oracles.topTerms,
     "q_dedup_simhash" -> Oracles.dedupSimhash,
     "q_dedup_jaccard" -> Oracles.dedupJaccard(0.8),
     "q_dedup_embed"   -> Oracles.dedupEmbed(0.4),

@@ -92,6 +92,30 @@ object Dedup {
         (matches.cast("double") / NumHashes).as("est_sim"))
   }
 
+  /** Full MinHash dedup pipeline: signatures → LSH band candidates →
+    * verification with TRUE 3-gram-shingle Jaccard ≥ threshold. The expensive
+    * exact Jaccard runs only on LSH candidates (≈ near-dups), never all
+    * pairs — this is the shape that survives 100 TB.
+    */
+  def minhashVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val cands = lshCandidatePairs(minhashSignatures(docs)).select("doc_a", "doc_b")
+    val sh    = shingles(docs).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id") &&
+        col("x.shingle") === col("y.shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa.sz") + col("sb.sz") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** 32-bit SimHash per doc from tf-weighted token-hash bits — all integer
     * arithmetic (bit b extracted as h mod 2·2^b >= 2^b).
     */
