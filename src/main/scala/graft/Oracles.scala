@@ -537,6 +537,26 @@ object Oracles {
       |              (acc, x) -> (acc * 31 + x) % 997) AS BIGINT) AS checksum
       |FROM documents""".stripMargin
 
+  /** Deterministic split counts per (split, lang). */
+  def split(trainFrac: Double, validFrac: Double): String = {
+    val trainCut = (trainFrac * 4294967296.0).toLong
+    val validCut = ((trainFrac + validFrac) * 4294967296.0).toLong
+    s"""SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+       |  SELECT lang,
+       |         CASE WHEN (doc_id * 2654435761) % 4294967296 < $trainCut THEN 'train'
+       |              WHEN (doc_id * 2654435761) % 4294967296 < $validCut THEN 'valid'
+       |              ELSE 'test' END AS split
+       |  FROM documents)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** 100-char length histogram over documents. */
+  val lenHist: String =
+    """SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** TPC-H Q1-style pricing summary with decimal-exact sums. */
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,

@@ -15,9 +15,12 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    Knn.search(
-      Tables.ordersCorpus(spark, dir),
-      Tables.queryBatch(spark, 4),
+    val c = Tables.docsCorpus(spark, dir)
+    Hybrid.search(
+      c.select(col("doc_id"), col("qv").as("dv")),
+      c.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("qv")),
+      Bm25.fit(Tables.load(spark, dir, "documents")),
+      (0L until 4L).map(_ -> "spark join window merge data"),
       SearchParams(metric = "COSINE", limit = 10))
   }
 
@@ -120,6 +123,11 @@ object SparkEntry {
       TextAnalysis.quality(Tables.load(s, dir, "documents"))),
     "q_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"))),
+    "q_split" -> ((s, dir) =>
+      TextAnalysis.split(Tables.load(s, dir, "documents"), "doc_id", 0.8, 0.1)
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))),
+    "q_len_hist" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(Tables.load(s, dir, "documents"))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents"))),
 
@@ -268,6 +276,8 @@ object SparkEntry {
     "q_lang_id"       -> Oracles.langId,
     "q_quality"       -> Oracles.quality,
     "q_token_counts"  -> Oracles.tokenCounts,
+    "q_split"         -> Oracles.split(0.8, 0.1),
+    "q_len_hist"      -> Oracles.lenHist,
     "q_fingerprint"   -> Oracles.fingerprint,
     "q_upsert"        -> Oracles.upsert,
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),

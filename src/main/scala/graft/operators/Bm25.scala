@@ -89,9 +89,23 @@ object Bm25 {
       .join(broadcast(qTerms), "term")
       .groupBy("qid", "doc_id")
       .agg((sum("wScaled").cast("double") / Scale).as("score"))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    TopK.perKey(scored, "qid", "score", "doc_id", k)
+      .select("qid", "rank", "doc_id", "score")
+  }
+
+  /** Bulk variant of [[searchTopK]]: queries arrive as a DataFrame
+    * (qid BIGINT, text STRING) — query analysis runs distributed, so a
+    * million-query batch never passes through the driver. Semantics are
+    * identical (same tokenizer, set semantics per query).
+    */
+  def searchTopKDf(m: Model, queries: DataFrame, k: Int): DataFrame = {
+    val qTerms = queries.select(col("qid"),
+      explode(array_distinct(Text.tokens(col("text")))).as("term"))
+    val scored = postings(m)
+      .join(broadcast(qTerms), "term")
+      .groupBy("qid", "doc_id")
+      .agg((sum("wScaled").cast("double") / Scale).as("score"))
+    TopK.perKey(scored, "qid", "score", "doc_id", k)
       .select("qid", "rank", "doc_id", "score")
   }
 

@@ -33,7 +33,11 @@ object Ivf {
       seed: Long = 42L, maxIter: Int = 20): Index = {
     require(nlist >= 1 && nlist <= 65536, "nlist 1-65536")
     val feats = corpus.withColumn("features", array_to_vector(col("dv")))
+    // "random" init: k-means|| costs several extra passes at high k and IVF
+    // cell quality is insensitive to init (probe routing only needs balanced
+    // cells, recall is governed by nprobe)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("features").fit(feats)
     val clustered = model.transform(feats)
       .select(col("prediction").as("centroid_id"), col("doc_id"), col("dv"))

@@ -72,6 +72,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum("ws_toks").as("total_ws"),
         sum("re_toks").as("total_re"), sum("est_bpe").as("total_bpe"))
 
+  /** Deterministic train/valid/test split by multiplicative key hash —
+    * reproducible across engines and runs (no rand()), stable under
+    * repartitioning. Fractions are over the 32-bit hash space.
+    */
+  def split(docs: DataFrame, idCol: String, trainFrac: Double, validFrac: Double): DataFrame = {
+    val h = (col(idCol) * 2654435761L) % 4294967296L
+    val trainCut = (trainFrac * 4294967296.0).toLong
+    val validCut = ((trainFrac + validFrac) * 4294967296.0).toLong
+    docs.withColumn("split",
+      when(h < trainCut, "train").when(h < validCut, "valid").otherwise("test"))
+  }
+
+  /** Document length histogram: 100-char buckets with counts and decimal-
+    * exact mean token estimates per bucket.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs.select((col("n_chars").cast("long") / 100L).cast("long").as("bucket"),
+        col("n_chars"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+
   /** Order-sensitive integer document fingerprint: Σ pos·tokenCode + n_tokens
     * (a rolling-hash analogue that stays aggregation-order independent).
     */

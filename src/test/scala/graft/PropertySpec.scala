@@ -64,6 +64,15 @@ class PropertySpec extends SparkSpec {
   }
 }
 
+class EntrySpec extends SparkSpec {
+  test("flagship entry (hybrid RRF) returns rows (driver smoke contract)") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length > 0)
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("sparse_score"))),
+      "hybrid entry should include sparse-leg hits")
+  }
+}
+
 class IndexAndUsersSpec extends SparkSpec {
 
   test("persisted IVF index is idempotent (D5) and probe-equivalent; users round-trip (D6/D7)") {
