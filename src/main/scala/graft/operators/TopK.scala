@@ -16,7 +16,11 @@ import scala.collection.mutable
   * implement the classic partial-top-k-then-merge instead (SURVEY §4.1 /
   * §7.3 "hard parts"):
   *
-  *  - "agg" (default): [[TopKAgg]] TypedImperativeAggregate under
+  *  - "exec" (default): [[graft.plans.PartialTopKExec]] — a custom
+  *    SparkPlan running bounded k-heaps per partition directly on
+  *    InternalRows (no serde, no sort, no struct copies), then the exact
+  *    window on the survivors. Fastest measured (~2× over "agg" at sf0.1).
+  *  - "agg": [[TopKAgg]] TypedImperativeAggregate under
   *    ObjectHashAggregate — map-side partial k-heaps on InternalRows; the
   *    exchange carries ≤ k·keys·partitions rows. Measured at sf0.1 (9.6M
   *    scored pairs, 64 queries): ~3× faster than the plain window and on par
@@ -31,7 +35,7 @@ import scala.collection.mutable
   */
 object TopK {
 
-  val Strategy: String = sys.env.getOrElse("GRAFT_TOPK", "agg")
+  val Strategy: String = sys.env.getOrElse("GRAFT_TOPK", "exec")
 
   /** Keep the top `k` rows per value of `keyCol`, ranked by `scoreCol`
     * (descending if `desc`), ties broken by ascending `tieCol`. Appends a
@@ -42,7 +46,24 @@ object TopK {
       k: Int, desc: Boolean = true): DataFrame = Strategy match {
     case "window" => windowTopK(df, keyCol, scoreCol, tieCol, k, desc)
     case "heap"   => heapTopK(df, keyCol, scoreCol, tieCol, k, desc)
+    case "exec"   => execTopK(df, keyCol, scoreCol, tieCol, k, desc)
     case _        => aggTopK(df, keyCol, scoreCol, tieCol, k, desc)
+  }
+
+  /** Custom physical-operator path: [[graft.plans.PartialTopKExec]] prunes
+    * per partition on InternalRows (no serde, no sort), then the exact
+    * window ranks the tiny survivor set.
+    */
+  private def execTopK(df: DataFrame, keyCol: String, scoreCol: String,
+      tieCol: String, k: Int, desc: Boolean): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = df.sparkSession
+    graft.plans.PartialTopKStrategyInstaller.install(spark)
+    val plan = ColumnBridge.logicalPlan(df)
+    val out = plan.output.map(_.name)
+    val pruned = ColumnBridge.ofRows(spark, graft.plans.PartialTopK(plan,
+      out.indexOf(keyCol), out.indexOf(scoreCol), out.indexOf(tieCol), k, desc))
+    windowTopK(pruned, keyCol, scoreCol, tieCol, k, desc)
   }
 
   private def aggTopK(df: DataFrame, keyCol: String, scoreCol: String,

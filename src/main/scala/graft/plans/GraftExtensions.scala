@@ -61,8 +61,10 @@ object RewriteVectorHofs extends Rule[LogicalPlan] {
   * [[GraftExtensions.install]] on an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteVectorHofs)
+    e.injectPlannerStrategy(_ => PartialTopKStrategy)
+  }
 }
 
 object GraftExtensions {
