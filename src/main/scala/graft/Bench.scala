@@ -64,6 +64,12 @@ object Bench {
         Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))),
       "b8_q1_agg" -> (() => SparkEntry.queries("q1_agg")(spark, sfDir)),
       "b9_join_agg" -> (() => SparkEntry.queries("q_join_agg")(spark, sfDir)),
+      "b11_ann_lsh" -> (() => {
+        val corpus  = docsCorpus.select(col("doc_id"), col("qv"))
+        val queries = docsCorpus.filter(col("doc_id") < 64)
+          .select(col("doc_id").as("qid"), col("qv"))
+        AnnLsh.search(corpus, queries, k = 10)
+      }),
       "b10_ann_embed" -> (() => {
         val corpus  = docsCorpus.select(col("doc_id"), col("qv").as("dv"))
         val queries = docsCorpus.filter(col("doc_id") < 64)

@@ -508,6 +508,45 @@ object Oracles {
        |  FROM dscores)
        |WHERE rank <= $k""".stripMargin
 
+  /** Multi-table random-hyperplane LSH ANN over quantized embeddings —
+    * mirror of [[graft.operators.AnnLsh]]: plane p = t*nPlanes+j has seed
+    * p*1000+3; plane component uses the 0-based element index (qe.i is
+    * 1-based => i-1); candidates = union over tables of same-bucket pairs.
+    */
+  def annLsh(nq: Int, k: Int, nTables: Int = 4, nPlanes: Int = 6): String =
+    s"""WITH qe AS (
+       |  SELECT vec_id, i, round(CAST(e AS DOUBLE) * 1000) AS x
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |               generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)),
+       |pd AS (
+       |  SELECT vec_id, p,
+       |         SUM(x * (((p*1000 + 3)*131 + (i - 1)*313 + 7) % 97 - 48)) AS pdot
+       |  FROM qe CROSS JOIN (SELECT CAST(range AS BIGINT) AS p FROM range(${nTables * nPlanes})) pl
+       |  GROUP BY vec_id, p),
+       |bk AS (
+       |  SELECT vec_id, p // $nPlanes AS tbl,
+       |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(pow(2.0, p % $nPlanes) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pd GROUP BY vec_id, p // $nPlanes),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, d.vec_id AS doc_id
+       |  FROM bk q JOIN bk d ON q.tbl = d.tbl AND q.bucket = d.bucket
+       |  WHERE q.vec_id < $nq),
+       |sc AS (
+       |  SELECT c.qid, c.doc_id,
+       |         CAST(SUM(a.x * b.x) AS DOUBLE) AS dot,
+       |         CAST(SUM(a.x * a.x) AS DOUBLE) AS nq2,
+       |         CAST(SUM(b.x * b.x) AS DOUBLE) AS nd2
+       |  FROM cand c
+       |  JOIN qe a ON a.vec_id = c.qid
+       |  JOIN qe b ON b.vec_id = c.doc_id AND a.i = b.i
+       |  GROUP BY 1, 2)
+       |SELECT qid, rank, doc_id, score FROM (
+       |  SELECT qid, doc_id, $cosineExpr AS score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $cosineExpr DESC, doc_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k""".stripMargin
+
   /** Hourly tumbling-window aggregation over the events table. */
   val eventsHourly: String =
     """SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,

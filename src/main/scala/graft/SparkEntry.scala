@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{Bm25, Dedup, Hybrid, Ivf, Knn, Multimodal, SearchParams, TextAnalysis, Upsert}
+import graft.operators.{AnnLsh, Bm25, Dedup, Hybrid, Ivf, Knn, Multimodal, SearchParams, TextAnalysis, Upsert}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -164,6 +164,14 @@ object SparkEntry {
         SearchParams(metric = "COSINE", limit = 10, outputFields = Nil))
     }),
 
+    // ---- LSH-bucketed ANN over embeddings (deterministic hyperplanes) ----
+    "q_ann_lsh" -> ((s, dir) => {
+      val c = Tables.docsCorpus(s, dir)
+      AnnLsh.search(c.select(col("doc_id"), col("qv")),
+        c.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("qv")),
+        k = 10)
+    }),
+
     // ---- events: tumbling-window agg + JSON props ----
     "q_events_hourly" -> ((s, dir) =>
       Tables.load(s, dir, "events")
@@ -281,6 +289,7 @@ object SparkEntry {
     "q_fingerprint"   -> Oracles.fingerprint,
     "q_upsert"        -> Oracles.upsert,
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),
+    "q_ann_lsh"       -> Oracles.annLsh(4, 10),
     "q_events_hourly" -> Oracles.eventsHourly,
     "q_events_json"   -> Oracles.eventsJson,
     "q_knn_meta_required" -> Oracles.knnMetaRequired(8, 10),

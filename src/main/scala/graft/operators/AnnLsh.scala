@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.VecExprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-table random-hyperplane LSH approximate nearest neighbour over an
+  * embedding column — the hash-bucketed alternative to IVF for the
+  * similarity-search scale path.
+  *
+  * Standard construction: `nTables` independent hash tables, each bucketing
+  * by `nPlanes` sign bits bucket_t(v) = Σ_j 2^j·[⟨v, p_{t,j}⟩ > 0];
+  * candidates are the union over tables of same-bucket pairs (recall grows
+  * with tables, candidate count with 1/2^nPlanes).
+  *
+  * The planes are the engine's deterministic synthetic vectors
+  * ([[Tables.synthVec]], seed (t·nPlanes+j)·1000+3), so bucketing is exactly
+  * reproducible by the DuckDB oracle — a hash-checkable ANN operator.
+  *
+  * Scale: bucketing is a per-row map; the candidate join is keyed on
+  * (table, bucket) — at 100 TB the corpus is written partitioned by the
+  * table-0 bucket and the other tables become cheap co-located re-hashes.
+  */
+object AnnLsh {
+
+  def planeSeed(p: Int): Long = p * 1000L + 3L
+
+  /** (id, qv) → (id, qv, table, bucket): one row per hash table. */
+  def withBuckets(df: DataFrame, idCol: String, nTables: Int, nPlanes: Int,
+      dim: Int): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val bucket = (0 until nPlanes).map { j =>
+        val plane = Tables.synthVec(lit(planeSeed(t * nPlanes + j)), dim)
+        when(VecExprs.dot(col("qv"), plane) > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      df.select(col(idCol), col("qv"), lit(t).cast("long").as("table"),
+        bucket.cast("long").as("bucket"))
+    }
+    tables.reduce(_.unionByName(_))
+  }
+
+  /** Approximate top-k: candidates = union over tables of docs sharing the
+    * query's bucket. corpus/queries: (doc_id|qid, qv).
+    * Returns (qid, rank, doc_id, score).
+    */
+  def search(corpus: DataFrame, queries: DataFrame, k: Int,
+      nTables: Int = 4, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val c = withBuckets(corpus, "doc_id", nTables, nPlanes, dim)
+    val q = withBuckets(queries, "qid", nTables, nPlanes, dim)
+      .withColumnRenamed("qv", "qqv")
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+      .select("qid", "doc_id").distinct()
+    val scored = cand
+      .join(corpus.select(col("doc_id"), col("qv").as("dv"),
+        VecExprs.norm2(col("qv")).as("nd2")), "doc_id")
+      .join(broadcast(queries.select(col("qid"), col("qv"),
+        VecExprs.norm2(col("qv")).as("nq2"))), "qid")
+      .withColumn("dotp", VecExprs.dot(col("qv"), col("dv")))
+      .withColumn("rawScore", Knn.rawScore("COSINE"))
+      .select("qid", "doc_id", "rawScore")
+    TopK.perKey(scored, "qid", "rawScore", "doc_id", k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rawScore").as("score"))
+  }
+}

@@ -113,6 +113,24 @@ class IvfSpec extends SparkSpec {
   }
 }
 
+class AnnLshSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("LSH ANN: self-match survives bucketing; recall vs exact is reasonable") {
+    val c = graft.core.Tables.docsCorpus(spark, Sf)
+    val corpus = c.select(col("doc_id"), col("qv"))
+    val queries = c.filter(col("doc_id") < 8).select(col("doc_id").as("qid"), col("qv"))
+    val approx = AnnLsh.search(corpus, queries, k = 10, nTables = 8, nPlanes = 5)
+    val top1 = approx.filter(col("rank") === 1).collect()
+    top1.foreach(r => assert(r.getAs[Long]("qid") == r.getAs[Long]("doc_id"),
+      "self must be its own nearest neighbour within its bucket"))
+    val exact = Knn.search(corpus.select(col("doc_id"), col("qv").as("dv")), queries,
+      SearchParams(limit = 10, outputFields = Nil))
+    val recall = Ivf.recallVsExact(approx, exact)
+    assert(recall >= 0.35, s"4x6-plane LSH recall@10 too low: $recall")
+  }
+}
+
 class UpsertSpec extends SparkSpec {
   import spark.implicits._
 
