@@ -52,7 +52,12 @@ final case class SearchRequest(
     includeStopWords: Boolean = false,
     increaseLimitForTextSearch: Int = 10,
     hybridSearch: Boolean = false,
-    partitionName: Option[String] = None) {
+    partitionName: Option[String] = None,
+    consistencyLevel: String = "Bounded") {
+  // Accepted and recorded for parity; Delta/parquet snapshot reads are
+  // effectively Strong (SURVEY 4.1 "consistency levels": accept & ignore).
+  require(Set("Strong", "Session", "Bounded", "Eventually")(consistencyLevel),
+    "consistency Strong|Session|Bounded|Eventually")
   require(limit >= 1 && limit <= 100, "limit 1-100")
   require(offset >= 0 && offset <= 100, "offset 0-100")
   require(nprobe >= 4 && nprobe <= 128, "nprobe 4-128")

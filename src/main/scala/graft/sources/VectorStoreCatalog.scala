@@ -99,6 +99,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * quirk (vector_store.py:42-52): per-collection stats are strictly more
     * correct and shard cleanly per tenant.
     */
+  /** auto_flush_min_batch semantics (milvus_helper.py:121-131): flush when
+    * the batch size reaches the threshold; 0 => always, <0 => never.
+    */
+  val AutoFlushMinBatch: Int =
+    sys.env.getOrElse("GRAFT_AUTO_FLUSH_MIN_BATCH", "100").toInt
+
   def insert(tenant: String, model: String, rows: Seq[EmbeddedVector],
       partition: Option[String] = None): Long = {
     require(collectionExists(tenant, model), s"collection missing for $tenant/$model")
@@ -132,6 +138,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
     val n = out.count() // materialize before the swap invalidates old files
     atomicReplace(tenant, model, out)
+    // S3 auto-flush decision (batch >= threshold; 0 always, <0 never)
+    if (AutoFlushMinBatch == 0 || (AutoFlushMinBatch > 0 && rows.size >= AutoFlushMinBatch))
+      flush(tenant, model)
     n
   }
 

@@ -174,3 +174,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(l1 == l2)
   }
 }
+
+class SaltingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join and salted count match their unsalted equivalents") {
+    // heavily skewed: 90% of rows share key 1
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong))
+      .toDF("k", "id")
+    val small = Seq((1L, "hot"), (950L, "cold")).toDF("k", "v")
+
+    val plain  = big.join(small, "k").collect().map(_.toSeq).toSet
+    val salted = Salting.saltedJoin(big, small, "k", "id").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.nonEmpty)
+
+    val counts = Salting.saltedCount(big, "k", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) == 900L && counts.size == 101)
+  }
+}
