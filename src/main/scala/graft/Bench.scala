@@ -48,7 +48,7 @@ object Bench {
           SearchParams(limit = 10))
       }),
       "b5_ivf_build_probe" -> (() => {
-        val idx = Ivf.build(ordersCorpus.select("doc_id", "dv"), nlist = 256, maxIter = 10)
+        val idx = Ivf.build(ordersCorpus.select("doc_id", "dv"), nlist = 256, maxIter = 5)
         Ivf.probe(idx, q64, nprobe = 16, k = 10)
       }),
       "b6_upsert" -> (() => {

@@ -9,7 +9,11 @@ final case class EmbeddedVector(
     chunk: String,
     model: String,
     metadata: Map[String, String] = Map.empty,
-    vector: Seq[Double] = Nil)
+    vector: Seq[Double] = Nil,
+    /** enable_dynamic_field extras (base_milvus.py:996,1071): schema-on-write
+      * overflow kept in a MAP column (SURVEY 7.3 "dynamic fields").
+      */
+    dynamicFields: Map[String, String] = Map.empty)
 
 final case class EmbeddedMeta(content: String, meta: Map[String, String])
 

@@ -52,6 +52,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     StructField("vector", ArrayType(DoubleType, containsNull = false)),
     StructField("sparse_vector", MapType(IntegerType, FloatType)),
     StructField("meta", StringType),
+    StructField("extra", MapType(StringType, StringType)),
     StructField("part", StringType)))
 
   // ---- D1/D2: generate_schema ----
@@ -117,7 +118,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     import spark.implicits._
     val batch = rows.toDF()
       .select(col("key").as("flouds_vector_id"), col("chunk"), col("model"),
-        col("vector"), col("metadata"))
+        col("vector"), col("metadata"), col("dynamicFields").as("extra"))
       .withColumn("meta", to_json(col("metadata"))).drop("metadata")
       .withColumn("part", lit(partition.getOrElse("_default")))
 
@@ -291,6 +292,50 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val m = configAll(tenant) - key
     writeJson(kvPath(tenant), m)
     kvCache.put(tenant, m)
+  }
+
+  /** D8 encryption option (config_service.py Fernet analogue): AES-GCM with
+    * a SHA-256-derived key; ciphertext stored as "enc:" + base64(iv||ct).
+    */
+  def configSetEncrypted(tenant: String, key: String, value: String,
+      passphrase: String): Unit = {
+    val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+    val iv = new Array[Byte](12); rng.nextBytes(iv)
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE, aesKey(passphrase),
+      new javax.crypto.spec.GCMParameterSpec(128, iv))
+    val ct = cipher.doFinal(value.getBytes("UTF-8"))
+    configSet(tenant, key,
+      "enc:" + java.util.Base64.getEncoder.encodeToString(iv ++ ct))
+  }
+
+  def configGetEncrypted(tenant: String, key: String,
+      passphrase: String): Option[String] =
+    configGet(tenant, key).filter(_.startsWith("enc:")).flatMap { v =>
+      try {
+        val bytes = java.util.Base64.getDecoder.decode(v.drop(4))
+        val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE, aesKey(passphrase),
+          new javax.crypto.spec.GCMParameterSpec(128, bytes.take(12)))
+        Some(new String(cipher.doFinal(bytes.drop(12)), "UTF-8"))
+      } catch { case _: Throwable => None }
+    }
+
+  private def aesKey(passphrase: String) = new javax.crypto.spec.SecretKeySpec(
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(passphrase.getBytes("UTF-8")), "AES")
+
+  /** Health probe (health_service.py analogue): basePath reachability +
+    * collection count.
+    */
+  def health(): Map[String, String] = {
+    val base = Paths.get(basePath)
+    val collections =
+      if (Files.exists(base))
+        Files.walk(base, 2).iterator().asScala.count(p =>
+          Files.exists(p.resolve("_schema.json")))
+      else 0
+    Map("status" -> (if (Files.isWritable(base)) "healthy" else "degraded"),
+      "collections" -> collections.toString)
   }
 
   private def configAll(tenant: String): Map[String, String] =

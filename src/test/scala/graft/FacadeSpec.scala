@@ -161,3 +161,31 @@ class MultimodalSpec extends SparkSpec {
     assert(hist.sum == 3.0)
   }
 }
+
+class DynamicFieldsAndConfigSpec extends SparkSpec {
+
+  test("dynamic fields round-trip; encrypted config KV; health probe") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_dyn").toString)
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
+    cat.insert("t", "m", Seq(
+      EmbeddedVector("a", "alpha", "m", Map("k" -> "v"), vec(1),
+        dynamicFields = Map("page" -> "7", "lang" -> "en")),
+      EmbeddedVector("b", "beta", "m", Map(), vec(2))))
+    val extras = cat.load("t", "m").orderBy("flouds_vector_id")
+      .select("extra").collect().map(r =>
+        Option(r.getMap[String, String](0)).map(_.toMap).getOrElse(Map.empty))
+    assert(extras(0) == Map("page" -> "7", "lang" -> "en"))
+    assert(extras(1).isEmpty)
+
+    cat.configSetEncrypted("t", "api_key", "s3cr3t", "passphrase")
+    assert(cat.configGet("t", "api_key").exists(_.startsWith("enc:")))
+    assert(cat.configGetEncrypted("t", "api_key", "passphrase").contains("s3cr3t"))
+    assert(cat.configGetEncrypted("t", "api_key", "wrong").isEmpty)
+
+    val h = cat.health()
+    assert(h("status") == "healthy" && h("collections") == "1")
+  }
+}
