@@ -72,6 +72,38 @@ object Ivf {
       .select(col("qid"), col("rank"), col("doc_id"), col("rawScore").as("score"))
   }
 
+  /** Probe a PERSISTED index (clustered table written PARTITIONED BY
+    * centroid_id): in addition to the routing join, the probed cell ids
+    * (≤ nprobe·|queries| — tiny by construction) are collected and pushed
+    * as a static `centroid_id IN (...)` partition filter, so the parquet
+    * scan reads only the probed cells' files. This is the IVF "inverted
+    * file" realized as partition pruning — at 100 TB the scan touches
+    * nprobe/nlist of the data.
+    */
+  def probePersisted(index: Index, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val np = math.min(nprobe, 256)
+    val centScore = Vec.score(index.metric, col("qv"), col("center"))
+    val cw = Window.partitionBy("qid").orderBy(
+      if (Vec.higherIsBetter(index.metric)) centScore.desc else centScore.asc)
+    val routed = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= np)
+      .select("qid", "qv", "centroid_id")
+    // tiny by construction: nprobe * |queries| ids
+    val cells = routed.select("centroid_id").distinct().collect().map(_.getInt(0))
+    val pruned = index.clustered.filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
+    val scored = pruned
+      .withColumn("nd2", graft.functions.VecExprs.norm2(col("dv")))
+      .join(routed.withColumn("nq2", graft.functions.VecExprs.norm2(col("qv"))),
+        "centroid_id")
+      .withColumn("dotp", graft.functions.VecExprs.dot(col("qv"), col("dv")))
+      .withColumn("rawScore", Knn.rawScore(index.metric))
+      .select("qid", "doc_id", "rawScore")
+    TopK.perKey(scored, "qid", "rawScore", "doc_id", k,
+        desc = Knn.higherIsBetter(index.metric))
+      .select(col("qid"), col("rank"), col("doc_id"), col("rawScore").as("score"))
+  }
+
   /** Recall@k of the approximate result vs an exact result (both
     * (qid, rank, doc_id)): |approx ∩ exact| / |exact|.
     */

@@ -1,0 +1,62 @@
+package graft
+
+import graft.api.{EmbeddedVector, SchemaSpec}
+import graft.core.Tables
+import graft.operators._
+import graft.sources.VectorStoreCatalog
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Regression locks on the performance-critical physical plan shapes
+  * (SCALE.md claims, verified): column pruning, broadcast joins, the custom
+  * partial-top-k operator, and partition pruning on persisted IVF probes.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q1_agg scan is column-pruned to exactly the 5 needed columns") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, Sf))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus"), s"got $cols")
+  }
+
+  test("join_agg broadcasts the dimension tables") {
+    val p = plan(SparkEntry.queries("q_join_agg")(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge join expected at this shape")
+  }
+
+  test("KNN plan uses the custom PartialTopKExec and codegen vec kernels") {
+    val df = Knn.search(Tables.ordersCorpus(spark, Sf), Tables.queryBatch(spark, 2),
+      SearchParams(limit = 5, outputFields = Nil))
+    val p = plan(df)
+    assert(p.contains("PartialTopK"), "custom physical operator missing")
+    assert(p.contains("vecdot"), "codegen dot kernel missing")
+    assert(p.contains("BroadcastNestedLoopJoin"), "queries must broadcast")
+  }
+
+  test("persisted IVF probe prunes partitions (centroid_id IN pushed to scan)") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_prune").toString)
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 8))
+    cat.insert("t", "m", (0 until 200).map(i =>
+      EmbeddedVector(s"k$i", s"text $i", "m", Map(), vec(i))))
+    cat.persistIndex("t", "m")
+    val idx = cat.loadIndex("t", "m")
+    import spark.implicits._
+    val queries = Seq((0L, vec(5))).toDF("qid", "qv")
+    val res = Ivf.probePersisted(idx, queries, nprobe = 1, k = 3)
+    val p = plan(res)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1))
+    assert(pf.exists(_.contains("centroid_id")), s"partition filter missing: $pf")
+    assert(res.count() == 3)
+  }
+}
