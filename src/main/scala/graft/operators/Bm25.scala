@@ -122,7 +122,10 @@ object Bm25 {
       val cut = p.stat.approxQuantile("w", Array(dropRatioBuild), 0.001).head
       p = p.filter(col("w") >= cut)
     }
-    p.groupBy("doc_id")
+    // hashing-trick semantics: colliding term indices sum their weights
+    // (also guarantees unique map keys)
+    p.groupBy("doc_id", "termIdx").agg(sum("w").as("w"))
+      .groupBy("doc_id")
       .agg(map_from_arrays(collect_list("termIdx"),
         collect_list(col("w").cast("float"))).as("sparse_vector"))
   }
