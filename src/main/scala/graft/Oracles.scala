@@ -555,6 +555,25 @@ object Oracles {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Gap-based sessionization (30-min gap, ns-integer arithmetic). */
+  def sessionize(gapNs: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts,
+       |         CAST(value AS DECIMAL(18,2)) AS value
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > $gapNs THEN 1 ELSE 0 END AS new_s
+       |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e)),
+       |assigned AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM flagged)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |       CAST(MIN(ts) AS BIGINT) AS session_start,
+       |       CAST(COUNT(*) AS BIGINT) AS n_events,
+       |       CAST(SUM(value) AS DOUBLE) AS total_value
+       |FROM assigned GROUP BY user_id, session_idx""".stripMargin
+
   /** JSON property extraction + aggregation over events.props. */
   val eventsJson: String =
     """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{AnnLsh, Bm25, Dedup, Hybrid, Ivf, Knn, Multimodal, SearchParams, TextAnalysis, Upsert}
+import graft.operators.{AnnLsh, Bm25, Dedup, Hybrid, Ivf, Knn, Multimodal, SearchParams, Sessionize, TextAnalysis, Upsert}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -223,6 +223,13 @@ object SparkEntry {
       Multimodal.extractFeatures(Tables.load(s, dir, "documents"))
         .select("doc_id", "n_bytes", "first_byte", "checksum")),
 
+    // ---- gap-based sessionization over the event stream ----
+    "q_sessionize" -> ((s, dir) =>
+      // DuckDB timestamps are us-precision: compare in microseconds
+      Sessionize.sessions(
+        Tables.load(s, dir, "events").withColumn("ts", expr("ts DIV 1000")),
+        gapNs = 30L * 60 * 1000000L)),
+
     // ---- relational coverage: agg / join / window ----
     "q1_agg" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -290,6 +297,7 @@ object SparkEntry {
     "q_upsert"        -> Oracles.upsert,
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),
     "q_ann_lsh"       -> Oracles.annLsh(4, 10),
+    "q_sessionize"    -> Oracles.sessionize(30L * 60 * 1000000L), // us gap, matches query
     "q_events_hourly" -> Oracles.eventsHourly,
     "q_events_json"   -> Oracles.eventsJson,
     "q_knn_meta_required" -> Oracles.knnMetaRequired(8, 10),

@@ -51,6 +51,32 @@ object Bm25 {
     Model(tf, docLen, termDf, global)
   }
 
+  /** Incremental fit for append-only ingest: tokenize ONLY the new docs and
+    * merge their stats into an existing model (tf/dl union; df and globals
+    * re-aggregated from the merged keyed tables — no re-tokenization of the
+    * existing corpus). For upserts, drop replaced doc_ids with [[removeDocs]]
+    * first. fit(a ∪ b) == mergeStats(fit(a), b) on disjoint doc sets
+    * (spec-checked).
+    */
+  def mergeStats(m: Model, newDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Model = {
+    val add = fit(newDocs, idCol, textCol)
+    val tf = m.tf.unionByName(add.tf)
+    val docLen = m.docLen.unionByName(add.docLen)
+    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val global = docLen.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    Model(tf, docLen, termDf, global)
+  }
+
+  /** Remove docs from a model (the subtract half of an incremental upsert). */
+  def removeDocs(m: Model, docIds: DataFrame): Model = {
+    val tf = m.tf.join(docIds, Seq("doc_id"), "left_anti")
+    val docLen = m.docLen.join(docIds, Seq("doc_id"), "left_anti")
+    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val global = docLen.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    Model(tf, docLen, termDf, global)
+  }
+
   /** Robertson/Lucene idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
     * Written with exactly this association — the oracle mirrors it.
     */

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over an event stream: a new session starts when
+  * the gap to the previous event of the same user exceeds `gapNs`.
+  * Composition of lag + cumulative-sum windows — the batch formulation of
+  * the classic streaming sessionizer (the streaming variant would be
+  * `flatMapGroupsWithState`; this one is DuckDB-checkable).
+  *
+  * Input requires (user_id BIGINT, ts BIGINT ns, event_id BIGINT, value).
+  * All arithmetic is integer (ns timestamps), so results are deterministic
+  * and oracle-exact.
+  */
+object Sessionize {
+
+  val DefaultGapNs: Long = 30L * 60 * 1000000000L // 30 min
+
+  /** Per-session aggregate: (user_id, session_idx, session_start ns,
+    * n_events, total_value).
+    */
+  def sessions(events: DataFrame, gapNs: Long = DefaultGapNs): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val flagged = events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          .otherwise(0L))
+    val assigned = flagged.withColumn("session_idx",
+      sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assigned.groupBy("user_id", "session_idx")
+      .agg(min("ts").as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+}

@@ -193,3 +193,20 @@ class SaltingSpec extends SparkSpec {
     assert(counts(1L) == 900L && counts.size == 101)
   }
 }
+
+class Bm25IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeStats(fit(a), b) equals fit(a ++ b); removeDocs inverts") {
+    val a = Seq((0L, "alpha beta"), (1L, "beta gamma gamma")).toDF("doc_id", "text")
+    val b = Seq((2L, "alpha alpha delta")).toDF("doc_id", "text")
+    val full = Bm25.fit(a.unionByName(b))
+    val inc  = Bm25.mergeStats(Bm25.fit(a), b)
+    def posts(m: Bm25.Model) = Bm25.postings(m)
+      .select("doc_id", "term", "wScaled").collect().map(_.toSeq).toSet
+    assert(posts(full) == posts(inc))
+
+    val removed = Bm25.removeDocs(inc, Seq(Tuple1(2L)).toDF("doc_id"))
+    assert(posts(removed) == posts(Bm25.fit(a)))
+  }
+}
