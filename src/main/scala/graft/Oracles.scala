@@ -334,6 +334,30 @@ object Oracles {
        |  GROUP BY d.lang, t.term)
        |WHERE rank <= 5""".stripMargin
 
+  /** Contamination of the test split by the train split (3-token shingles),
+    * with the split derived by the same multiplicative hash as [[split]].
+    */
+  def contamination(trainFrac: Double, validFrac: Double): String = {
+    val trainCut = (trainFrac * 4294967296.0).toLong
+    val validCut = ((trainFrac + validFrac) * 4294967296.0).toLong
+    s"""WITH $toksp, $shinglesCte,
+       |sp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN (doc_id * 2654435761) % 4294967296 < $trainCut THEN 'train'
+       |              WHEN (doc_id * 2654435761) % 4294967296 < $validCut THEN 'valid'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |shd AS (SELECT DISTINCT s.doc_id, s.shingle, sp.split
+       |        FROM sh s JOIN sp ON s.doc_id = sp.doc_id),
+       |tr AS (SELECT DISTINCT shingle FROM shd WHERE split = 'train')
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |       CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |       CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contamination
+       |FROM shd t LEFT JOIN tr ON t.shingle = tr.shingle
+       |WHERE t.split = 'test'
+       |GROUP BY t.doc_id""".stripMargin
+  }
+
   val dedupSimhash: String = {
     val h = Text.tokenHash32Sql(tc)
     s"""WITH $toksp,

@@ -128,6 +128,11 @@ object SparkEntry {
         .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))),
     "q_len_hist" -> ((s, dir) =>
       TextAnalysis.lengthHistogram(Tables.load(s, dir, "documents"))),
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.contamination(docs,
+        TextAnalysis.split(docs, "doc_id", 0.8, 0.1).select("doc_id", "split"))
+    }),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents"))),
 
@@ -293,6 +298,7 @@ object SparkEntry {
     "q_token_counts"  -> Oracles.tokenCounts,
     "q_split"         -> Oracles.split(0.8, 0.1),
     "q_len_hist"      -> Oracles.lenHist,
+    "q_contamination" -> Oracles.contamination(0.8, 0.1),
     "q_fingerprint"   -> Oracles.fingerprint,
     "q_upsert"        -> Oracles.upsert,
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),

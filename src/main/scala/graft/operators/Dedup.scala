@@ -116,6 +116,25 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Train/test contamination check (decontamination): for each doc in the
+    * `test` split, the fraction of its distinct 3-token shingles that occur
+    * anywhere in the `train` split. splitDf: (doc_id, split). At scale the
+    * overlap join is keyed on the shingle id — never doc×doc.
+    */
+  def contamination(docs: DataFrame, splitDf: DataFrame): DataFrame = {
+    val sh = shingles(docs).distinct().join(splitDf, "doc_id")
+    val trainShingles = sh.filter(col("split") === "train")
+      .select("shingle").distinct()
+    val test = sh.filter(col("split") === "test")
+    val seen = test.join(trainShingles.withColumn("seen", lit(1L)),
+      Seq("shingle"), "left")
+    seen.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .withColumn("contamination",
+        col("n_seen").cast("double") / col("n_shingles"))
+  }
+
   /** 32-bit SimHash per doc from tf-weighted token-hash bits — all integer
     * arithmetic (bit b extracted as h mod 2·2^b >= 2^b).
     */
