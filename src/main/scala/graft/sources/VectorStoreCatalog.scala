@@ -163,9 +163,29 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val table = load(req.tenant, req.model)
     // S6: partition targeting prunes before anything else.
     val part = req.partitionName.fold(table)(p => table.filter(col("part") === p))
-    val corpus = part.select(col("flouds_vector_id"), col("chunk"), col("meta"),
+    var corpus = part.select(col("flouds_vector_id"), col("chunk"), col("meta"),
       col("vector").as("dv"))
       .withColumn("doc_id", xxhash64(col("flouds_vector_id")))
+
+    // A1-approx: when an IVF index exists, restrict the scan to the query's
+    // nprobe nearest cells (the reference always searches through its
+    // index; nprobe is the request knob, capped 256 - vector_store.py:495).
+    if (indexExists(req.tenant, req.model) && req.partitionName.isEmpty) {
+      val idx = loadIndex(req.tenant, req.model)
+      import spark.implicits._
+      val qv = Seq(Tuple1(req.vector)).toDF("qv")
+      val centScore = graft.functions.VecExprs.dot(col("qv"), col("center")) /
+        (sqrt(graft.functions.VecExprs.norm2(col("qv"))) *
+         sqrt(graft.functions.VecExprs.norm2(col("center"))))
+      val cells = qv.crossJoin(broadcast(idx.centroids))
+        .select(col("centroid_id"), centScore.as("cs"))
+        .orderBy(col("cs").desc).limit(math.min(req.nprobe, 256))
+        .collect().map(_.getInt(0))
+      val probedDocs = idx.clustered
+        .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
+        .select("doc_id")
+      corpus = corpus.join(probedDocs, Seq("doc_id"), "left_semi")
+    }
 
     import spark.implicits._
     val queries = Seq((0L, req.vector)).toDF("qid", "qv")

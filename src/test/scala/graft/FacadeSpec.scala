@@ -189,3 +189,30 @@ class DynamicFieldsAndConfigSpec extends SparkSpec {
     assert(h("status") == "healthy" && h("collections") == "1")
   }
 }
+
+class IndexedSearchSpec extends SparkSpec {
+
+  test("facade search routes through the persisted IVF index (nprobe cells)") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_idxsearch").toString)
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 8))
+    // 90 < 97 = the synthetic vector period, so all vectors are distinct
+    cat.insert("t", "m", (0 until 90).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m", Map("i" -> s"$i"), vec(i))))
+    cat.persistIndex("t", "m")
+
+    // full-probe search = exact: self-match first
+    val full = cat.search(SearchRequest("t", "m", vec(17), limit = 5, nprobe = 8))
+    assert(full.success && full.data.head.content == "chunk 17")
+
+    // narrow probe still finds the self-match (its own cell is ranked first)
+    val narrow = cat.search(SearchRequest("t", "m", vec(17), limit = 5, nprobe = 4))
+    assert(narrow.success && narrow.data.head.content == "chunk 17")
+    // and post-filters still apply on the probed subset
+    val filt = cat.search(SearchRequest("t", "m", vec(17), limit = 5, nprobe = 8,
+      metaFilter = Map("i" -> "17")))
+    assert(filt.data.map(_.content) == Seq("chunk 17"))
+  }
+}
