@@ -216,3 +216,23 @@ class IndexedSearchSpec extends SparkSpec {
     assert(filt.data.map(_.content) == Seq("chunk 17"))
   }
 }
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed layout prunes to the looked-up keys' buckets") {
+    val dir = Files.createTempDirectory("graft_layout").resolve("tbl").toString
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("key", "v")
+    graft.sources.Layout.writeBucketed(df, dir, "key", nBuckets = 16)
+
+    val res = graft.sources.Layout.lookup(spark, dir, "key", Seq(7L, 423L), 16)
+    assert(res.collect().map(r => r.getAs[Long]("key") -> r.getAs[String]("v")).toSet ==
+      Set(7L -> "v7", 423L -> "v423"))
+
+    // partition pruning visible in the plan
+    val p = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1))
+    assert(pf.exists(_.contains("_bucket")), s"bucket pruning missing: $pf")
+  }
+}
