@@ -445,6 +445,33 @@ object Oracles {
        |FROM q""".stripMargin
   }
 
+  /** Curation pipeline: quality gate + exact-dedup keep + per-source stats
+    * (fixed-point mean).
+    */
+  def curate(minQuality: Double): String =
+    s"""WITH $toksp,
+       |q AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |         SUM(CASE WHEN term IN (${Text.Stopwords.map(w => s"'$w'").mkString(", ")}) THEN 1 ELSE 0 END) AS stop_cnt,
+       |         SUM(length(term)) AS char_sum
+       |  FROM toksp GROUP BY doc_id),
+       |qual AS (
+       |  SELECT doc_id,
+       |         0.4 * least(1.0, n_tokens / 100.0)
+       |           + 0.3 * (1.0 - CAST(stop_cnt AS DOUBLE) / n_tokens)
+       |           + 0.3 * least(1.0, CAST(char_sum AS DOUBLE) / n_tokens / 8.0) AS quality
+       |  FROM q),
+       |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+       |kept AS (
+       |  SELECT d.source, CAST(ROUND(qual.quality * 1000000000.0) AS BIGINT) AS qs
+       |  FROM documents d
+       |  JOIN qual ON d.doc_id = qual.doc_id
+       |  JOIN keep ON d.doc_id = keep.doc_id
+       |  WHERE qual.quality >= $minQuality)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(qs) AS DOUBLE) / 1000000000.0 / COUNT(*) AS mean_quality
+       |FROM kept GROUP BY source""".stripMargin
+
   val tokenCounts: String =
     """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |       CAST(SUM(ws) AS BIGINT) AS total_ws,

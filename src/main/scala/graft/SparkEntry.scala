@@ -133,6 +133,8 @@ object SparkEntry {
       Dedup.contamination(docs,
         TextAnalysis.split(docs, "doc_id", 0.8, 0.1).select("doc_id", "split"))
     }),
+    "q_curation" -> ((s, dir) =>
+      TextAnalysis.curate(Tables.load(s, dir, "documents"), 0.5)),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents"))),
 
@@ -299,6 +301,7 @@ object SparkEntry {
     "q_split"         -> Oracles.split(0.8, 0.1),
     "q_len_hist"      -> Oracles.lenHist,
     "q_contamination" -> Oracles.contamination(0.8, 0.1),
+    "q_curation"      -> Oracles.curate(0.5),
     "q_fingerprint"   -> Oracles.fingerprint,
     "q_upsert"        -> Oracles.upsert,
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),

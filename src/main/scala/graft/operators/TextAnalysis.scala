@@ -93,6 +93,23 @@ object TextAnalysis {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
 
+  /** End-to-end curation pipeline (the composed shape a training-data run
+    * uses): quality gate -> exact-dedup keep-list -> per-source accounting.
+    * Mean quality accumulates in FIXED-POINT (1e-9) so it is aggregation-
+    * order independent and oracle-exact.
+    */
+  def curate(docs: DataFrame, minQuality: Double): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("quality"))
+    val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    docs.join(q, "doc_id")
+      .join(keep, Seq("doc_id"), "left_semi") // only group representatives
+      .filter(col("quality") >= minQuality)
+      .withColumn("qs", round(col("quality") * 1e9, 0).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("qs").cast("double") / 1e9 / count(lit(1))).as("mean_quality"))
+  }
+
   /** Order-sensitive integer document fingerprint: Σ pos·tokenCode + n_tokens
     * (a rolling-hash analogue that stays aggregation-order independent).
     */
