@@ -57,6 +57,22 @@ final case class SearchRequest(
     increaseLimitForTextSearch: Int = 10,
     hybridSearch: Boolean = false,
     partitionName: Option[String] = None,
+    /** Multiple target partitions (vector_store.py:63-71,505-507 accepts a
+      * list); combined with `partitionName` when both are given.
+      */
+    partitionNames: Seq[String] = Nil,
+    /** Range search (A3, vector_store.py:501-503): `radius` is the FAR score
+      * bound, `rangeFilter` the NEAR bound — for COSINE/IP the kept band is
+      * [radius, rangeFilter]; for L2 (distance) it is [rangeFilter, radius].
+      * Closed intervals (documented divergence from Milvus's half-open ones;
+      * boundary-exact hits are measure-zero on real scores).
+      */
+    radius: Option[Double] = None,
+    rangeFilter: Option[Double] = None,
+    /** Conjunctive case-insensitive substring filter over the dynamic-field
+      * `extra` map (enable_dynamic_field parity, base_milvus.py:996,1071).
+      */
+    extraFilter: Map[String, String] = Map.empty,
     consistencyLevel: String = "Bounded") {
   // Accepted and recorded for parity; Delta/parquet snapshot reads are
   // effectively Strong (SURVEY 4.1 "consistency levels": accept & ignore).

@@ -48,6 +48,46 @@ object Ivf {
     Index(centroids, clustered, metric)
   }
 
+  /** Assign every corpus row to its best centroid under `metric` (ties →
+    * lowest centroid_id). One map-side-combinable aggregation over the
+    * corpus×centroids product (centroids broadcast) — the standard IVF
+    * assignment step, reused by the deterministic build and by incremental
+    * insert (new vectors are routed to the nearest EXISTING cell, exactly
+    * how an inverted file absorbs inserts without a rebuild).
+    * Returns (centroid_id, doc_id, dv).
+    */
+  def assign(corpus: DataFrame, centroids: DataFrame, metric: String): DataFrame = {
+    val s = Vec.score(metric, col("dv"), col("center"))
+    val best =
+      if (Vec.higherIsBetter(metric))
+        expr("max_by(struct(centroid_id, dv), struct(s, -centroid_id))")
+      else
+        expr("min_by(struct(centroid_id, dv), struct(s, centroid_id))")
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("s", s)
+      .groupBy("doc_id").agg(best.as("best"))
+      .select(col("best.centroid_id").as("centroid_id"), col("doc_id"),
+        col("best.dv").as("dv"))
+  }
+
+  /** Deterministic seeded centroids: center_j = synthVec(j*7919 + 13) — a
+    * fixed, data-independent codebook both engines (Spark and the DuckDB
+    * oracle) can generate bit-identically. Routing quality is far below
+    * KMeans, but the IVF *mechanics* (assignment, nprobe routing, cell-pruned
+    * scan) are identical — this is what makes `q_ivf_knn` hash-checkable.
+    */
+  def seededCentroids(spark: org.apache.spark.sql.SparkSession, nlist: Int,
+      dim: Int = graft.core.Tables.Dim): DataFrame =
+    spark.range(nlist).select(col("id").cast("int").as("centroid_id"),
+      graft.core.Tables.synthVec(col("id") * 7919L + 13L, dim).as("center"))
+
+  /** Build an IVF index from externally supplied centroids (seeded codebook
+    * or centroids trained elsewhere) — one assignment pass, no KMeans.
+    */
+  def buildWithCentroids(corpus: DataFrame, centroids: DataFrame,
+      metric: String = "COSINE"): Index =
+    Index(centroids, assign(corpus, centroids, metric), metric)
+
   /** Approximate top-k: queries (qid, qv) → (qid, rank, doc_id, score). */
   def probe(index: Index, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val np = math.min(nprobe, 256) // reference cap, vector_store.py:495

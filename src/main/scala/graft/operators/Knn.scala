@@ -22,6 +22,10 @@ final case class SearchParams(
     metaFilter: Map[String, String] = Map.empty,
     metaRequired: Boolean = false,
     rangeFilter: Option[(Double, Double)] = None, // (range_filter, radius)
+    /** Dynamic-field filter: CI substring conjunction over the `extra` map
+      * column (enable_dynamic_field parity, base_milvus.py:996,1071).
+      */
+    extraFilter: Map[String, String] = Map.empty,
     outputFields: Seq[String] = Seq("chunk", "meta"))
 
 /** Exact K-nearest-neighbour search + the reference's client-side post-filter
@@ -123,6 +127,13 @@ object Knn {
     p.metaFilter.foreach { case (k, v) =>
       val mv = get_json_object(col("meta"), s"$$.$k")
       df = df.filter(mv.isNotNull && lower(mv).contains(v.toLowerCase))
+    }
+
+    // Dynamic-field filter: same CI substring conjunction, but over the
+    // `extra` MAP column (schema-on-write overflow). Missing key ⇒ dropped.
+    p.extraFilter.foreach { case (k, v) =>
+      val ev = element_at(col("extra"), k)
+      df = df.filter(ev.isNotNull && lower(ev).contains(v.toLowerCase))
     }
 
     // A4: final truncate to `limit` in ANN-rank order; re-rank for output.

@@ -1,0 +1,145 @@
+package graft.sources
+
+import graft.operators.Bm25
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Durable form of the BM25 sparse index (D4) — the reference always searches
+  * through its built sparse index (`/root/reference/app/milvus/base_milvus
+  * .py:1286-1310`); this is the table set that makes that possible without
+  * ever re-fitting over the corpus at query time.
+  *
+  * Layout under `dir`:
+  *   tf/_bucket=N       (doc_id, term, tf)   — the posting lists, bucketed by
+  *                                             pmod(doc_id, nBuckets)
+  *   doclen/_bucket=N   (doc_id, dl)
+  *   termdf/            (term, df)           — the term dictionary
+  *   global/            (n, sumdl)           — single row
+  *
+  * Scale shape: an upsert batch touches only the bucket directories its
+  * doc_ids hash to — tf/doclen updates are O(batch); `termdf` / `global` are
+  * updated by DELTA (df ± per-term counts from the removed/added posting
+  * rows), so the whole commit is O(batch tokens + vocabulary), independent of
+  * corpus size. This is [[Bm25.removeDocs]] + [[Bm25.mergeStats]] (spec-proven
+  * equal to a refit) realized incrementally on storage. On a cluster the four
+  * tables would be Delta and the swap a MERGE; the operators above are
+  * storage-agnostic.
+  */
+object SparseIndex {
+
+  def exists(dir: String): Boolean = Files.exists(Paths.get(dir, "global"))
+
+  private def bucketOf(docId: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(docId, lit(nBuckets.toLong))
+
+  /** Write a full model (initial build / rebuild). */
+  def write(m: Bm25.Model, dir: String, nBuckets: Int = 16): Unit = {
+    m.tf.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(s"$dir/tf")
+    m.docLen.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(s"$dir/doclen")
+    m.termDf.write.mode(SaveMode.Overwrite).parquet(s"$dir/termdf")
+    m.global.write.mode(SaveMode.Overwrite).parquet(s"$dir/global")
+    refresh(m.tf.sparkSession, dir)
+  }
+
+  /** Load the persisted model. Scoring through [[Bm25.searchTopK]] on this
+    * model joins only these stored tables — no corpus scan, no tokenization.
+    */
+  def read(spark: SparkSession, dir: String): Bm25.Model = Bm25.Model(
+    spark.read.parquet(s"$dir/tf").select("doc_id", "term", "tf"),
+    spark.read.parquet(s"$dir/doclen").select("doc_id", "dl"),
+    spark.read.parquet(s"$dir/termdf"),
+    spark.read.parquet(s"$dir/global"))
+
+  /** Incremental upsert: replace the stats of `batchDocs` (doc_id, text) —
+    * tokenizes ONLY the batch, rewrites ONLY the touched tf/doclen buckets,
+    * and applies count deltas to termdf/global. Equal to
+    * `write(Bm25.fit(mergedCorpus))` (IncrementalSparseSpec). Returns the
+    * batch-only model so callers can encode the batch without re-tokenizing.
+    */
+  def upsert(spark: SparkSession, dir: String, batchDocs: DataFrame,
+      nBuckets: Int = 16): Bm25.Model = {
+    val add = Bm25.fit(batchDocs) // batch-only tokenization
+    if (!exists(dir)) { write(add, dir, nBuckets); return add }
+    val batchIds = batchDocs.select("doc_id")
+    val touched  = batchIds
+      .select(bucketOf(col("doc_id"), nBuckets).as("_bucket"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+
+    // Touched-bucket slices of the stored per-doc tables (partition-pruned).
+    val tfSlice = spark.read.parquet(s"$dir/tf")
+      .filter(col("_bucket").isin(touched: _*)).select("doc_id", "term", "tf")
+    val dlSlice = spark.read.parquet(s"$dir/doclen")
+      .filter(col("_bucket").isin(touched: _*)).select("doc_id", "dl")
+
+    // removeDocs ∪ mergeStats on the slice: drop replaced docs' rows, union
+    // the batch's (Bm25.removeDocs/mergeStats semantics, applied bucket-local).
+    val removedTf = tfSlice.join(batchIds, Seq("doc_id"), "left_semi")
+    val removedDl = dlSlice.join(batchIds, Seq("doc_id"), "left_semi")
+    val tfOut = tfSlice.join(batchIds, Seq("doc_id"), "left_anti").unionByName(add.tf)
+    val dlOut = dlSlice.join(batchIds, Seq("doc_id"), "left_anti").unionByName(add.docLen)
+
+    // termdf by delta: df' = df - df(removed) + df(added); drop zeros.
+    val minus = removedTf.groupBy("term").agg(count(lit(1)).as("minus"))
+    val plus  = add.tf.groupBy("term").agg(count(lit(1)).as("plus"))
+    val termDfOut = spark.read.parquet(s"$dir/termdf")
+      .join(minus, Seq("term"), "full_outer")
+      .join(plus, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) - coalesce(col("minus"), lit(0L)) +
+          coalesce(col("plus"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+
+    // global by delta: n' = n - removed + added; sumdl likewise.
+    val remG = removedDl.agg(count(lit(1)).as("rn"),
+      coalesce(sum("dl"), lit(0L)).as("rs"))
+    val addG = add.docLen.agg(count(lit(1)).as("an"),
+      coalesce(sum("dl"), lit(0L)).as("as"))
+    val globalOut = spark.read.parquet(s"$dir/global")
+      .crossJoin(remG).crossJoin(addG)
+      .select((col("n") - col("rn") + col("an")).as("n"),
+        (col("sumdl") - col("rs") + col("as")).as("sumdl"))
+
+    // Commit: tmp-write (materializes before the swap invalidates sources),
+    // then swap only the touched bucket dirs + the two small tables.
+    val base = Paths.get(dir)
+    val tfTmp = writeTmp(tfOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
+      base, "tf", partitioned = true)
+    val dlTmp = writeTmp(dlOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
+      base, "doclen", partitioned = true)
+    val tdTmp = writeTmp(termDfOut, base, "termdf", partitioned = false)
+    val gTmp  = writeTmp(globalOut, base, "global", partitioned = false)
+    touched.foreach { b =>
+      swapDir(tfTmp.resolve(s"_bucket=$b"), base.resolve("tf").resolve(s"_bucket=$b"))
+      swapDir(dlTmp.resolve(s"_bucket=$b"), base.resolve("doclen").resolve(s"_bucket=$b"))
+    }
+    VectorStoreCatalog.deleteRec(tfTmp); VectorStoreCatalog.deleteRec(dlTmp)
+    swapDir(tdTmp, base.resolve("termdf"))
+    swapDir(gTmp, base.resolve("global"))
+    refresh(spark, dir)
+    add
+  }
+
+  private def writeTmp(df: DataFrame, base: Path, name: String,
+      partitioned: Boolean): Path = {
+    val tmp = base.resolve(s"${name}_tmp_" + System.nanoTime())
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitioned) w.partitionBy("_bucket") else w).parquet(tmp.toString)
+    tmp
+  }
+
+  /** Replace `target` with `src` (either may be absent). */
+  private def swapDir(src: Path, target: Path): Unit = {
+    val old = target.resolveSibling(target.getFileName.toString + "_old_" + System.nanoTime())
+    if (Files.exists(target)) Files.move(target, old)
+    if (Files.exists(src)) Files.move(src, target)
+    if (Files.exists(old)) VectorStoreCatalog.deleteRec(old)
+  }
+
+  private def refresh(spark: SparkSession, dir: String): Unit =
+    Seq("tf", "doclen", "termdf", "global").foreach(t =>
+      spark.catalog.refreshByPath(s"$dir/$t"))
+}

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.api._
+import graft.functions.Vec
 import graft.operators.{Bm25, Hybrid, Ivf, Knn, SearchParams, Upsert}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,19 +17,30 @@ import scala.jdk.CollectionConverters._
   *  - D1 tenant database  `{tenant}_vectorstore`        (base_milvus.py:465-477)
   *  - D2 collection       `vector_store_schema_for_{tenant}_{model}`
   *    (model lowercased, `-`/`.` → `_`;  base_milvus.py:487-497)
-  *  - D3/D4 index build   → IVF centroid/clustered tables + BM25 postings
+  *  - D3/D4 index build   → IVF centroid/clustered tables + BM25 model tables
   *  - S1 insert (validated upsert, auto-flush semantics), S3 flush,
   *    S4 load/exists, S5 schema introspection, S6 partition targeting
   *  - D8 config KV        (tenant-scoped key→value, cached)
   *
   * Storage layout under `basePath`:
-  *   {tenant}_vectorstore/{table}/data/part-*.parquet    (partitioned by `part`)
+  *   {tenant}_vectorstore/{table}/data/part=P/_bucket=N/  (parquet files)
+  *   {tenant}_vectorstore/{table}/index/  (centroids, clustered, bm25 tables)
   *   {tenant}_vectorstore/{table}/_schema.json           (table properties)
   *
-  * Writes go through a MERGE (anti-join ∪ batch) and atomic directory swap —
-  * the moral equivalent of a Delta MERGE commit in an environment without
-  * Delta. On a real cluster this class would sit on Delta/Iceberg; every
-  * operator above it is storage-agnostic (plain DataFrames).
+  * Scale shape of the hot paths:
+  *  - `insert` is a BUCKET-RESTRICTED merge: only the `_bucket` directories
+  *    the batch's keys hash to are read and rewritten, and the BM25 sparse
+  *    index is updated incrementally ([[SparseIndex.upsert]] — batch-only
+  *    tokenization + count deltas). Cost is O(batch + touched buckets),
+  *    independent of corpus size.
+  *  - `search` sparse/hybrid scoring reads the PERSISTED BM25 tables — no
+  *    corpus scan or re-fit per request (the reference always searches
+  *    through its built index, base_milvus.py:1286-1310).
+  *  - IVF inserts are absorbed without a rebuild: new vectors are assigned
+  *    to their nearest existing centroid and appended to the clustered
+  *    table's cell partitions, so they are immediately searchable.
+  * On a real cluster this class would sit on Delta/Iceberg; every operator
+  * above it is storage-agnostic (plain DataFrames).
   */
 class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
@@ -54,6 +66,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     StructField("meta", StringType),
     StructField("extra", MapType(StringType, StringType)),
     StructField("part", StringType)))
+
+  private def rawSchema(dim: Int): StructType =
+    storeSchema(dim).add(StructField("_bucket", LongType))
 
   // ---- D1/D2: generate_schema ----
   def generateSchema(spec: SchemaSpec): Unit = {
@@ -83,29 +98,49 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def properties(tenant: String, model: String): Map[String, String] =
     readJson(tableDir(tenant, model).resolve("_schema.json"))
 
+  /** Hash-bucket count for the data/sparse-index layout (tunable per
+    * collection via the `n_buckets` property; at 100 TB this would be in the
+    * thousands so each bucket stays executor-sized).
+    */
+  def nBuckets(tenant: String, model: String): Int =
+    properties(tenant, model).getOrElse("n_buckets", "16").toInt
+
+  private def bucketExpr(keyCol: org.apache.spark.sql.Column, n: Int) =
+    pmod(xxhash64(keyCol), lit(n.toLong))
+
   /** S4: load = read (+ optional cache, the Milvus load_collection analogue). */
-  def load(tenant: String, model: String): DataFrame = {
+  def load(tenant: String, model: String): DataFrame =
+    loadRaw(tenant, model).drop("_bucket")
+
+  /** Like [[load]] but keeps the `_bucket` layout column for pruned reads. */
+  private def loadRaw(tenant: String, model: String): DataFrame = {
     val d = dataDir(tenant, model)
     if (Files.exists(d) && Files.list(d).iterator().asScala.nonEmpty)
-      spark.read.schema(storeSchema(dimension(tenant, model))).parquet(d.toString)
+      spark.read.schema(rawSchema(dimension(tenant, model))).parquet(d.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      storeSchema(dimension(tenant, model)))
+      rawSchema(dimension(tenant, model)))
   }
 
-  // ---- S1: validated upsert with BM25 sparse generation ----
-  /** Insert/upsert a batch (≤1000 rows, unique keys, dim-checked — the
-    * reference's insert_data path, vector_store.py:292-404). Sparse vectors
-    * are (re)generated for the whole table from per-collection BM25 stats —
-    * a documented divergence from the reference's fit-once-process-wide
-    * quirk (vector_store.py:42-52): per-collection stats are strictly more
-    * correct and shard cleanly per tenant.
-    */
+  // ---- S1: validated upsert, bucket-restricted + incremental sparse ----
   /** auto_flush_min_batch semantics (milvus_helper.py:121-131): flush when
     * the batch size reaches the threshold; 0 => always, <0 => never.
     */
   val AutoFlushMinBatch: Int =
     sys.env.getOrElse("GRAFT_AUTO_FLUSH_MIN_BATCH", "100").toInt
 
+  /** Insert/upsert a batch (≤1000 rows, unique keys, dim-checked — the
+    * reference's insert_data path, vector_store.py:292-404).
+    *
+    * Scale design (the reference's cost model, done Spark-shaped):
+    *  - merge touches ONLY the `_bucket` partitions the batch hashes to;
+    *  - BM25 stats update incrementally ([[SparseIndex.upsert]]); only the
+    *    batch is tokenized, and only the batch's sparse vectors are encoded
+    *    (existing rows keep their stored encodings — mirroring the
+    *    reference's encode-at-insert behavior, vector_store.py:164-191);
+    *  - a persisted IVF index absorbs the batch by nearest-centroid
+    *    assignment (appended to the touched cell partitions), so new rows
+    *    are searchable without a rebuild.
+    */
   def insert(tenant: String, model: String, rows: Seq[EmbeddedVector],
       partition: Option[String] = None): Long = {
     require(collectionExists(tenant, model), s"collection missing for $tenant/$model")
@@ -114,6 +149,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     rows.foreach(Validation.requireValidRow(_, dim))
     val keys = rows.map(_.key)
     require(keys.distinct.size == keys.size, "duplicate keys in batch")
+    val nB = nBuckets(tenant, model)
 
     import spark.implicits._
     val batch = rows.toDF()
@@ -121,37 +157,64 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         col("vector"), col("metadata"), col("dynamicFields").as("extra"))
       .withColumn("meta", to_json(col("metadata"))).drop("metadata")
       .withColumn("part", lit(partition.getOrElse("_default")))
+      .withColumn("_bucket", bucketExpr(col("flouds_vector_id"), nB))
 
-    val current = load(tenant, model).drop("sparse_vector")
-    val merged = Upsert.merge(
-      current,
-      batch.select(current.columns.map(col).toSeq: _*),
-      "flouds_vector_id")
+    val touched = batch.select("_bucket").distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
 
-    // H1: per-collection BM25 sparse vectors over the merged corpus.
-    val bm25 = Bm25.fit(merged.select(col("flouds_vector_id").as("doc_id"),
-      col("chunk").as("text")))
-    val sparse = Bm25.encodeDocuments(bm25,
+    // H1/D4: incremental sparse-index commit + batch-only sparse encoding.
+    val batchDocs = batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
+      col("chunk").as("text"))
+    val addModel = SparseIndex.upsert(spark, sparseDir(tenant, model).toString,
+      batchDocs, nB)
+    val encModel = Bm25.Model(addModel.tf, addModel.docLen,
+      spark.read.parquet(sparseDir(tenant, model).resolve("termdf").toString),
+      spark.read.parquet(sparseDir(tenant, model).resolve("global").toString))
+    val sparse = Bm25.encodeDocuments(encModel,
       properties(tenant, model).getOrElse("drop_ratio_build", "0.0").toDouble)
-    val out = merged.join(sparse.withColumnRenamed("doc_id", "flouds_vector_id"),
-        Seq("flouds_vector_id"), "left")
-      .select(storeSchema(dim).fieldNames.map(col).toSeq: _*)
 
-    val n = out.count() // materialize before the swap invalidates old files
-    atomicReplace(tenant, model, out)
+    val batchOut = batch
+      .join(sparse, xxhash64(col("flouds_vector_id")) === sparse("doc_id"), "left")
+      .drop("doc_id")
+
+    // Bucket-restricted MERGE: read only the touched buckets, anti-join ∪
+    // batch, rewrite only those bucket directories.
+    val slice = loadRaw(tenant, model).filter(col("_bucket").isin(touched: _*))
+    val out = slice.join(batch.select("flouds_vector_id"),
+        Seq("flouds_vector_id"), "left_anti")
+      .unionByName(batchOut.select(slice.columns.map(col).toSeq: _*))
+    replaceBuckets(tenant, model, out, touched)
+
+    // Keep a persisted IVF index searchable across inserts: assign the batch
+    // to its nearest existing cells and append (no rebuild). Replaced keys'
+    // old routing rows stay behind — doc_id-level probe unions them, which
+    // only widens the probe set (scoring always uses current vectors).
+    if (indexExists(tenant, model)) {
+      val idx = loadIndex(tenant, model)
+      val assigned = Ivf.assign(
+        batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
+          col("vector").as("dv")),
+        idx.centroids, idx.metric)
+      assigned.write.mode(SaveMode.Append).partitionBy("centroid_id")
+        .parquet(indexDir(tenant, model).resolve("clustered").toString)
+      spark.catalog.refreshByPath(indexDir(tenant, model).resolve("clustered").toString)
+    }
+
     // S3 auto-flush decision (batch >= threshold; 0 always, <0 never)
     if (AutoFlushMinBatch == 0 || (AutoFlushMinBatch > 0 && rows.size >= AutoFlushMinBatch))
       flush(tenant, model)
-    n
+    rows.size.toLong
   }
 
   /** S3: flush/OPTIMIZE hook — parquet writes are already atomic commits
-    * here, so flush compacts small files (the reference's flush persists
-    * Milvus segments, vector_store.py:406-426).
+    * here, so flush compacts small files within the bucketed layout (the
+    * reference's flush persists Milvus segments, vector_store.py:406-426).
     */
   def flush(tenant: String, model: String): Unit = {
-    val df = load(tenant, model)
-    atomicReplace(tenant, model, df.coalesce(math.max(1, (df.count() / 500000L).toInt)))
+    val df = loadRaw(tenant, model)
+    val touched = df.select("_bucket").distinct().collect().map(_.getLong(0)).toIndexedSeq
+    if (touched.nonEmpty)
+      replaceBuckets(tenant, model, df.repartition(touched.size, col("_bucket")), touched)
   }
 
   // ---- search facade (milvus_helper.search_embedded_data analogue) ----
@@ -159,27 +222,45 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val t0 = System.nanoTime()
     require(collectionExists(req.tenant, req.model), "collection missing")
     Validation.requireValidVector(req.vector, dimension(req.tenant, req.model))
+    val res = searchDf(req)
+    // Reference returns hits in rank order (vector_store.py:579-592) — keep
+    // the rank through the plan and sort before collecting.
+    val rows = res.orderBy(col("rank")).select(col("chunk"), col("meta"))
+      .collect().map { r =>
+        EmbeddedMeta(r.getAs[String]("chunk"), parseMeta(r.getAs[String]("meta")))
+      }.toSeq
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (rows.isEmpty)
+      SearchResponse(success = false, "No vectors found for the given query.",
+        req.tenant, dt, Nil)
+    else SearchResponse(success = true, "ok", req.tenant, dt, rows)
+  }
 
+  /** The search plan (public so tests can assert its physical shape).
+    * Returns ranked hits with chunk/meta columns.
+    */
+  def searchDf(req: SearchRequest): DataFrame = {
     val table = load(req.tenant, req.model)
-    // S6: partition targeting prunes before anything else.
-    val part = req.partitionName.fold(table)(p => table.filter(col("part") === p))
+    // S6: partition targeting (list-valued, vector_store.py:63-71,505-507)
+    // prunes before anything else.
+    val parts = (req.partitionNames ++ req.partitionName).distinct
+    val part = if (parts.isEmpty) table else table.filter(col("part").isin(parts: _*))
     var corpus = part.select(col("flouds_vector_id"), col("chunk"), col("meta"),
-      col("vector").as("dv"))
+      col("extra"), col("vector").as("dv"))
       .withColumn("doc_id", xxhash64(col("flouds_vector_id")))
 
     // A1-approx: when an IVF index exists, restrict the scan to the query's
-    // nprobe nearest cells (the reference always searches through its
-    // index; nprobe is the request knob, capped 256 - vector_store.py:495).
-    if (indexExists(req.tenant, req.model) && req.partitionName.isEmpty) {
+    // nprobe nearest cells, routed by the INDEX METRIC (nprobe capped 256 —
+    // vector_store.py:495).
+    if (indexExists(req.tenant, req.model) && parts.isEmpty) {
       val idx = loadIndex(req.tenant, req.model)
       import spark.implicits._
       val qv = Seq(Tuple1(req.vector)).toDF("qv")
-      val centScore = graft.functions.VecExprs.dot(col("qv"), col("center")) /
-        (sqrt(graft.functions.VecExprs.norm2(col("qv"))) *
-         sqrt(graft.functions.VecExprs.norm2(col("center"))))
+      val centScore = Vec.score(idx.metric, col("qv"), col("center"))
       val cells = qv.crossJoin(broadcast(idx.centroids))
         .select(col("centroid_id"), centScore.as("cs"))
-        .orderBy(col("cs").desc).limit(math.min(req.nprobe, 256))
+        .orderBy(if (Vec.higherIsBetter(idx.metric)) col("cs").desc else col("cs").asc)
+        .limit(math.min(req.nprobe, 256))
         .collect().map(_.getInt(0))
       val probedDocs = idx.clustered
         .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
@@ -187,30 +268,37 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       corpus = corpus.join(probedDocs, Seq("doc_id"), "left_semi")
     }
 
+    // A3: radius/range_filter → closed score band oriented by the metric
+    // (radius = far bound, range_filter = near bound, as Milvus).
+    val band: Option[(Double, Double)] =
+      if (req.radius.isEmpty && req.rangeFilter.isEmpty) None
+      else if (Knn.higherIsBetter(req.metricType))
+        Some((req.radius.getOrElse(Double.NegativeInfinity),
+          req.rangeFilter.getOrElse(Double.PositiveInfinity)))
+      else
+        Some((req.rangeFilter.getOrElse(Double.NegativeInfinity),
+          req.radius.getOrElse(Double.PositiveInfinity)))
+
     import spark.implicits._
     val queries = Seq((0L, req.vector)).toDF("qid", "qv")
     val params = SearchParams(req.metricType, req.limit, req.offset,
       req.scoreThreshold, req.roundDecimal, req.textFilter, req.minimumWordsMatch,
       req.includeStopWords, req.increaseLimitForTextSearch, req.metaFilter,
-      req.metaRequired, None, Seq("chunk", "meta") ++ req.outputFields)
+      req.metaRequired, band, req.extraFilter, Seq("chunk", "meta") ++ req.outputFields)
 
-    val res =
-      if (req.hybridSearch && req.textFilter.exists(_.nonEmpty)) {
-        // H4 gating: sparse leg only with query text; failure → dense-only.
-        val bm25 = Bm25.fit(part.select(col("flouds_vector_id").as("doc_id"),
-          col("chunk").as("text")).withColumn("doc_id", xxhash64(col("doc_id").cast("string"))))
-        Hybrid.search(corpus, queries, bm25, Seq(0L -> req.textFilter.get), params)
-          .join(corpus.select(col("doc_id"), col("chunk"), col("meta")), "doc_id")
-      } else Knn.search(corpus, queries, params)
-
-    val rows = res.select(col("chunk"), col("meta")).collect().map { r =>
-      EmbeddedMeta(r.getAs[String]("chunk"), parseMeta(r.getAs[String]("meta")))
-    }.toSeq
-    val dt = (System.nanoTime() - t0) / 1e9
-    if (rows.isEmpty)
-      SearchResponse(success = false, "No vectors found for the given query.",
-        req.tenant, dt, Nil)
-    else SearchResponse(success = true, "ok", req.tenant, dt, rows)
+    if (req.hybridSearch && req.textFilter.exists(_.nonEmpty)) {
+      // H4 gating: sparse leg only with query text. The sparse leg scores
+      // from the PERSISTED BM25 tables — never a per-request fit
+      // (base_milvus.py:1286-1310: search goes through the built index).
+      ensureSparseIndex(req.tenant, req.model)
+      var m = SparseIndex.read(spark, sparseDir(req.tenant, req.model).toString)
+      if (parts.nonEmpty) // partition targeting restricts scored docs
+        m = m.copy(tf = m.tf.join(corpus.select("doc_id"), Seq("doc_id"), "left_semi"))
+      Hybrid.search(corpus.select("doc_id", "dv"), queries, m,
+          Seq(0L -> req.textFilter.get), params)
+        .join(corpus.select(col("doc_id"), col("chunk"), col("meta")), "doc_id")
+        .select("qid", "rank", "doc_id", "rrf_score", "chunk", "meta")
+    } else Knn.search(corpus, queries, params)
   }
 
   /** D3: build the IVF index tables for a collection. */
@@ -226,12 +314,17 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   // ---- D4/D5: index persistence + idempotent build ----
   private def indexDir(tenant: String, model: String): Path =
     tableDir(tenant, model).resolve("index")
+  private def sparseDir(tenant: String, model: String): Path =
+    indexDir(tenant, model).resolve("bm25")
 
   def indexExists(tenant: String, model: String): Boolean =
     Files.exists(indexDir(tenant, model).resolve("centroids"))
 
+  def sparseIndexExists(tenant: String, model: String): Boolean =
+    SparseIndex.exists(sparseDir(tenant, model).toString)
+
   /** Persist the IVF index tables (centroids + corpus clustered by
-    * centroid_id) and the BM25 posting lists — the durable form of D3/D4.
+    * centroid_id) and the BM25 model tables — the durable form of D3/D4.
     * The clustered table is PARTITIONED BY centroid_id so a probe scan reads
     * only nprobe/nlist of the files (partition pruning = the IVF inverted
     * file). Idempotent: `ensureIndex` is the reference's list-then-create
@@ -244,15 +337,22 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       .parquet(d.resolve("clustered").toString)
     idx.centroids.write.mode(SaveMode.Overwrite)
       .parquet(d.resolve("centroids").toString)
-    val bm25 = Bm25.fit(load(tenant, model).select(
-      xxhash64(col("flouds_vector_id")).as("doc_id"), col("chunk").as("text")))
-    Bm25.postings(bm25).write.mode(SaveMode.Overwrite)
-      .parquet(d.resolve("postings").toString)
+    rebuildSparseIndex(tenant, model)
     spark.catalog.refreshByPath(d.toString)
   }
 
   def ensureIndex(tenant: String, model: String): Unit =
     if (!indexExists(tenant, model)) persistIndex(tenant, model)
+
+  /** D4: (re)build the sparse BM25 model tables from the current corpus. */
+  def rebuildSparseIndex(tenant: String, model: String): Unit =
+    SparseIndex.write(
+      Bm25.fit(load(tenant, model).select(
+        xxhash64(col("flouds_vector_id")).as("doc_id"), col("chunk").as("text"))),
+      sparseDir(tenant, model).toString, nBuckets(tenant, model))
+
+  def ensureSparseIndex(tenant: String, model: String): Unit =
+    if (!sparseIndexExists(tenant, model)) rebuildSparseIndex(tenant, model)
 
   def loadIndex(tenant: String, model: String): Ivf.Index = {
     val d = indexDir(tenant, model)
@@ -363,17 +463,41 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       if (Files.exists(kvPath(tenant))) readJson(kvPath(tenant)) else Map.empty)
 
   // ---- helpers ----
-  private def atomicReplace(tenant: String, model: String, df: DataFrame): Unit = {
+  /** Commit `df` (rows for exactly the `touched` buckets, with part/_bucket
+    * columns) by swapping ONLY those bucket directories under every `part=`
+    * dir. Untouched buckets' files are not rewritten — byte-identical across
+    * the commit (spec-asserted). The tmp write materializes the plan before
+    * any source directory moves.
+    */
+  private def replaceBuckets(tenant: String, model: String, df: DataFrame,
+      touched: Seq[Long]): Unit = {
     val target = dataDir(tenant, model)
     val tmp = target.resolveSibling("data_tmp_" + System.nanoTime())
-    df.write.mode(SaveMode.Overwrite).partitionBy("part").parquet(tmp.toString)
-    val old = target.resolveSibling("data_old_" + System.nanoTime())
-    if (Files.exists(target)) Files.move(target, old)
-    Files.move(tmp, target)
-    if (Files.exists(old)) deleteRec(old)
+    df.write.mode(SaveMode.Overwrite).partitionBy("part", "_bucket").parquet(tmp.toString)
+    if (!Files.exists(target)) {
+      Files.move(tmp, target)
+    } else {
+      val partDirs = (listDirs(target) ++ listDirs(tmp))
+        .map(_.getFileName.toString).filter(_.startsWith("part=")).distinct
+      for (p <- partDirs; b <- touched) {
+        val dst = target.resolve(p).resolve(s"_bucket=$b")
+        val src = tmp.resolve(p).resolve(s"_bucket=$b")
+        if (Files.exists(dst)) deleteRec(dst)
+        if (Files.exists(src)) {
+          Files.createDirectories(dst.getParent)
+          Files.move(src, dst)
+        }
+      }
+      deleteRec(tmp)
+    }
     // drop Spark's cached file listing for the swapped path
     spark.catalog.refreshByPath(target.toString)
   }
+
+  private def listDirs(p: Path): Seq[Path] =
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+    else Nil
 }
 
 object VectorStoreCatalog {
@@ -385,28 +509,36 @@ object VectorStoreCatalog {
     "CreateIndex", "DropIndex", "Search", "Query", "Load", "Release",
     "Insert", "Delete", "Compaction")
 
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** P7: real JSON parse with silent `{}` fallback (vector_store.py:938-954
+    * uses json.loads; escaped quotes / nested values must survive).
+    * Non-string values keep their JSON text form.
+    */
   private[sources] def parseMeta(s: String): Map[String, String] =
-    // P7: JSON parse with silent {} fallback (vector_store.py:938-954)
     try {
       if (s == null) Map.empty
-      else "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(s)
-        .map(m => m.group(1) -> m.group(2)).toMap
+      else {
+        val node = jsonMapper.readTree(s)
+        if (node == null || !node.isObject) Map.empty
+        else node.fields().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isTextual) e.getValue.asText
+                       else e.getValue.toString)
+        }.toMap
+      }
     } catch { case _: Throwable => Map.empty }
 
   private[sources] def writeJson(p: Path, m: Map[String, String]): Unit = {
-    val body = m.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
-      .mkString("{", ", ", "}")
-    Files.writeString(p, body)
+    val ordered = new java.util.LinkedHashMap[String, String]()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => ordered.put(k, v) }
+    Files.writeString(p, jsonMapper.writeValueAsString(ordered))
   }
 
   private[sources] def readJson(p: Path): Map[String, String] = {
-    val s = Files.readString(p)
-    "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(s)
-      .map(m => m.group(1) -> m.group(2)).toMap
+    val node = jsonMapper.readTree(Files.readString(p))
+    if (node == null || !node.isObject) Map.empty
+    else node.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
   }
-
-  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   private[graft] def deleteRec(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
