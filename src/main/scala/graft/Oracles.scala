@@ -61,6 +61,55 @@ object Oracles {
        |  FROM scores)
        |WHERE rank <= $k""".stripMargin
 
+  /** IVF probe with the deterministic seeded codebook (mirror of
+    * [[graft.operators.Ivf.seededCentroids]]: center_j = synthVec(j*7919+13)).
+    * Three stages, each tie-broken exactly like the Spark side:
+    *  1. assignment — every doc to its best-cosine centroid (ties → lowest id);
+    *  2. routing    — each query's top-`nprobe` centroids (ties → lowest id);
+    *  3. scan       — exact cosine top-k over ONLY docs in routed cells.
+    */
+  def ivfKnn(nq: Int, nlist: Int, nprobe: Int, k: Int): String = {
+    val cj = s"c.j*7919 + 13" // centroid key expression
+    s"""WITH acs AS (
+       |  SELECT d.o_orderkey AS doc_id, c.j AS centroid_id,
+       |         CAST(SUM((${dvc("d.o_orderkey")}) * (${dvc(cj)})) AS DOUBLE) AS dot,
+       |         CAST(SUM((${dvc("d.o_orderkey")}) * (${dvc("d.o_orderkey")})) AS DOUBLE) AS nd2,
+       |         CAST(SUM((${dvc(cj)}) * (${dvc(cj)})) AS DOUBLE) AS nc2
+       |  FROM orders d, (SELECT CAST(range AS BIGINT) AS j FROM range($nlist)) c, $ix
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT doc_id, centroid_id FROM (
+       |    SELECT doc_id, centroid_id,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY dot/(sqrt(nd2)*sqrt(nc2)) DESC, centroid_id) AS r
+       |    FROM acs) WHERE r = 1),
+       |rcs AS (
+       |  SELECT q.qid, c.j AS centroid_id,
+       |         CAST(SUM((${qvc("q.qid")}) * (${dvc(cj)})) AS DOUBLE) AS dot,
+       |         CAST(SUM((${qvc("q.qid")}) * (${qvc("q.qid")})) AS DOUBLE) AS nq2,
+       |         CAST(SUM((${dvc(cj)}) * (${dvc(cj)})) AS DOUBLE) AS nc2
+       |  FROM (SELECT CAST(range AS BIGINT) AS qid FROM range($nq)) q,
+       |       (SELECT CAST(range AS BIGINT) AS j FROM range($nlist)) c, $ix
+       |  GROUP BY 1, 2),
+       |routed AS (
+       |  SELECT qid, centroid_id FROM (
+       |    SELECT qid, centroid_id,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY dot/(sqrt(nq2)*sqrt(nc2)) DESC, centroid_id) AS r
+       |    FROM rcs) WHERE r <= $nprobe),
+       |${ordersScores(nq)},
+       |sel AS (
+       |  SELECT s.qid, s.doc_id, $cosineExpr AS score
+       |  FROM scores s
+       |  JOIN assigned a ON s.doc_id = a.doc_id
+       |  JOIN routed r ON r.qid = s.qid AND r.centroid_id = a.centroid_id)
+       |SELECT qid, rank, doc_id, score FROM (
+       |  SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM sel)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Threshold + offset semantics: ANN rank cut at offset+limit, drop ranks
     * ≤ offset, then client-side score threshold, then re-rank (P2/A4/A5).
     */

@@ -79,6 +79,24 @@ object SparkEntry {
       Bm25.searchTopK(Bm25.fit(docs), HybridQueryTexts, 10)
     }),
 
+    // ---- D4 persisted sparse index + incremental upsert: build with STALE
+    //      text for every 10th doc, incrementally replace via
+    //      SparseIndex.upsert, search from the stored tables. The oracle is a
+    //      from-scratch BM25 over the TRUE corpus — proving the persisted
+    //      incremental path (removeDocs + mergeStats on storage) equals a
+    //      full refit, bit-exact.
+    "q_bm25_persisted" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val stale = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0, lit("stale placeholder text"))
+          .otherwise(col("text")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sparse_idx").toString
+      graft.sources.SparseIndex.write(Bm25.fit(stale), tmp, nBuckets = 8)
+      graft.sources.SparseIndex.upsert(s, tmp,
+        docs.filter(col("doc_id") % 10 === 0), nBuckets = 8)
+      Bm25.searchTopK(graft.sources.SparseIndex.read(s, tmp), HybridQueryTexts, 10)
+    }),
+
     // ---- H3-H5: hybrid dense+sparse RRF fusion ----
     "q_hybrid_rrf" -> ((s, dir) => {
       val corpus = Tables.docsCorpus(s, dir)
@@ -154,11 +172,16 @@ object SparkEntry {
         sum("price").cast("double").as("total_price"))
     }),
 
-    // ---- D3/A1-approx: IVF index build + nprobe-routed search (rows-only:
-    //      KMeans centroids are not oracle-replicable; recall is spec-tested)
+    // ---- D3/A1-approx: IVF index build + nprobe-routed search. The codebook
+    //      is a DETERMINISTIC seeded one (Ivf.seededCentroids) so assignment,
+    //      routing, and the cell-pruned scan are all DuckDB-replicable —
+    //      q_ivf_knn is hash-checked end-to-end. (The production KMeans build
+    //      shares the identical assign/probe mechanics; its recall is
+    //      spec-tested since trained centroids aren't oracle-replicable.)
     "q_ivf_knn" -> ((s, dir) => {
-      val idx = Ivf.build(Tables.ordersCorpus(s, dir).select("doc_id", "dv"),
-        nlist = 16, metric = "COSINE")
+      val idx = Ivf.buildWithCentroids(
+        Tables.ordersCorpus(s, dir).select("doc_id", "dv"),
+        Ivf.seededCentroids(s, nlist = 16), metric = "COSINE")
       Ivf.probe(idx, Tables.queryBatch(s, 8), nprobe = 4, k = 10)
     }),
 
@@ -286,6 +309,9 @@ object SparkEntry {
       graft.functions.Text.filterWords("the spark join window", includeStopWords = false),
       minWords = 2),
     "q_bm25_topk"     -> Oracles.bm25TopK(HybridQueryTexts, 10),
+    // Same oracle as q_bm25_topk: the persisted+incremental index must give
+    // exactly the answers of a from-scratch fit over the true corpus.
+    "q_bm25_persisted" -> Oracles.bm25TopK(HybridQueryTexts, 10),
     "q_hybrid_rrf"    -> Oracles.hybridRrf(2, HybridQueryTexts, 10, 0.0),
     "q_dedup_exact"   -> Oracles.dedupExact,
     "q_dedup_minhash" -> Oracles.dedupMinhash,
@@ -304,6 +330,7 @@ object SparkEntry {
     "q_curation"      -> Oracles.curate(0.5),
     "q_fingerprint"   -> Oracles.fingerprint,
     "q_upsert"        -> Oracles.upsert,
+    "q_ivf_knn"       -> Oracles.ivfKnn(8, 16, 4, 10),
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),
     "q_ann_lsh"       -> Oracles.annLsh(4, 10),
     "q_sessionize"    -> Oracles.sessionize(30L * 60 * 1000000L), // us gap, matches query

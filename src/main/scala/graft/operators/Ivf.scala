@@ -92,9 +92,11 @@ object Ivf {
   def probe(index: Index, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val np = math.min(nprobe, 256) // reference cap, vector_store.py:495
     // Route: rank centroids per query by the index metric (cells searched).
+    // Ties break on centroid_id so routing is deterministic/oracle-exact.
     val centScore = Vec.score(index.metric, col("qv"), col("center"))
     val cw = Window.partitionBy("qid").orderBy(
-      if (Vec.higherIsBetter(index.metric)) centScore.desc else centScore.asc)
+      (if (Vec.higherIsBetter(index.metric)) centScore.desc else centScore.asc),
+      col("centroid_id").asc)
     val routed = queries.crossJoin(broadcast(index.centroids))
       .withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= np)
@@ -124,7 +126,8 @@ object Ivf {
     val np = math.min(nprobe, 256)
     val centScore = Vec.score(index.metric, col("qv"), col("center"))
     val cw = Window.partitionBy("qid").orderBy(
-      if (Vec.higherIsBetter(index.metric)) centScore.desc else centScore.asc)
+      (if (Vec.higherIsBetter(index.metric)) centScore.desc else centScore.asc),
+      col("centroid_id").asc)
     val routed = queries.crossJoin(broadcast(index.centroids))
       .withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= np)
