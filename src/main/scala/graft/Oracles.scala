@@ -125,6 +125,41 @@ object Oracles {
        |       doc_id, score
        |FROM cut QUALIFY rank <= $k""".stripMargin
 
+  /** P8 round_decimal on top of threshold+offset: identical pipeline to
+    * [[knnThreshold]] with the reported score rounded to `dec` places.
+    */
+  def knnRound(nq: Int, k: Int, offset: Int, t: Double, dec: Int): String =
+    s"""WITH ${ordersScores(nq)},
+       |ann AS (
+       |  SELECT qid, doc_id, $cosineExpr AS score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $cosineExpr DESC, doc_id) AS ann_rank
+       |  FROM scores),
+       |cut AS (
+       |  SELECT * FROM ann WHERE ann_rank <= ${offset + k} AND ann_rank > $offset AND score >= $t)
+       |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY ann_rank) AS rank,
+       |       doc_id, round(score, $dec) AS score
+       |FROM cut QUALIFY rank <= $k""".stripMargin
+
+  /** Dynamic-field (extra map) filter: ANN cut then CI substring match on the
+    * priority class digit (split of o_orderpriority), re-rank, truncate —
+    * mirror of the q_extra_filter corpus construction.
+    */
+  def extraFilter(nq: Int, k: Int, contains: String): String =
+    s"""WITH ${ordersScores(nq)},
+       |corpus AS (
+       |  SELECT o_orderkey AS doc_id, split_part(o_orderpriority, '-', 1) AS prio
+       |  FROM orders),
+       |ann AS (
+       |  SELECT s.qid, s.doc_id, $cosineExpr AS score, c.prio,
+       |         row_number() OVER (PARTITION BY s.qid ORDER BY $cosineExpr DESC, s.doc_id) AS ann_rank
+       |  FROM scores s JOIN corpus c ON s.doc_id = c.doc_id),
+       |cut AS (
+       |  SELECT * FROM ann WHERE ann_rank <= $k
+       |    AND prio IS NOT NULL AND contains(lower(prio), '${contains.toLowerCase}'))
+       |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY ann_rank) AS rank,
+       |       doc_id, score
+       |FROM cut QUALIFY rank <= $k""".stripMargin
+
   /** Range search (A3): score band [lo, hi] applied pre-rank. */
   def knnRange(nq: Int, k: Int, lo: Double, hi: Double): String =
     s"""WITH ${ordersScores(nq)},

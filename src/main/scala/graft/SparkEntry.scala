@@ -49,6 +49,25 @@ object SparkEntry {
         SearchParams(metric = "COSINE", limit = 10, offset = 5,
           scoreThreshold = Some(0.15), outputFields = Nil))),
 
+    // ---- P8 round_decimal on top of threshold+offset (oracle-covers the
+    //      score rounding path, search_request.py:70-75) ----
+    "q_knn_round" -> ((s, dir) =>
+      Knn.search(Tables.ordersCorpus(s, dir), Tables.queryBatch(s, 8),
+        SearchParams(metric = "COSINE", limit = 10, offset = 5,
+          scoreThreshold = Some(0.15), roundDecimal = 4, outputFields = Nil))),
+
+    // ---- dynamic-field filter over the `extra` map (enable_dynamic_field
+    //      parity, base_milvus.py:996,1071) ----
+    "q_extra_filter" -> ((s, dir) => {
+      val corpus = Tables.ordersCorpus(s, dir)
+        .withColumn("extra", map(
+          lit("priority"), expr("split(get_json_object(meta, '$.priority'), '-')[0]"),
+          lit("status"), get_json_object(col("meta"), "$.status")))
+      Knn.search(corpus, Tables.queryBatch(s, 8),
+        SearchParams(metric = "COSINE", limit = 10,
+          extraFilter = Map("priority" -> "2"), outputFields = Nil))
+    }),
+
     // ---- A3 range search ----
     "q_knn_range" -> ((s, dir) =>
       Knn.search(Tables.ordersCorpus(s, dir), Tables.queryBatch(s, 8),
@@ -303,6 +322,8 @@ object SparkEntry {
     "q_knn_l2"        -> Oracles.knnL2(8, 10),
     "q_knn_ip"        -> Oracles.knnIp(8, 10),
     "q_knn_threshold" -> Oracles.knnThreshold(8, 10, 5, 0.15),
+    "q_knn_round"     -> Oracles.knnRound(8, 10, 5, 0.15, 4),
+    "q_extra_filter"  -> Oracles.extraFilter(8, 10, "2"),
     "q_knn_range"     -> Oracles.knnRange(8, 10, 0.05, 0.3),
     "q_knn_meta"      -> Oracles.knnMeta(8, 10, fetchK = 10, priorityContains = "URGENT"),
     "q_knn_text"      -> Oracles.knnText(4, 10, 10,
