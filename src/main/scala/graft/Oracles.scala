@@ -501,13 +501,14 @@ object Oracles {
       val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString("\n            ")
+    val scoreCols = langs.map(l => s"s_$l").mkString(", ")
     s"""WITH $toksp,
        |scored AS (
        |  SELECT d.doc_id,
        |         $scores
        |  FROM documents d LEFT JOIN toksp t USING (doc_id)
        |  GROUP BY d.doc_id)
-       |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+       |SELECT doc_id, $scoreCols,
        |       CASE $cases
        |            ELSE '${langs.last}' END AS pred_lang
        |FROM scored""".stripMargin

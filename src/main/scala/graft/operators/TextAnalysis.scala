@@ -10,15 +10,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Disjoint marker-word sets per language for the n-gram/keyword heuristic.
-    * Tie-break: first match in alphabetical lang order wins (de en es fr zh).
+  /** Function-word profiles per language — the classic stopword-profile
+    * language-ID heuristic (public knowledge: score a document by how many of
+    * its tokens are closed-class function words of each language; function
+    * words are frequent and language-specific, so the argmax is a robust LID
+    * for latin-script text). Sets may overlap across languages (e.g. "la" in
+    * fr/es) — that is inherent to the method, and both engines score it the
+    * same way. Tie-break: first language in alphabetical order wins
+    * (de en es fr it).
     */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("table", "window", "batch"),
-    "en" -> Seq("the", "a", "fast", "slow"),
-    "es" -> Seq("data", "vector", "query"),
-    "fr" -> Seq("merge", "join", "filter"),
-    "zh" -> Seq("spark", "hash", "stream"))
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit",
+      "auf", "sich", "auch", "werden"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it",
+      "for", "with", "was", "this"),
+    "es" -> Seq("el", "los", "las", "una", "por", "como", "pero", "sus",
+      "este", "entre", "cuando", "muy"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "qui", "pas",
+      "sur", "avec", "une", "mais"),
+    "it" -> Seq("il", "che", "di", "non", "per", "sono", "con", "del",
+      "come", "anche", "della", "questo"))
 
   private def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))

@@ -173,6 +173,21 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(l1 == l2)
   }
+
+  test("langId identifies real sentences in each profiled language") {
+    val samples = Seq(
+      0L -> ("en", "the quick brown fox jumped over the lazy dog and it was fast"),
+      1L -> ("de", "der schnelle braune fuchs sprang und die hunde waren nicht schnell mit ihm"),
+      2L -> ("fr", "le renard brun saute dans le jardin pour chasser les poules avec une ruse"),
+      3L -> ("es", "el zorro salta por el jardin pero los perros duermen entre las flores"),
+      4L -> ("it", "il gatto dorme che non vuole giocare per ore con il cane della casa"))
+    val docs = samples.map { case (id, (_, t)) => (id, t) }.toDF("doc_id", "text")
+    val pred = TextAnalysis.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    samples.foreach { case (id, (want, _)) =>
+      assert(pred(id) == want, s"doc $id: predicted ${pred(id)}, want $want")
+    }
+  }
 }
 
 class SaltingSpec extends SparkSpec {
