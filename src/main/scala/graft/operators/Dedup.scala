@@ -42,15 +42,20 @@ object Dedup {
 
   /** 3-token shingle ids: (doc_id, shingle BIGINT). Polynomial combine of the
     * three token codes mod P, matching the oracle's expression exactly.
+    * `lead(term, 1/2)` over the per-doc position window assembles each
+    * 3-gram in ONE shuffle (partition by doc_id) — vs three position
+    * self-joins; a document's tokens always fit one window partition.
     */
   def shingles(docs: DataFrame): DataFrame = {
-    val t = tokenTable(docs)
-    val (a, b, c) = (t.as("a"), t.as("b"), t.as("c"))
-    a.join(b, col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .join(c, col("a.doc_id") === col("c.doc_id") && col("c.pos") === col("a.pos") + 2)
-      .select(col("a.doc_id").as("doc_id"),
-        (((Text.tokenCode(col("a.term")) % P) * 131 + Text.tokenCode(col("b.term")) % P) % P * 131
-          + Text.tokenCode(col("c.term")) % P) % P).toDF("doc_id", "shingle")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    tokenTable(docs)
+      .withColumn("t2", lead("term", 1).over(w))
+      .withColumn("t3", lead("term", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        ((((Text.tokenCode(col("term")) % P) * 131 + Text.tokenCode(col("t2")) % P) % P * 131
+          + Text.tokenCode(col("t3")) % P) % P).as("shingle"))
   }
 
   private def hashCols: Seq[Column] = (0 until NumHashes).map { j =>
