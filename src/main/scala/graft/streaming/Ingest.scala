@@ -1,9 +1,10 @@
 package graft.streaming
 
-import graft.operators.Upsert
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.nio.file.{Files, Path, Paths}
 
 /** Structured-Streaming ingest — the streaming extension of the reference's
   * buffered insert + flush cycle (SURVEY §2.8: the reference itself is batch
@@ -11,8 +12,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * `readStream → validate → foreachBatch(MERGE into parquet table)`: each
   * micro-batch is an upsert-by-key commit, i.e. the reference's auto-flush
-  * threshold becomes the micro-batch trigger. On a cluster the sink would be
-  * Delta `MERGE`; here the same anti-join ∪ batch plan writes parquet.
+  * threshold becomes the micro-batch trigger.
+  *
+  * Scale shape: the table lives in a hash-bucketed layout (`_bucket =
+  * pmod(xxhash64(key), n)` directory partitions, as [[graft.sources.Layout]])
+  * and a micro-batch commit reads and rewrites ONLY the buckets its keys hash
+  * to — cost per trigger is O(batch + touched buckets), independent of table
+  * size, instead of a full-table rewrite per second. Untouched bucket files
+  * are byte-identical across a commit (spec-asserted). On a cluster the sink
+  * would be Delta `MERGE` with the same bucketing.
   */
 object Ingest {
 
@@ -20,22 +28,25 @@ object Ingest {
     * plus the payload columns. Returns the running query (caller stops it).
     */
   def start(spark: SparkSession, stream: DataFrame, tablePath: String,
-      key: String = "key", checkpoint: Option[String] = None): StreamingQuery = {
+      key: String = "key", checkpoint: Option[String] = None,
+      nBuckets: Int = 16): StreamingQuery = {
     val writer = stream.writeStream
       .outputMode("update")
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        mergeIntoParquet(spark, batch.toDF(), tablePath, key)
+        mergeIntoParquet(spark, batch.toDF(), tablePath, key, nBuckets)
       }
     checkpoint.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
   }
 
-  /** One micro-batch commit: read current table (if any), MERGE, atomic swap.
-    * Duplicate keys inside a micro-batch keep the latest row (max by a
-    * monotonic `seq` column when present, else arbitrary-but-single).
+  /** One micro-batch commit: bucket the batch, read ONLY the touched bucket
+    * partitions of the current table, anti-join ∪ batch, rewrite ONLY those
+    * bucket directories (atomic per-directory swap). Duplicate keys inside a
+    * micro-batch keep the latest row (max by a monotonic `seq` column when
+    * present, else arbitrary-but-single).
     */
   def mergeIntoParquet(spark: SparkSession, batch: DataFrame, tablePath: String,
-      key: String): Unit = synchronized {
+      key: String, nBuckets: Int = 16): Unit = synchronized {
     if (batch.isEmpty) return
     val deduped =
       if (batch.columns.contains("seq")) {
@@ -43,16 +54,42 @@ object Ingest {
           .partitionBy(col(key)).orderBy(col("seq").desc)
         batch.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
       } else batch.dropDuplicates(key)
-    val dir = java.nio.file.Paths.get(tablePath)
-    val merged =
-      if (java.nio.file.Files.exists(dir))
-        Upsert.merge(spark.read.parquet(tablePath), deduped, key)
-      else deduped
-    val tmp = dir.resolveSibling(dir.getFileName.toString + "_tmp_" + System.nanoTime())
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val old = dir.resolveSibling(dir.getFileName.toString + "_old_" + System.nanoTime())
-    if (java.nio.file.Files.exists(dir)) java.nio.file.Files.move(dir, old)
-    java.nio.file.Files.move(tmp, dir)
-    if (java.nio.file.Files.exists(old)) graft.sources.VectorStoreCatalog.deleteRec(old)
+    // int _bucket to match parquet partition-directory type inference
+    val withB = deduped.withColumn("_bucket",
+      pmod(xxhash64(col(key).cast("string")), lit(nBuckets.toLong)).cast("int"))
+
+    val dir = Paths.get(tablePath)
+    if (!Files.exists(dir)) {
+      val tmp = tmpSibling(dir)
+      withB.write.mode("overwrite").partitionBy("_bucket").parquet(tmp.toString)
+      Files.createDirectories(dir.getParent)
+      Files.move(tmp, dir)
+    } else {
+      val touched = withB.select("_bucket").distinct().collect()
+        .map(_.getInt(0)).toIndexedSeq
+      // partition-pruned slice: only the touched buckets' files are read
+      val slice = spark.read.parquet(tablePath)
+        .filter(col("_bucket").isin(touched: _*))
+      val merged = slice.join(withB.select(key), Seq(key), "left_anti")
+        .unionByName(withB.select(slice.columns.map(col).toSeq: _*))
+      val tmp = tmpSibling(dir)
+      merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp.toString)
+      touched.foreach { b =>
+        swapDir(tmp.resolve(s"_bucket=$b"), dir.resolve(s"_bucket=$b"))
+      }
+      graft.sources.VectorStoreCatalog.deleteRec(tmp)
+    }
+    spark.catalog.refreshByPath(tablePath)
+  }
+
+  private def tmpSibling(dir: Path): Path =
+    dir.resolveSibling(dir.getFileName.toString + "_tmp_" + System.nanoTime())
+
+  /** Replace `target` with `src` (either may be absent). */
+  private def swapDir(src: Path, target: Path): Unit = {
+    val old = target.resolveSibling(target.getFileName.toString + "_old_" + System.nanoTime())
+    if (Files.exists(target)) Files.move(target, old)
+    if (Files.exists(src)) Files.move(src, target)
+    if (Files.exists(old)) graft.sources.VectorStoreCatalog.deleteRec(old)
   }
 }

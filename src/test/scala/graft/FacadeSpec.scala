@@ -116,6 +116,39 @@ class StreamingSpec extends SparkSpec {
       assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c2"))
     } finally q.stop()
   }
+
+  test("micro-batch commit rewrites only the buckets it touches") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_stream_b").resolve("tbl")
+    def bucketOf(k: Long): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(k.toString)), lit(16L)).cast("int")).head.getInt(0)
+    def snapshot(): Map[String, Long] =
+      Files.walk(dir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => dir.relativize(p).toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+
+    // seed: 20 keys spread across buckets
+    Ingest.mergeIntoParquet(spark,
+      (0L until 20L).map(i => (i, s"v$i", 1L)).toDF("key", "v", "seq"),
+      dir.toString, "key")
+    val before = snapshot()
+
+    // second commit touches exactly one key's bucket
+    Ingest.mergeIntoParquet(spark,
+      Seq((7L, "V7", 2L)).toDF("key", "v", "seq"), dir.toString, "key")
+    val after = snapshot()
+    val b7 = bucketOf(7L)
+    val untouched = before.keySet.filterNot(_.contains(s"_bucket=$b7"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { p =>
+      assert(after.get(p) == before.get(p), s"untouched bucket file rewritten: $p")
+    }
+    // and the merge is correct
+    val out = spark.read.parquet(dir.toString).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[String]("v")).toMap
+    assert(out(7L) == "V7" && out(0L) == "v0" && out.size == 20)
+  }
 }
 
 class StreamingWindowSpec extends SparkSpec {
