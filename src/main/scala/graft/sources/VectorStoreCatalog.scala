@@ -195,7 +195,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv")),
         idx.centroids, idx.metric)
-      assigned.write.mode(SaveMode.Append).partitionBy("centroid_id")
+      // an SQ8 index stores byte codes — encode the batch with the stored
+      // per-dim params so the appended rows match the persisted shape
+      val toAppend = sq8Params(tenant, model) match {
+        case Some((mins, scales)) =>
+          Ivf.sq8Codes(assigned, mins, scales).select("centroid_id", "doc_id", "codes")
+        case None => assigned
+      }
+      toAppend.write.mode(SaveMode.Append).partitionBy("centroid_id")
         .parquet(indexDir(tenant, model).resolve("clustered").toString)
       spark.catalog.refreshByPath(indexDir(tenant, model).resolve("clustered").toString)
     }
@@ -333,8 +340,20 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def persistIndex(tenant: String, model: String): Unit = {
     val idx = buildIndex(tenant, model)
     val d = indexDir(tenant, model)
-    idx.clustered.write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
-      .parquet(d.resolve("clustered").toString)
+    // D3 index_type actually changes the build: IVF_SQ8 stores per-component
+    // byte codes (8x smaller clustered table) + a tiny per-dim params table;
+    // IVF_FLAT stores raw vectors. (generate_schema_request.py:113-132)
+    if (properties(tenant, model).getOrElse("index_type", "IVF_FLAT") == "IVF_SQ8") {
+      val sq = Ivf.quantizeIndex(idx)
+      sq.clustered.write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
+        .parquet(d.resolve("clustered").toString)
+      import spark.implicits._
+      sq.mins.indices.map(i => (i, sq.mins(i), sq.scales(i)))
+        .toDF("pos", "mn", "scale")
+        .write.mode(SaveMode.Overwrite).parquet(d.resolve("sq8").toString)
+    } else
+      idx.clustered.write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
+        .parquet(d.resolve("clustered").toString)
     idx.centroids.write.mode(SaveMode.Overwrite)
       .parquet(d.resolve("centroids").toString)
     rebuildSparseIndex(tenant, model)
@@ -354,12 +373,31 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def ensureSparseIndex(tenant: String, model: String): Unit =
     if (!sparseIndexExists(tenant, model)) rebuildSparseIndex(tenant, model)
 
+  /** SQ8 per-dim params when the persisted index is IVF_SQ8. */
+  private def sq8Params(tenant: String, model: String): Option[(Seq[Double], Seq[Double])] = {
+    val p = indexDir(tenant, model).resolve("sq8")
+    if (!Files.exists(p)) None
+    else {
+      val rows = spark.read.parquet(p.toString).orderBy("pos").collect()
+      Some((rows.map(_.getDouble(1)).toIndexedSeq, rows.map(_.getDouble(2)).toIndexedSeq))
+    }
+  }
+
+  /** Load the persisted index. An SQ8 index is decoded on read (codes →
+    * approximate dv), so every downstream consumer (probe routing, facade
+    * semi-join, insert absorption) sees the same (centroid_id, doc_id, dv)
+    * shape regardless of index_type.
+    */
   def loadIndex(tenant: String, model: String): Ivf.Index = {
     val d = indexDir(tenant, model)
-    Ivf.Index(
-      spark.read.parquet(d.resolve("centroids").toString),
-      spark.read.parquet(d.resolve("clustered").toString),
-      properties(tenant, model)("metric_type"))
+    val centroids = spark.read.parquet(d.resolve("centroids").toString)
+    val clustered = spark.read.parquet(d.resolve("clustered").toString)
+    val metric = properties(tenant, model)("metric_type")
+    sq8Params(tenant, model) match {
+      case Some((mins, scales)) =>
+        Ivf.decodeSq8(Ivf.Sq8(centroids, clustered, mins, scales, metric))
+      case None => Ivf.Index(centroids, clustered, metric)
+    }
   }
 
   // ---- D6/D7: tenant bootstrap + user/role management (service layer;
