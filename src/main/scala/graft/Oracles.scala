@@ -731,6 +731,24 @@ object Oracles {
       |              (acc, x) -> (acc * 31 + x) % 997) AS BIGINT) AS checksum
       |FROM documents""".stripMargin
 
+  /** Predicted decode of the synthesized BMP/WAV containers (mirror of
+    * [[graft.operators.Multimodal.synthBmp]]/`synthWav` size and header
+    * formulas). The Spark side PARSES real bytes; agreement here proves the
+    * parsers round-trip the containers correctly.
+    */
+  val mediaDecode: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
+      |       CAST(CASE WHEN doc_id % 2 = 0
+      |         THEN 54 + (((4 + doc_id % 13) * 3 + 3) // 4) * 4 * (3 + doc_id % 7)
+      |         ELSE 44 + (16 + doc_id % 32) * (1 + (doc_id // 2) % 2) * 2
+      |       END AS BIGINT) AS n_bytes,
+      |       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 END AS BIGINT) AS width,
+      |       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 END AS BIGINT) AS height,
+      |       CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 5) * 4000 END AS BIGINT) AS sample_rate,
+      |       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + (doc_id // 2) % 2 END AS BIGINT) AS channels
+      |FROM documents""".stripMargin
+
   /** Deterministic split counts per (split, lang). */
   def split(trainFrac: Double, validFrac: Double): String = {
     val trainCut = (trainFrac * 4294967296.0).toLong

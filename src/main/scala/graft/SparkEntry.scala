@@ -272,6 +272,12 @@ object SparkEntry {
       Multimodal.extractFeatures(Tables.load(s, dir, "documents"))
         .select("doc_id", "n_bytes", "first_byte", "checksum")),
 
+    // ---- REAL container decode: synthesized BMP/WAV files parsed by
+    //      genuine header decoders; the oracle predicts the decoded fields
+    //      from the synthesis formulas, so a wrong parser hash-mismatches ----
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.extractMediaFeatures(Tables.load(s, dir, "documents"))),
+
     // ---- gap-based sessionization over the event stream ----
     "q_sessionize" -> ((s, dir) =>
       // DuckDB timestamps are us-precision: compare in microseconds
@@ -363,6 +369,7 @@ object SparkEntry {
       graft.functions.Text.filterWords("the spark join", includeStopWords = true),
       minWords = 2),
     "q_multimodal"    -> Oracles.multimodal,
+    "q_media_decode"  -> Oracles.mediaDecode,
     "q1_agg"          -> Oracles.q1Agg,
     "q_join_agg"      -> Oracles.joinAgg,
     "q_window_top3"   -> Oracles.windowTop3,

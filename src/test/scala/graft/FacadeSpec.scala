@@ -180,6 +180,35 @@ class StreamingWindowSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("BMP/WAV header parsers decode files produced by independent JDK encoders") {
+    // BMP via ImageIO (JDK's own BMP writer — not our synthesizer)
+    val img = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    assert(Multimodal.decodeBmpHeader(bos.toByteArray).map(t => (t._1, t._2))
+      .contains((17, 9)))
+
+    // WAV via javax.sound.sampled (JDK's own WAV writer)
+    val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 2, true, false)
+    val pcm = new Array[Byte](22050 * 2 * 2 / 10)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / fmt.getFrameSize)
+    val wos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wos)
+    assert(Multimodal.decodeWavHeader(wos.toByteArray).contains((22050, 2, 16)))
+
+    // and our own synthesized files round-trip
+    assert(Multimodal.decodeBmpHeader(Multimodal.synthBmp(6L))
+      .contains((10, 9, 24))) // w = 4+6%13 = 10, h = 3+6%7 = 9
+    assert(Multimodal.decodeWavHeader(Multimodal.synthWav(7L))
+      .contains((16000, 2, 16))) // rate = 8000+(7%5)*4000, ch = 1+(7/2)%2
+    // garbage is rejected, not misparsed
+    assert(Multimodal.decodeBmpHeader("not a bitmap at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWavHeader(Multimodal.synthBmp(2L)).isEmpty)
+  }
+
   test("binary payload plumbing produces deterministic stub features") {
     val docs = Seq((7L, "abc"), (8L, "")).toDF("doc_id", "text")
     val f = Multimodal.extractFeatures(docs).collect()
