@@ -98,6 +98,24 @@ object Bm25 {
       .withColumn("wScaled", round(col("w") * Scale, 0).cast("long"))
       .select("doc_id", "term", "w", "wScaled")
 
+  /** Candidate scoring shared by the search entry points: the broadcast
+    * query-term join runs FIRST, against the raw tf table, so the BM25
+    * weight formula is evaluated only for (candidate doc, query term) rows.
+    * (Joining `postings(m)` with the query terms instead would compute
+    * weights for the whole corpus first — Catalyst does not reorder inner
+    * joins through the projection, so the order here IS the plan.) docLen
+    * and termDf attach after the filter; at 100 TB tf and docLen share the
+    * doc_id bucketing so that join co-locates.
+    */
+  private def scoredCandidates(m: Model, qTerms: DataFrame): DataFrame =
+    m.tf.join(broadcast(qTerms), "term")
+      .join(m.docLen, "doc_id")
+      .join(broadcast(m.termDf.join(broadcast(qTerms.select("term").distinct()), "term")), "term")
+      .crossJoin(broadcast(m.global))
+      .withColumn("wScaled", round(weight * Scale, 0).cast("long"))
+      .groupBy("qid", "doc_id")
+      .agg((sum("wScaled").cast("double") / Scale).as("score"))
+
   /** Sparse top-k (A2): score docs against `queries` = (qid, text) pairs.
     * Query analysis matches document analysis (same tokenizer); duplicate
     * query terms count once (set semantics, as pymilvus query encoding).
@@ -111,11 +129,7 @@ object Bm25 {
         text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.map(qid -> _)
       }
       .toDF("qid", "term")
-    val scored = postings(m)
-      .join(broadcast(qTerms), "term")
-      .groupBy("qid", "doc_id")
-      .agg((sum("wScaled").cast("double") / Scale).as("score"))
-    TopK.perKey(scored, "qid", "score", "doc_id", k)
+    TopK.perKey(scoredCandidates(m, qTerms), "qid", "score", "doc_id", k)
       .select("qid", "rank", "doc_id", "score")
   }
 
@@ -127,11 +141,7 @@ object Bm25 {
   def searchTopKDf(m: Model, queries: DataFrame, k: Int): DataFrame = {
     val qTerms = queries.select(col("qid"),
       explode(array_distinct(Text.tokens(col("text")))).as("term"))
-    val scored = postings(m)
-      .join(broadcast(qTerms), "term")
-      .groupBy("qid", "doc_id")
-      .agg((sum("wScaled").cast("double") / Scale).as("score"))
-    TopK.perKey(scored, "qid", "score", "doc_id", k)
+    TopK.perKey(scoredCandidates(m, qTerms), "qid", "score", "doc_id", k)
       .select("qid", "rank", "doc_id", "score")
   }
 

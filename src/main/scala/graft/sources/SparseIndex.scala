@@ -34,11 +34,16 @@ object SparseIndex {
   private def bucketOf(docId: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(docId, lit(nBuckets.toLong))
 
-  /** Write a full model (initial build / rebuild). */
+  /** Write a full model (initial build / rebuild). One file per bucket
+    * (repartition on the bucket key before the partitioned write), so reads
+    * are not dominated by per-file overhead.
+    */
   def write(m: Bm25.Model, dir: String, nBuckets: Int = 16): Unit = {
     m.tf.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets))
+      .repartition(col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(s"$dir/tf")
     m.docLen.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets))
+      .repartition(col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(s"$dir/doclen")
     m.termDf.write.mode(SaveMode.Overwrite).parquet(s"$dir/termdf")
     m.global.write.mode(SaveMode.Overwrite).parquet(s"$dir/global")
@@ -126,7 +131,8 @@ object SparseIndex {
   private def writeTmp(df: DataFrame, base: Path, name: String,
       partitioned: Boolean): Path = {
     val tmp = base.resolve(s"${name}_tmp_" + System.nanoTime())
-    val w = df.write.mode(SaveMode.Overwrite)
+    val d = if (partitioned) df.repartition(col("_bucket")) else df
+    val w = d.write.mode(SaveMode.Overwrite)
     (if (partitioned) w.partitionBy("_bucket") else w).parquet(tmp.toString)
     tmp
   }

@@ -343,16 +343,20 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // D3 index_type actually changes the build: IVF_SQ8 stores per-component
     // byte codes (8x smaller clustered table) + a tiny per-dim params table;
     // IVF_FLAT stores raw vectors. (generate_schema_request.py:113-132)
+    // repartition by the partition column first: one file per cell, not
+    // (shuffle partitions × cells) tiny files — probe reads stay file-bound
     if (properties(tenant, model).getOrElse("index_type", "IVF_FLAT") == "IVF_SQ8") {
       val sq = Ivf.quantizeIndex(idx)
-      sq.clustered.write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
+      sq.clustered.repartition(col("centroid_id"))
+        .write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
         .parquet(d.resolve("clustered").toString)
       import spark.implicits._
       sq.mins.indices.map(i => (i, sq.mins(i), sq.scales(i)))
         .toDF("pos", "mn", "scale")
         .write.mode(SaveMode.Overwrite).parquet(d.resolve("sq8").toString)
     } else
-      idx.clustered.write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
+      idx.clustered.repartition(col("centroid_id"))
+        .write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
         .parquet(d.resolve("clustered").toString)
     idx.centroids.write.mode(SaveMode.Overwrite)
       .parquet(d.resolve("centroids").toString)
