@@ -42,20 +42,25 @@ object Dedup {
 
   /** 3-token shingle ids: (doc_id, shingle BIGINT). Polynomial combine of the
     * three token codes mod P, matching the oracle's expression exactly.
-    * `lead(term, 1/2)` over the per-doc position window assembles each
-    * 3-gram in ONE shuffle (partition by doc_id) — vs three position
-    * self-joins; a document's tokens always fit one window partition.
+    * Shingles are assembled INSIDE the token array (`transform` over a
+    * sliding index) before the explode — ZERO shuffles, fully codegen'd,
+    * versus a window (one shuffle + sort) or position self-joins (three).
     */
   def shingles(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    tokenTable(docs)
-      .withColumn("t2", lead("term", 1).over(w))
-      .withColumn("t3", lead("term", 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"),
-        ((((Text.tokenCode(col("term")) % P) * 131 + Text.tokenCode(col("t2")) % P) % P * 131
-          + Text.tokenCode(col("t3")) % P) % P).as("shingle"))
+    // NB: per-element element_at(cods, i) inside a transform lambda would
+    // re-evaluate the whole token array per OUTPUT element (no subexpression
+    // elimination across lambda scope) — O(n²)/doc. slice + zip_with keeps
+    // every array evaluation per-ROW: O(n)/doc, still zero shuffles.
+    val cods = transform(Text.tokens(col("text")), t => Text.tokenCode(t) % P)
+    val n = size(cods)
+    val sh = when(n >= 3,
+      zip_with(
+        zip_with(slice(cods, lit(1), n - 2), slice(cods, lit(2), n - 2),
+          (x, y) => x * 131 + y),
+        slice(cods, lit(3), n - 2),
+        (xy, z) => (xy % P * 131 + z) % P))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col("doc_id"), explode(sh).as("shingle"))
   }
 
   private def hashCols: Seq[Column] = (0 until NumHashes).map { j =>
