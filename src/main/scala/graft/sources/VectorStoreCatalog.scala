@@ -195,12 +195,16 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv")),
         idx.centroids, idx.metric)
-      // an SQ8 index stores byte codes — encode the batch with the stored
-      // per-dim params so the appended rows match the persisted shape
+      // a quantized index stores codes — encode the batch with the stored
+      // params so the appended rows match the persisted shape
       val toAppend = sq8Params(tenant, model) match {
         case Some((mins, scales)) =>
           Ivf.sq8Codes(assigned, mins, scales).select("centroid_id", "doc_id", "codes")
-        case None => assigned
+        case None => pqCodebooks(tenant, model) match {
+          case Some(cbs) =>
+            Ivf.pqEncode(assigned, cbs).select("centroid_id", "doc_id", "pqcodes")
+          case None => assigned
+        }
       }
       toAppend.write.mode(SaveMode.Append).partitionBy("centroid_id")
         .parquet(indexDir(tenant, model).resolve("clustered").toString)
@@ -345,19 +349,34 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // IVF_FLAT stores raw vectors. (generate_schema_request.py:113-132)
     // repartition by the partition column first: one file per cell, not
     // (shuffle partitions × cells) tiny files — probe reads stay file-bound
-    if (properties(tenant, model).getOrElse("index_type", "IVF_FLAT") == "IVF_SQ8") {
-      val sq = Ivf.quantizeIndex(idx)
-      sq.clustered.repartition(col("centroid_id"))
-        .write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
-        .parquet(d.resolve("clustered").toString)
-      import spark.implicits._
-      sq.mins.indices.map(i => (i, sq.mins(i), sq.scales(i)))
-        .toDF("pos", "mn", "scale")
-        .write.mode(SaveMode.Overwrite).parquet(d.resolve("sq8").toString)
-    } else
-      idx.clustered.repartition(col("centroid_id"))
-        .write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
-        .parquet(d.resolve("clustered").toString)
+    import spark.implicits._
+    properties(tenant, model).getOrElse("index_type", "IVF_FLAT") match {
+      case "IVF_SQ8" =>
+        val sq = Ivf.quantizeIndex(idx)
+        sq.clustered.repartition(col("centroid_id"))
+          .write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
+          .parquet(d.resolve("clustered").toString)
+        sq.mins.indices.map(i => (i, sq.mins(i), sq.scales(i)))
+          .toDF("pos", "mn", "scale")
+          .write.mode(SaveMode.Overwrite).parquet(d.resolve("sq8").toString)
+      case "IVF_PQ" =>
+        val dim = dimension(tenant, model)
+        val mSub = Seq(8, 4, 2, 1).find(dim % _ == 0).get
+        val n = idx.clustered.count()
+        val pq = Ivf.quantizePq(idx, mSub,
+          ksub = math.max(2, math.min(256, (n / 4).toInt)))
+        pq.clustered.repartition(col("centroid_id"))
+          .write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
+          .parquet(d.resolve("clustered").toString)
+        pq.codebooks.zipWithIndex
+          .flatMap { case (cb, m) => cb.zipWithIndex.map { case (c, j) => (m, j, c) } }
+          .toDF("sub", "code", "center")
+          .write.mode(SaveMode.Overwrite).parquet(d.resolve("pq").toString)
+      case _ =>
+        idx.clustered.repartition(col("centroid_id"))
+          .write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
+          .parquet(d.resolve("clustered").toString)
+    }
     idx.centroids.write.mode(SaveMode.Overwrite)
       .parquet(d.resolve("centroids").toString)
     rebuildSparseIndex(tenant, model)
@@ -387,7 +406,19 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     }
   }
 
-  /** Load the persisted index. An SQ8 index is decoded on read (codes →
+  /** PQ codebooks when the persisted index is IVF_PQ. */
+  private def pqCodebooks(tenant: String, model: String): Option[Seq[Seq[Seq[Double]]]] = {
+    val p = indexDir(tenant, model).resolve("pq")
+    if (!Files.exists(p)) None
+    else {
+      val rows = spark.read.parquet(p.toString).orderBy("sub", "code").collect()
+      Some(rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
+      })
+    }
+  }
+
+  /** Load the persisted index. An SQ8/PQ index is decoded on read (codes →
     * approximate dv), so every downstream consumer (probe routing, facade
     * semi-join, insert absorption) sees the same (centroid_id, doc_id, dv)
     * shape regardless of index_type.
@@ -400,7 +431,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     sq8Params(tenant, model) match {
       case Some((mins, scales)) =>
         Ivf.decodeSq8(Ivf.Sq8(centroids, clustered, mins, scales, metric))
-      case None => Ivf.Index(centroids, clustered, metric)
+      case None => pqCodebooks(tenant, model) match {
+        case Some(cbs) => Ivf.decodePq(Ivf.Pq(centroids, clustered, cbs, metric))
+        case None      => Ivf.Index(centroids, clustered, metric)
+      }
     }
   }
 
@@ -434,6 +468,38 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
   def grants(tenant: String, clientId: String): Seq[String] =
     configGet(tenant, s"role.$clientId").map(_.split(",").toSeq).getOrElse(Nil)
+
+  /** Password policy (base_milvus.py:755-783): ≥8 chars with upper, lower,
+    * digit and one special from the reference's set. Returns the violation
+    * message, or None when the password passes.
+    */
+  def validatePasswordPolicy(password: String): Option[String] = {
+    val special = "!@#$%^&*(),.?\":{}|<>"
+    val missing = Seq(
+      (password.length >= 8)             -> "at least 8 characters",
+      password.exists(_.isUpper)         -> "one uppercase letter",
+      password.exists(_.isLower)         -> "one lowercase letter",
+      password.exists(_.isDigit)         -> "one digit",
+      password.exists(special.contains(_)) -> s"one special character ($special)")
+      .collect { case (false, desc) => desc }
+    if (missing.isEmpty) None
+    else Some("Password policy violation - Your password must include: " +
+      missing.mkString(", ") + ".")
+  }
+
+  /** reset password (base_milvus.py:719-832): policy check first, then
+    * old-secret authentication, then the update. Returns (success, message).
+    */
+  def resetPassword(tenant: String, clientId: String, oldSecret: String,
+      newSecret: String): (Boolean, String) =
+    validatePasswordPolicy(newSecret) match {
+      case Some(violation) => (false, violation)
+      case None if !authenticate(tenant, clientId, oldSecret) =>
+        (false, "Authentication failed: The provided password does not match.")
+      case None =>
+        configSet(tenant, s"user.$clientId", newSecret)
+        (true, s"Password successfully reset for $clientId.")
+    }
 
   // ---- D8: tenant-scoped config KV with cache (config_service.py) ----
   private val kvCache = scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]

@@ -100,7 +100,22 @@ class IndexAndUsersSpec extends SparkSpec {
     assert(cat.authenticate("t", id, secret))
     assert(!cat.authenticate("t", id, "wrong"))
     assert(cat.grants("t", id).contains("Search") && cat.grants("t", id).size == 9)
-    cat.dropUser("t", id)
+
+    // password reset: policy first (base_milvus.py:755-783), auth second
+    assert(cat.validatePasswordPolicy("Ok1!pass").isEmpty)
+    assert(cat.validatePasswordPolicy("short1!").exists(_.contains("8 characters")))
+    assert(cat.validatePasswordPolicy("alllower1!").exists(_.contains("uppercase")))
+    assert(cat.validatePasswordPolicy("NoDigits!").exists(_.contains("digit")))
+    assert(cat.validatePasswordPolicy("NoSpecial1").exists(_.contains("special")))
+    val (badPolicy, _) = cat.resetPassword("t", id, secret, "weak")
+    assert(!badPolicy && cat.authenticate("t", id, secret)) // unchanged
+    val (badAuth, _) = cat.resetPassword("t", id, "wrong-old", "Str0ng!pass")
+    assert(!badAuth && cat.authenticate("t", id, secret))
+    val (ok, _) = cat.resetPassword("t", id, secret, "Str0ng!pass")
+    assert(ok && cat.authenticate("t", id, "Str0ng!pass"))
     assert(!cat.authenticate("t", id, secret))
+
+    cat.dropUser("t", id)
+    assert(!cat.authenticate("t", id, "Str0ng!pass"))
   }
 }

@@ -43,6 +43,54 @@ class Sq8Spec extends SparkSpec {
     assert(dec <= maxScale * 0.5 + 1e-9, s"decode error $dec > half-step ${maxScale * 0.5}")
   }
 
+  test("PQ probe recall is reasonable and codes are mSub small ints") {
+    val corpus  = Tables.ordersCorpus(spark, Sf).select("doc_id", "dv")
+    val queries = Tables.queryBatch(spark, 8)
+    val exact = Knn.search(corpus, queries,
+      SearchParams(metric = "COSINE", limit = 10, outputFields = Nil))
+
+    val flat = Ivf.build(corpus, nlist = 8, metric = "COSINE")
+    val pq = Ivf.quantizePq(flat, mSub = 8, ksub = 64)
+    assert(pq.mSub == 8 && pq.dsub == 8)
+    val codes = pq.clustered.select(explode(col("pqcodes"))).collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c < 64))
+
+    // 8-byte codes for 64-dim vectors: recall floor is loose by design
+    val rPq = Ivf.recallVsExact(Ivf.probePq(pq, queries, nprobe = 8, k = 10), exact)
+    assert(rPq >= 0.4, s"PQ recall $rPq unreasonably low")
+
+    // decode reconstructs each subvector to its codebook center exactly
+    val dec = Ivf.decodePq(pq).clustered.select(size(col("dv"))).head.getInt(0)
+    assert(dec == 64)
+  }
+
+  test("index_type=IVF_PQ round-trips through the catalog; inserts stay searchable") {
+    val base = Files.createTempDirectory("graft_pq")
+    val cat = new VectorStoreCatalog(spark, base.toString)
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
+      indexType = "IVF_PQ"))
+    cat.insert("t", "m", (0 until 90).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
+    cat.persistIndex("t", "m")
+
+    val tableDir = base.resolve(cat.dbName("t")).resolve(cat.tableName("t", "m"))
+    val stored = spark.read.parquet(tableDir.resolve("index/clustered").toString)
+    assert(stored.columns.contains("pqcodes") && !stored.columns.contains("dv"))
+    assert(java.nio.file.Files.exists(tableDir.resolve("index/pq")))
+
+    // search routes through the decoded PQ index; full probe still finds all
+    val hit = cat.search(SearchRequest("t", "m", vec(17), limit = 5, nprobe = 4))
+    assert(hit.success && hit.data.head.content == "chunk 17")
+
+    // post-build insert is PQ-encoded + appended and searchable
+    cat.insert("t", "m", Seq(
+      EmbeddedVector("new1", "fresh chunk", "m", Map(), vec(95))))
+    val fresh = cat.search(SearchRequest("t", "m", vec(95), limit = 3, nprobe = 4))
+    assert(fresh.success && fresh.data.head.content == "fresh chunk")
+  }
+
   test("index_type=IVF_SQ8 changes the persisted build; inserts stay searchable") {
     val base = Files.createTempDirectory("graft_sq8")
     val cat = new VectorStoreCatalog(spark, base.toString)
