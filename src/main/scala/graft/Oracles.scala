@@ -749,6 +749,66 @@ object Oracles {
       |       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + (doc_id // 2) % 2 END AS BIGINT) AS channels
       |FROM documents""".stripMargin
 
+  /** n-token shingle CTE via lead() windows (requires toksp) — the oracle
+    * side of [[graft.operators.Dedup.shinglesN]]: same polynomial fold with
+    * mod-P after every multiply-add past the first.
+    */
+  def shinglesNCte(n: Int): String = {
+    val P = graft.operators.Dedup.P
+    val leads = (1 until n).map(k => s"lead(term, $k) OVER w AS t$k")
+      .mkString(",\n           ")
+    def c(k: Int) = s"(${Text.tokenCodeSql(s"t$k")} % $P)"
+    var acc = s"(${c(0)} * 131 + ${c(1)})"
+    for (k <- 2 until n) acc = s"(($acc % $P) * 131 + ${c(k)})"
+    s"""shn AS (
+       |  SELECT doc_id, (($acc) % $P) AS shingle FROM (
+       |    SELECT doc_id, term AS t0,
+       |           $leads
+       |    FROM toksp WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE t${n - 1} IS NOT NULL)""".stripMargin
+  }
+
+  /** Cross-doc 8-gram duplication per doc (mirror of Dedup.ngramOverlap). */
+  def ngramOverlap(n: Int): String =
+    s"""WITH $toksp, ${shinglesNCte(n)},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM shn),
+       |xdoc AS (SELECT shingle FROM shd GROUP BY shingle HAVING COUNT(*) > 1),
+       |per AS (SELECT doc_id, COUNT(*) AS n_grams FROM shn GROUP BY doc_id),
+       |dup AS (SELECT s.doc_id, COUNT(*) AS n_dup
+       |        FROM shn s JOIN xdoc USING (shingle) GROUP BY s.doc_id)
+       |SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+       |       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+       |       CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / p.n_grams AS dup_frac
+       |FROM per p LEFT JOIN dup d USING (doc_id)""".stripMargin
+
+  /** Intra-doc max 3-gram repetition share (mirror of Dedup.repetition). */
+  val repetition: String =
+    s"""WITH $toksp, $shinglesCte,
+       |pc AS (SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+       |       CAST(MAX(c) AS BIGINT) AS max_rep,
+       |       CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio
+       |FROM pc GROUP BY doc_id""".stripMargin
+
+  /** PII scrub counts + redacted length over deterministically injected
+    * email/phone strings (regex constants shared with TextAnalysis).
+    */
+  val piiScrub: String = {
+    val em = graft.operators.TextAnalysis.EmailRe
+    val ph = graft.operators.TextAnalysis.PhoneRe
+    s"""WITH pii AS (
+       |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or call 555-' ||
+       |         lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |         lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones,
+       |  CAST(length(regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
+       |       '$ph', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+       |FROM pii""".stripMargin
+  }
+
   /** Deterministic split counts per (split, lang). */
   def split(trainFrac: Double, validFrac: Double): String = {
     val trainCut = (trainFrac * 4294967296.0).toLong

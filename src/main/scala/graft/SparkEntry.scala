@@ -172,6 +172,25 @@ object SparkEntry {
     }),
     "q_curation" -> ((s, dir) =>
       TextAnalysis.curate(Tables.load(s, dir, "documents"), 0.5)),
+
+    // ---- span-level cross-doc duplication (8-gram overlap, Lee et al.) ----
+    "q_ngram_overlap" -> ((s, dir) =>
+      Dedup.ngramOverlap(Tables.load(s, dir, "documents"), n = 8)),
+
+    // ---- intra-doc repetition ratio (Gopher-style quality signal) ----
+    "q_repetition" -> ((s, dir) =>
+      Dedup.repetition(Tables.load(s, dir, "documents"))),
+
+    // ---- PII scrub: deterministic synthetic PII injected, then counted
+    //      and redacted (regex parity Spark <-> DuckDB) ----
+    "q_pii_scrub" -> ((s, dir) => {
+      val withPii = Tables.load(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or call "),
+          lit("555-"), lpad((col("doc_id") * 7 % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("doc_id") * 13 % 10000).cast("string"), 4, "0")))
+      TextAnalysis.scrubPii(withPii).drop("clean")
+    }),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents"))),
 
@@ -355,6 +374,9 @@ object SparkEntry {
     "q_len_hist"      -> Oracles.lenHist,
     "q_contamination" -> Oracles.contamination(0.8, 0.1),
     "q_curation"      -> Oracles.curate(0.5),
+    "q_ngram_overlap" -> Oracles.ngramOverlap(8),
+    "q_repetition"    -> Oracles.repetition,
+    "q_pii_scrub"     -> Oracles.piiScrub,
     "q_fingerprint"   -> Oracles.fingerprint,
     "q_upsert"        -> Oracles.upsert,
     "q_ivf_knn"       -> Oracles.ivfKnn(8, 16, 4, 10),

@@ -46,22 +46,58 @@ object Dedup {
     * sliding index) before the explode — ZERO shuffles, fully codegen'd,
     * versus a window (one shuffle + sort) or position self-joins (three).
     */
-  def shingles(docs: DataFrame): DataFrame = {
-    // NB: per-element element_at(cods, i) inside a transform lambda would
-    // re-evaluate the whole token array per OUTPUT element (no subexpression
-    // elimination across lambda scope) — O(n²)/doc. slice + zip_with keeps
-    // every array evaluation per-ROW: O(n)/doc, still zero shuffles.
+  def shingles(docs: DataFrame): DataFrame = shinglesN(docs, 3)
+
+  /** n-token shingle ids, generalized (polynomial fold of token codes with
+    * a mod-P after every multiply-add past the first).
+    * NB: per-element element_at(cods, i) inside a transform lambda would
+    * re-evaluate the whole token array per OUTPUT element (no subexpression
+    * elimination across lambda scope) — O(len²)/doc. slice + zip_with keeps
+    * every array evaluation per-ROW: O(len)/doc, still zero shuffles.
+    */
+  def shinglesN(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "shingle size >= 2")
     val cods = transform(Text.tokens(col("text")), t => Text.tokenCode(t) % P)
-    val n = size(cods)
-    val sh = when(n >= 3,
-      zip_with(
-        zip_with(slice(cods, lit(1), n - 2), slice(cods, lit(2), n - 2),
-          (x, y) => x * 131 + y),
-        slice(cods, lit(3), n - 2),
-        (xy, z) => (xy % P * 131 + z) % P))
+    val len = size(cods) - (n - 1)
+    var acc = slice(cods, lit(1), len)
+    for (k <- 2 to n) {
+      val ck = slice(cods, lit(k), len)
+      acc = if (k == 2) zip_with(acc, ck, (a, c) => a * 131 + c)
+            else        zip_with(acc, ck, (a, c) => a % P * 131 + c)
+    }
+    val sh = when(size(cods) >= n, transform(acc, a => a % P))
       .otherwise(array().cast("array<bigint>"))
     docs.select(col("doc_id"), explode(sh).as("shingle"))
   }
+
+  /** Cross-document n-gram duplication (the span-level dedup signal of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    * 2022): per doc, the fraction of its n-grams that occur in ≥1 OTHER
+    * document. Joins are keyed on the shingle id — never doc×doc.
+    */
+  def ngramOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh  = shinglesN(docs, n)
+    val shd = sh.distinct()
+    val crossDoc = shd.groupBy("shingle")
+      .agg(count(lit(1)).as("ndocs")).filter(col("ndocs") > 1)
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dup = sh.join(crossDoc.select("shingle"), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams")).as("dup_frac"))
+  }
+
+  /** Intra-document repetition (a Gopher-style quality signal, Rae et al.
+    * 2021): the most-repeated 3-gram's share of all 3-grams in the doc.
+    * Two keyed aggregations, map-side combinable.
+    */
+  def repetition(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_grams"), max("c").as("max_rep"))
+      .select(col("doc_id"), col("n_grams"), col("max_rep"),
+        (col("max_rep").cast("double") / col("n_grams")).as("rep_ratio"))
 
   private def hashCols: Seq[Column] = (0 until NumHashes).map { j =>
     val a = 104729L * (j + 1) % P

@@ -127,4 +127,26 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     Dedup.tokenTable(docs).groupBy("doc_id")
       .agg((sum(col("pos") * Text.tokenCode(col("term"))) + count(lit(1))).as("fp"))
+
+  /** PII patterns shared with the oracle — deliberately simple regexes that
+    * mean the same thing in Java and RE2 (no lookaround, no backrefs).
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scrubbing (standard training-data hygiene pass): count and redact
+    * email addresses and phone numbers. Pure regexp column ops — codegen'd,
+    * no UDFs, embarrassingly parallel. Returns doc_id, n_emails, n_phones,
+    * clean (redacted text), clean_len.
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val clean = regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      clean.as("clean"),
+      length(clean).cast("long").as("clean_len"))
+  }
 }
