@@ -218,14 +218,37 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   }
 
   /** S3: flush/OPTIMIZE hook — parquet writes are already atomic commits
-    * here, so flush compacts small files within the bucketed layout (the
-    * reference's flush persists Milvus segments, vector_store.py:406-426).
+    * here, so flush is a small-file COMPACTION, restricted to buckets that
+    * have actually fragmented (> `FlushMaxFilesPerBucket` files). Auto-flush
+    * fires per ≥100-row insert, so this must stay O(fragmented buckets),
+    * never a full-table rewrite. (The reference's flush persists Milvus
+    * segments, vector_store.py:406-426.)
     */
+  val FlushMaxFilesPerBucket = 4
+
   def flush(tenant: String, model: String): Unit = {
-    val df = loadRaw(tenant, model)
-    val touched = df.select("_bucket").distinct().collect().map(_.getLong(0)).toIndexedSeq
-    if (touched.nonEmpty)
-      replaceBuckets(tenant, model, df.repartition(touched.size, col("_bucket")), touched)
+    val d = dataDir(tenant, model)
+    if (!Files.exists(d)) return
+    // file count per bucket id across all part= dirs (local listing; on a
+    // cluster this is the table-format's file statistics)
+    val counts = scala.collection.mutable.Map.empty[Long, Int]
+    for {
+      partDir <- listDirs(d)
+      bDir <- listDirs(partDir)
+      name = bDir.getFileName.toString if name.startsWith("_bucket=")
+    } {
+      val b = name.stripPrefix("_bucket=").toLong
+      val n = Files.list(bDir).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      counts(b) = counts.getOrElse(b, 0) + n
+    }
+    val fragmented = counts.collect {
+      case (b, n) if n > FlushMaxFilesPerBucket => b
+    }.toIndexedSeq
+    if (fragmented.nonEmpty) {
+      val slice = loadRaw(tenant, model).filter(col("_bucket").isin(fragmented: _*))
+      replaceBuckets(tenant, model, slice, fragmented)
+    }
   }
 
   // ---- search facade (milvus_helper.search_embedded_data analogue) ----
@@ -581,7 +604,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       touched: Seq[Long]): Unit = {
     val target = dataDir(tenant, model)
     val tmp = target.resolveSibling("data_tmp_" + System.nanoTime())
-    df.write.mode(SaveMode.Overwrite).partitionBy("part", "_bucket").parquet(tmp.toString)
+    // one file per (part, bucket) dir: keeps bucket dirs compact by
+    // construction, so flush-compaction is normally a no-op
+    df.repartition(col("part"), col("_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part", "_bucket").parquet(tmp.toString)
     if (!Files.exists(target)) {
       Files.move(tmp, target)
     } else {

@@ -110,6 +110,33 @@ class PersistedIndexSpec extends SparkSpec {
     assert(cat.load("t", "m").count() == 40)
   }
 
+  test("auto-flush compacts only fragmented buckets; clean flush is a no-op") {
+    val base = Files.createTempDirectory("graft_flush")
+    val cat = new VectorStoreCatalog(spark, base.toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
+    // 120 rows >= AutoFlushMinBatch -> insert runs flush once at the end
+    cat.insert("t", "m", (0 until 120).map(i =>
+      EmbeddedVector(s"k$i", s"words doc$i", "m", Map(), vec(i))))
+    val tableDir = base.resolve(cat.dbName("t")).resolve(cat.tableName("t", "m"))
+    assert(cat.load("t", "m").count() == 120)
+
+    // bucket dirs are compact by construction (one file per bucket dir)
+    val bucketDirs = Files.walk(tableDir.resolve("data")).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_bucket="))
+      .toSeq
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { b =>
+      val n = Files.list(b).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(n <= cat.FlushMaxFilesPerBucket, s"$b fragmented: $n files")
+    }
+
+    // flush on a compact table rewrites nothing
+    val before = snapshot(tableDir.resolve("data"))
+    cat.flush("t", "m")
+    assert(snapshot(tableDir.resolve("data")) == before, "clean flush rewrote files")
+  }
+
   test("incremental SparseIndex.upsert equals a from-scratch refit") {
     import spark.implicits._
     val docsA = (0L until 50L).map(i => (i, s"alpha beta doc$i common")).toDF("doc_id", "text")
