@@ -41,6 +41,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), "queries must broadcast")
   }
 
+  test("shingle generation is shuffle-free (no Exchange below the first aggregate)") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c d e f g h i")).toDF("doc_id", "text")
+    // shingles themselves: scan -> project/explode only, zero exchanges
+    val p = plan(Dedup.shingles(docs))
+    assert(!p.contains("Exchange"), s"shingles plan shuffles:\n$p")
+    // and the whole minhash signature needs exactly ONE shuffle (the groupBy)
+    val pSig = plan(Dedup.minhashSignatures(docs))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(pSig).length
+    assert(exchanges == 1, s"minhash should shuffle once, saw $exchanges")
+  }
+
+  test("BM25 search joins query terms before computing weights (broadcast first)") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"alpha beta doc$i")).toDF("doc_id", "text")
+    val p = plan(Bm25.searchTopK(Bm25.fit(docs), Seq(0L -> "alpha doc3"), 5))
+    // the query-term join must be a broadcast, and no sort-merge join may
+    // process the full postings before that filter
+    assert(p.contains("BroadcastHashJoin"), "query-term join must broadcast")
+  }
+
   test("persisted IVF probe prunes partitions (centroid_id IN pushed to scan)") {
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_prune").toString)

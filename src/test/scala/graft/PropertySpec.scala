@@ -62,6 +62,36 @@ class PropertySpec extends SparkSpec {
     val b = run("window").collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("pipeline-op invariants: scrub idempotent, ratios bounded, shingle sizes") {
+    import spark.implicits._
+    val docs = Tables.load(spark, Sf, "documents")
+
+    // scrubPii is idempotent: scrubbing clean text changes nothing
+    val withPii = docs.limit(50).withColumn("text",
+      concat(col("text"), lit(" user"), col("doc_id"), lit("@example.com 555-123-4567")))
+    val once = TextAnalysis.scrubPii(withPii)
+    val twice = TextAnalysis.scrubPii(once.select(col("doc_id"), col("clean").as("text")))
+    assert(twice.filter(col("n_emails") > 0 || col("n_phones") > 0).count() == 0)
+    assert(once.filter(col("n_emails") === 0).count() == 0)
+
+    // dup_frac and rep_ratio live in [0, 1]; n_dup <= n_grams; max_rep <= n_grams
+    val ov = Dedup.ngramOverlap(docs.limit(100), n = 8)
+    assert(ov.filter(col("dup_frac") < 0 || col("dup_frac") > 1 ||
+      col("n_dup") > col("n_grams")).count() == 0)
+    val rep = Dedup.repetition(docs.limit(100))
+    assert(rep.filter(col("rep_ratio") <= 0 || col("rep_ratio") > 1 ||
+      col("max_rep") > col("n_grams")).count() == 0)
+
+    // a doc with n tokens yields max(0, n - k + 1) k-shingles
+    val one = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.shinglesN(one, 3).count() == 3)
+    assert(Dedup.shinglesN(one, 5).count() == 1)
+    assert(Dedup.shinglesN(one, 6).count() == 0)
+    // an identical doc pair is 100% 3-gram-duplicated
+    val pair = Seq((0L, "x y z w"), (1L, "x y z w")).toDF("doc_id", "text")
+    assert(Dedup.ngramOverlap(pair, n = 3).filter(col("dup_frac") =!= 1.0).count() == 0)
+  }
 }
 
 class EntrySpec extends SparkSpec {
