@@ -3,7 +3,7 @@ package graft.plans
 import graft.functions.{VecDot, VecNorm2}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, _}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -59,17 +59,45 @@ object RewriteVectorHofs extends Rule[LogicalPlan] {
 /** Session extension entry point:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` — or
   * [[GraftExtensions.install]] on an already-running session.
+  *
+  * Besides the optimizer rule and the top-k planner strategy, the vector
+  * kernels are registered as SQL functions so `spark.sql` users get them
+  * too: `vec_dot(a, b)`, `vec_norm2(a)`, `vec_cosine(a, b)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteVectorHofs)
     e.injectPlannerStrategy(_ => PartialTopKStrategy)
+    GraftExtensions.sqlFunctions.foreach { case (id, info, builder) =>
+      e.injectFunction((id, info, builder))
+    }
   }
 }
 
 object GraftExtensions {
-  def install(spark: SparkSession): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  private def cosineExpr(a: Expression, b: Expression): Expression =
+    Divide(VecDot(a, b), Multiply(Sqrt(VecNorm2(a)), Sqrt(VecNorm2(b))))
+
+  /** (identifier, info, builder) triples for FunctionRegistry injection. */
+  val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    (FunctionIdentifier("vec_norm2"),
+      new ExpressionInfo(classOf[VecNorm2].getName, "vec_norm2"),
+      (args: Seq[Expression]) => VecNorm2(args(0))),
+    (FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_cosine"),
+      (args: Seq[Expression]) => cosineExpr(args(0), args(1))))
+
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorHofs))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorHofs
+    sqlFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+  }
 }

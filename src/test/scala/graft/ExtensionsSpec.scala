@@ -32,4 +32,16 @@ class ExtensionsSpec extends SparkSpec {
     val slow = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
     assert(fast == slow)
   }
+
+  test("vector kernels are SQL functions after install (vec_dot/vec_norm2/vec_cosine)") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "vec_norm2(array(3.0d, 4.0d)) AS n, " +
+        "vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getDouble(2) == 1.0)
+    spark.experimental.extraOptimizations = Nil
+  }
 }
