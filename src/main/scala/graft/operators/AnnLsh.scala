@@ -26,18 +26,23 @@ object AnnLsh {
 
   def planeSeed(p: Int): Long = p * 1000L + 3L
 
-  /** (id, qv) → (id, qv, table, bucket): one row per hash table. */
+  /** (id, qv) → (id, qv, table, bucket): one row per hash table, produced by
+    * ONE scan — all tables' buckets are computed into an array per row and
+    * exploded (vs a union of nTables selects, which scans the corpus
+    * nTables×). Same rows, 1/nTables the input I/O.
+    */
   def withBuckets(df: DataFrame, idCol: String, nTables: Int, nPlanes: Int,
       dim: Int): DataFrame = {
-    val tables = (0 until nTables).map { t =>
+    val perTable = array((0 until nTables).map { t =>
       val bucket = (0 until nPlanes).map { j =>
         val plane = Tables.synthVec(lit(planeSeed(t * nPlanes + j)), dim)
         when(VecExprs.dot(col("qv"), plane) > 0, lit(1L << j)).otherwise(0L)
       }.reduce(_ + _)
-      df.select(col(idCol), col("qv"), lit(t).cast("long").as("table"),
-        bucket.cast("long").as("bucket"))
-    }
-    tables.reduce(_.unionByName(_))
+      struct(lit(t).cast("long").as("table"), bucket.cast("long").as("bucket"))
+    }: _*)
+    df.select(col(idCol), col("qv"), explode(perTable).as("tb"))
+      .select(col(idCol), col("qv"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
   /** Approximate top-k: candidates = union over tables of docs sharing the

@@ -151,6 +151,45 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class StreamingSessionizeSpec extends SparkSpec {
+  import graft.streaming.SessionizeStream._
+  import spark.implicits._
+
+  test("stateful streaming sessionization closes sessions by gap and by timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val gapMs = 30L * 60 * 1000
+    val sessions = sessionize(
+      mem.toDS().withWatermark("ts", "10 minutes").as[SEvent], gapMs)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then silence
+      mem.addData(SEvent(1L, ts(0), 1.0), SEvent(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0) // still open
+
+      // same user, past the gap IN-BATCH: closes the first session directly
+      mem.addData(SEvent(1L, ts(50), 4.0))
+      q.processAllAvailable()
+      val first = spark.table("sess").as[ClosedSession].collect()
+      assert(first.toSeq == Seq(
+        ClosedSession(1L, ts(0).getTime, ts(5).getTime, 2L, 3.0)))
+
+      // another user's much-later event advances the watermark beyond the
+      // open session's deadline -> event-time TIMEOUT closes it
+      mem.addData(SEvent(2L, ts(99) /* wm -> :89 > :50+30 */, 9.0))
+      q.processAllAvailable()
+      mem.addData(SEvent(2L, ts(99), 0.0)) // tick a batch at the new watermark
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[ClosedSession].collect()
+      assert(closed.exists(c =>
+        c.userId == 1L && c.sessionStart == ts(50).getTime && c.nEvents == 1L))
+    } finally q.stop()
+  }
+}
+
 class StreamingWindowSpec extends SparkSpec {
   import spark.implicits._
 
