@@ -116,11 +116,28 @@ object Dedup {
     * fraction of matching signature components. The self-join is keyed on the
     * band bucket — at 100 TB this is the shuffle key, never all-pairs.
     */
-  def lshCandidatePairs(signatures: DataFrame): DataFrame = {
-    val bands = (0 until NumHashes / 2).map { bd =>
+  def lshCandidatePairs(signatures: DataFrame): DataFrame =
+    lshCandidatePairs(signatures, maxBucketSize = None)
+
+  /** `maxBucketSize`: skew guard for the self-join — a band bucket with B
+    * docs emits B² candidate pairs, so one degenerate bucket (boilerplate
+    * docs, empty strings) can dominate the whole job at scale. Buckets
+    * larger than the cap are dropped: their members are so mutually similar
+    * that exact dedup already groups them, and near-dup pairs that common
+    * are not actionable. None (the oracle-checked default) keeps every
+    * bucket.
+    */
+  def lshCandidatePairs(signatures: DataFrame, maxBucketSize: Option[Int]): DataFrame = {
+    val bands0 = (0 until NumHashes / 2).map { bd =>
       signatures.select(col("doc_id"), lit(bd).as("band"),
         (col(s"h${2 * bd}") * P + col(s"h${2 * bd + 1}")).as("bucket"))
     }.reduce(_.unionByName(_))
+    val bands = maxBucketSize.fold(bands0) { cap =>
+      val keep = bands0.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cap)
+        .select("band", "bucket")
+      bands0.join(keep, Seq("band", "bucket"), "left_semi")
+    }
     val l = bands.as("l")
     val r = bands.as("r")
     val pairs = l.join(r,

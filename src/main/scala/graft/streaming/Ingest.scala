@@ -82,6 +82,17 @@ object Ingest {
     spark.catalog.refreshByPath(tablePath)
   }
 
+  /** Streaming exact dedup: drop events whose `idCol` was already seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
+    * per key is bounded by the watermark, so this survives unbounded
+    * streams; an unwatermarked dropDuplicates would grow state forever).
+    * The streaming face of [[graft.operators.Dedup.exact]].
+    */
+  def dedupStream(stream: DataFrame, idCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   private def tmpSibling(dir: Path): Path =
     dir.resolveSibling(dir.getFileName.toString + "_tmp_" + System.nanoTime())
 

@@ -151,6 +151,49 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val out = graft.streaming.Ingest.dedupStream(
+      mem.toDF().toDF("key", "ts", "v"), "key", "ts", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "a"), (1L, ts(1), "a-dup"), (2L, ts(2), "b"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(3), "a-dup2"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_stream").collect()
+        .map(r => r.getAs[Long]("key") -> r.getAs[String]("v"))
+      assert(keys.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(keys.toMap.apply(1L) == "a") // first occurrence wins
+    } finally q.stop()
+  }
+}
+
+class LshSkewGuardSpec extends SparkSpec {
+  import graft.operators.Dedup
+  import spark.implicits._
+
+  test("maxBucketSize drops degenerate buckets but keeps normal near-dup pairs") {
+    // 30 identical boilerplate docs (a degenerate bucket) + one true pair
+    val docs = ((0L until 30L).map(i => (i, "the same boilerplate text every time repeated"))
+      ++ Seq((100L, "alpha beta gamma delta epsilon zeta"),
+             (101L, "alpha beta gamma delta epsilon zeta"))).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs)
+    val unguarded = Dedup.lshCandidatePairs(sig).count()
+    val guarded = Dedup.lshCandidatePairs(sig, maxBucketSize = Some(10))
+    // degenerate 30-doc bucket => 435 pairs gone; the true pair survives
+    assert(guarded.count() < unguarded)
+    assert(guarded.filter(col("doc_a") === 100L && col("doc_b") === 101L).count() == 1)
+    assert(guarded.filter(col("doc_a") < 30L && col("doc_b") < 30L).count() == 0)
+  }
+}
+
 class StreamingSessionizeSpec extends SparkSpec {
   import graft.streaming.SessionizeStream._
   import spark.implicits._
