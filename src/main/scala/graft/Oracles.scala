@@ -781,6 +781,37 @@ object Oracles {
        |       CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / p.n_grams AS dup_frac
        |FROM per p LEFT JOIN dup d USING (doc_id)""".stripMargin
 
+  /** Stratified-sampling keep counts (mirror of TextAnalysis.stratifiedSample:
+    * multiplicative doc_id hash vs per-stratum fraction of the 2^32 space).
+    */
+  def stratified(fracs: Map[String, Double], defaultFrac: Double): String = {
+    val fexpr = fracs.foldLeft(defaultFrac.toString) { case (acc, (k, f)) =>
+      s"CASE WHEN lang = '$k' THEN $f ELSE $acc END"
+    }
+    s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+       |FROM documents
+       |WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) < ($fexpr) * 4294967296.0
+       |GROUP BY lang""".stripMargin
+  }
+
+  /** Token-budget shard accounting (mirror of TextAnalysis.tokenShards:
+    * per-lang doc_id-ordered cumsum, shard = floor(prev-total / bin)).
+    */
+  def tokenShards(bin: Long): String =
+    s"""WITH $toksp,
+       |tl AS (
+       |  SELECT d.doc_id, d.lang AS grp,
+       |         CAST(COALESCE(COUNT(t.term), 0) AS BIGINT) AS toks
+       |  FROM documents d LEFT JOIN toksp t USING (doc_id)
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT grp, doc_id, toks,
+       |         SUM(toks) OVER (PARTITION BY grp ORDER BY doc_id) AS cum
+       |  FROM tl)
+       |SELECT grp, CAST((cum - toks) // $bin AS BIGINT) AS shard_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_toks
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   /** Intra-doc max 3-gram repetition share (mirror of Dedup.repetition). */
   val repetition: String =
     s"""WITH $toksp, $shinglesCte,

@@ -173,6 +173,18 @@ object SparkEntry {
     "q_curation" -> ((s, dir) =>
       TextAnalysis.curate(Tables.load(s, dir, "documents"), 0.5)),
 
+    // ---- data mixing: deterministic stratified sampling by language ----
+    "q_stratified" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.load(s, dir, "documents"), "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultFrac = 0.1)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))),
+
+    // ---- sequence packing: contiguous token-budget shards per language ----
+    "q_token_shards" -> ((s, dir) =>
+      TextAnalysis.tokenShards(Tables.load(s, dir, "documents"), "lang", 2000L)
+        .groupBy("grp", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_toks"))),
+
     // ---- span-level cross-doc duplication (8-gram overlap, Lee et al.) ----
     "q_ngram_overlap" -> ((s, dir) =>
       Dedup.ngramOverlap(Tables.load(s, dir, "documents"), n = 8)),
@@ -374,6 +386,8 @@ object SparkEntry {
     "q_len_hist"      -> Oracles.lenHist,
     "q_contamination" -> Oracles.contamination(0.8, 0.1),
     "q_curation"      -> Oracles.curate(0.5),
+    "q_stratified"    -> Oracles.stratified(Map("en" -> 0.5, "de" -> 0.25), 0.1),
+    "q_token_shards"  -> Oracles.tokenShards(2000L),
     "q_ngram_overlap" -> Oracles.ngramOverlap(8),
     "q_repetition"    -> Oracles.repetition,
     "q_pii_scrub"     -> Oracles.piiScrub,

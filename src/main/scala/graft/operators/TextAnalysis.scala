@@ -128,6 +128,37 @@ object TextAnalysis {
     Dedup.tokenTable(docs).groupBy("doc_id")
       .agg((sum(col("pos") * Text.tokenCode(col("term"))) + count(lit(1))).as("fp"))
 
+  /** Deterministic stratified sampling — the data-mixing primitive of a
+    * training pipeline (keep fraction f(stratum) of each stratum, stable
+    * across runs/partitioning): keep iff hash(doc_id)/2^32 < f. Same
+    * multiplicative hash as [[split]]; no rand(), oracle-exact.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      fracs: Map[String, Double], defaultFrac: Double = 0.0): DataFrame = {
+    val h = (col("doc_id") * 2654435761L) % 4294967296L
+    val f = fracs.foldLeft(lit(defaultFrac)) { case (acc, (k, frac)) =>
+      when(col(stratumCol) === k, lit(frac)).otherwise(acc)
+    }
+    docs.filter(h.cast("double") < f * 4294967296.0)
+  }
+
+  /** Contiguous token-budget sharding (the scalable form of sequence
+    * packing): within each group, docs in doc_id order are assigned to
+    * shards of ~`binTokens` whitespace tokens — shard_id = floor(running
+    * total BEFORE this doc / binTokens). One window cumsum per group; a
+    * shard may overflow by at most one document (greedy packing's usual
+    * contract). Deterministic, DuckDB-replicable.
+    */
+  def tokenShards(docs: DataFrame, groupCol: String, binTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("doc_id")
+    docs.select(col("doc_id"), col(groupCol).as("grp"),
+        size(Text.tokens(col("text"))).cast("long").as("toks"))
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("shard_id", expr(s"(cum - toks) div $binTokens"))
+      .select("grp", "shard_id", "doc_id", "toks")
+  }
+
   /** PII patterns shared with the oracle — deliberately simple regexes that
     * mean the same thing in Java and RE2 (no lookaround, no backrefs).
     */
