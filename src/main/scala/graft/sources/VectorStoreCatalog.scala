@@ -141,8 +141,18 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     *    assignment (appended to the touched cell partitions), so new rows
     *    are searchable without a rebuild.
     */
+  /** Per-(tenant, model) mutation locks — the reference serializes store
+    * mutations with a per-store Lock (vector_store.py:124); here the
+    * read-merge-swap commit of insert/flush must not interleave for the
+    * same collection. Reads (search/load) stay lock-free: they see either
+    * the pre- or post-swap directory.
+    */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(tenant: String, model: String): Object =
+    tableLocks.computeIfAbsent(s"$tenant/$model", _ => new Object)
+
   def insert(tenant: String, model: String, rows: Seq[EmbeddedVector],
-      partition: Option[String] = None): Long = {
+      partition: Option[String] = None): Long = lockFor(tenant, model).synchronized {
     require(collectionExists(tenant, model), s"collection missing for $tenant/$model")
     require(rows.nonEmpty && rows.size <= Upsert.MaxBatch, "batch 1-1000 rows")
     val dim = dimension(tenant, model)
@@ -226,7 +236,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   val FlushMaxFilesPerBucket = 4
 
-  def flush(tenant: String, model: String): Unit = {
+  def flush(tenant: String, model: String): Unit = lockFor(tenant, model).synchronized {
     val d = dataDir(tenant, model)
     if (!Files.exists(d)) return
     // file count per bucket id across all part= dirs (local listing; on a
@@ -357,6 +367,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def sparseIndexExists(tenant: String, model: String): Boolean =
     SparseIndex.exists(sparseDir(tenant, model).toString)
 
+  /** Location of the persisted sparse-index tables (for tooling/specs). */
+  def sparseDirOf(tenant: String, model: String): String =
+    sparseDir(tenant, model).toString
+
   /** Persist the IVF index tables (centroids + corpus clustered by
     * centroid_id) and the BM25 model tables — the durable form of D3/D4.
     * The clustered table is PARTITIONED BY centroid_id so a probe scan reads
@@ -364,7 +378,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * file). Idempotent: `ensureIndex` is the reference's list-then-create
     * (base_milvus.py:1216-1264).
     */
-  def persistIndex(tenant: String, model: String): Unit = {
+  def persistIndex(tenant: String, model: String): Unit = lockFor(tenant, model).synchronized {
     val idx = buildIndex(tenant, model)
     val d = indexDir(tenant, model)
     // D3 index_type actually changes the build: IVF_SQ8 stores per-component

@@ -59,6 +59,30 @@ class SearchKnobsSpec extends SparkSpec {
     assert(comb.data.map(_.content).toSet == Set("doc in p2", "doc in p3"))
   }
 
+  test("concurrent inserts to one collection serialize safely (per-store lock)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cat = mkCat
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
+    val writers = (0 until 8).map { w =>
+      Future {
+        cat.insert("t", "m", (0 until 25).map(i =>
+          EmbeddedVector(s"w${w}_k$i", s"writer $w doc $i alpha", "m", Map(), vec(w * 100 + i))))
+      }
+    }
+    Await.result(Future.sequence(writers), 5.minutes)
+    assert(cat.load("t", "m").count() == 200)
+    // the incrementally-built sparse index stayed consistent with the data
+    val m = graft.sources.SparseIndex.read(spark,
+      java.nio.file.Paths.get(cat.sparseDirOf("t", "m")).toString)
+    assert(m.docLen.count() == 200)
+    assert(m.global.head.getLong(0) == 200)
+    // and every writer's docs are searchable
+    val hit = cat.search(SearchRequest("t", "m", vec(307), limit = 3))
+    assert(hit.success && hit.data.head.content == "writer 3 doc 7 alpha")
+  }
+
   test("dynamic-field extra filter is a CI substring conjunction (P5 over extra)") {
     val cat = mkCat
     cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
