@@ -781,6 +781,23 @@ object Oracles {
        |       CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / p.n_grams AS dup_frac
        |FROM per p LEFT JOIN dup d USING (doc_id)""".stripMargin
 
+  /** Unigram-LM log-prob quality proxy (mirror of
+    * TextAnalysis.unigramLogProb — add-one smoothing, fixed-point sums).
+    */
+  val lmScore: String =
+    s"""WITH $toksp,
+       |tf AS (SELECT term, COUNT(*) AS ctf FROM toksp GROUP BY term),
+       |g AS (SELECT (SELECT COUNT(*) FROM toksp) AS t_total,
+       |             (SELECT COUNT(*) FROM tf) AS v_size),
+       |lp AS (
+       |  SELECT t.doc_id,
+       |         CAST(round(ln(CAST(f.ctf + 1 AS DOUBLE) /
+       |              CAST(g.t_total + g.v_size AS DOUBLE)) * 1000000000.0) AS BIGINT) AS s
+       |  FROM toksp t JOIN tf f USING (term), g)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(s) AS DOUBLE) / 1000000000.0 / COUNT(*) AS avg_logprob
+       |FROM lp GROUP BY doc_id""".stripMargin
+
   /** Stratified-sampling keep counts (mirror of TextAnalysis.stratifiedSample:
     * multiplicative doc_id hash vs per-stratum fraction of the 2^32 space).
     */

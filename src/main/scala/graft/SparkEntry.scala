@@ -173,6 +173,10 @@ object SparkEntry {
     "q_curation" -> ((s, dir) =>
       TextAnalysis.curate(Tables.load(s, dir, "documents"), 0.5)),
 
+    // ---- unigram-LM quality proxy (fixed-point log-prob accumulation) ----
+    "q_lm_score" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.load(s, dir, "documents"))),
+
     // ---- data mixing: deterministic stratified sampling by language ----
     "q_stratified" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.load(s, dir, "documents"), "lang",
@@ -386,6 +390,7 @@ object SparkEntry {
     "q_len_hist"      -> Oracles.lenHist,
     "q_contamination" -> Oracles.contamination(0.8, 0.1),
     "q_curation"      -> Oracles.curate(0.5),
+    "q_lm_score"      -> Oracles.lmScore,
     "q_stratified"    -> Oracles.stratified(Map("en" -> 0.5, "de" -> 0.25), 0.1),
     "q_token_shards"  -> Oracles.tokenShards(2000L),
     "q_ngram_overlap" -> Oracles.ngramOverlap(8),

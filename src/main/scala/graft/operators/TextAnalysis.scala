@@ -128,6 +128,28 @@ object TextAnalysis {
     Dedup.tokenTable(docs).groupBy("doc_id")
       .agg((sum(col("pos") * Text.tokenCode(col("term"))) + count(lit(1))).as("fp"))
 
+  /** Unigram-LM log-probability score — the classic cheap perplexity proxy
+    * for corpus quality filtering (docs whose tokens are improbable under
+    * the corpus unigram distribution score low). Add-one smoothing:
+    * p(t) = (ctf(t)+1) / (T + V). Per-token ln p is accumulated in FIXED
+    * POINT (round(lp·1e9) summed as integers) so the per-doc mean is
+    * aggregation-order independent and oracle-exact — same trick as BM25.
+    * Returns (doc_id, n_tokens, avg_logprob).
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokenTable(docs)
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val g = toks.agg(count(lit(1)).as("t_total"))
+      .crossJoin(tf.agg(count(lit(1)).as("v_size")))
+    val lp = toks.join(tf, "term").crossJoin(broadcast(g))
+      .withColumn("s", round(
+        log((col("ctf") + 1).cast("double") /
+          (col("t_total") + col("v_size")).cast("double")) * 1e9, 0).cast("long"))
+    lp.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum("s").cast("double") / 1e9 / count(lit(1))).as("avg_logprob"))
+  }
+
   /** Deterministic stratified sampling — the data-mixing primitive of a
     * training pipeline (keep fraction f(stratum) of each stratum, stable
     * across runs/partitioning): keep iff hash(doc_id)/2^32 < f. Same
