@@ -295,8 +295,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
     // A1-approx: when an IVF index exists, restrict the scan to the query's
     // nprobe nearest cells, routed by the INDEX METRIC (nprobe capped 256 —
-    // vector_store.py:495).
-    if (indexExists(req.tenant, req.model) && parts.isEmpty) {
+    // vector_store.py:495). Composes with partition targeting: the corpus is
+    // already part-filtered, so the cell semi-join searches (probed cells ∩
+    // partitions) — the reference likewise searches through its index within
+    // the requested partitions (vector_store.py:505-517).
+    if (indexExists(req.tenant, req.model)) {
       val idx = loadIndex(req.tenant, req.model)
       import spark.implicits._
       val qv = Seq(Tuple1(req.vector)).toDF("qv")

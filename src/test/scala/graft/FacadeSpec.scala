@@ -354,6 +354,14 @@ class IndexedSearchSpec extends SparkSpec {
     // narrow probe still finds the self-match (its own cell is ranked first)
     val narrow = cat.search(SearchRequest("t", "m", vec(17), limit = 5, nprobe = 4))
     assert(narrow.success && narrow.data.head.content == "chunk 17")
+    // indexed search composes with partition targeting (probed cells ∩ part);
+    // rows live in _default so a bogus partition finds nothing, _default all
+    val inPart = cat.search(SearchRequest("t", "m", vec(17), limit = 5, nprobe = 8,
+      partitionNames = Seq("_default")))
+    assert(inPart.success && inPart.data.head.content == "chunk 17")
+    val noPart = cat.search(SearchRequest("t", "m", vec(17), limit = 5, nprobe = 8,
+      partitionNames = Seq("nope")))
+    assert(!noPart.success)
     // and post-filters still apply on the probed subset
     val filt = cat.search(SearchRequest("t", "m", vec(17), limit = 5, nprobe = 8,
       metaFilter = Map("i" -> "17")))
