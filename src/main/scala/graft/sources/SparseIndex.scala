@@ -52,12 +52,17 @@ object SparseIndex {
 
   /** Load the persisted model. Scoring through [[Bm25.searchTopK]] on this
     * model joins only these stored tables — no corpus scan, no tokenization.
+    * Schemas are explicit so an EMPTY collection's index (a partitioned
+    * write of zero rows leaves no parquet files to infer from) still reads
+    * as an empty model instead of failing schema inference.
     */
   def read(spark: SparkSession, dir: String): Bm25.Model = Bm25.Model(
-    spark.read.parquet(s"$dir/tf").select("doc_id", "term", "tf"),
-    spark.read.parquet(s"$dir/doclen").select("doc_id", "dl"),
-    spark.read.parquet(s"$dir/termdf"),
-    spark.read.parquet(s"$dir/global"))
+    spark.read.schema("doc_id LONG, term STRING, tf LONG")
+      .parquet(s"$dir/tf").select("doc_id", "term", "tf"),
+    spark.read.schema("doc_id LONG, dl LONG")
+      .parquet(s"$dir/doclen").select("doc_id", "dl"),
+    spark.read.schema("term STRING, df LONG").parquet(s"$dir/termdf"),
+    spark.read.schema("n LONG, sumdl LONG").parquet(s"$dir/global"))
 
   /** Incremental upsert: replace the stats of `batchDocs` (doc_id, text) —
     * tokenizes ONLY the batch, rewrites ONLY the touched tf/doclen buckets,

@@ -59,6 +59,16 @@ class SearchKnobsSpec extends SparkSpec {
     assert(comb.data.map(_.content).toSet == Set("doc in p2", "doc in p3"))
   }
 
+  test("search and hybrid search on an empty collection return the empty envelope") {
+    val cat = mkCat
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
+    val dense = cat.search(SearchRequest("t", "m", vec(1), limit = 5))
+    assert(!dense.success && dense.data.isEmpty)
+    val hybrid = cat.search(SearchRequest("t", "m", vec(1), limit = 5,
+      hybridSearch = true, textFilter = Some("anything at all")))
+    assert(!hybrid.success && hybrid.data.isEmpty)
+  }
+
   test("concurrent inserts to one collection serialize safely (per-store lock)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
