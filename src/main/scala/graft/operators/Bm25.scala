@@ -47,7 +47,7 @@ object Bm25 {
     val tf     = docTerms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val docLen = docTerms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val global = docLen.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    val global = docLen.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sumdl"))
     Model(tf, docLen, termDf, global)
   }
 
@@ -64,7 +64,7 @@ object Bm25 {
     val tf = m.tf.unionByName(add.tf)
     val docLen = m.docLen.unionByName(add.docLen)
     val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val global = docLen.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    val global = docLen.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sumdl"))
     Model(tf, docLen, termDf, global)
   }
 
@@ -73,7 +73,7 @@ object Bm25 {
     val tf = m.tf.join(docIds, Seq("doc_id"), "left_anti")
     val docLen = m.docLen.join(docIds, Seq("doc_id"), "left_anti")
     val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val global = docLen.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    val global = docLen.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sumdl"))
     Model(tf, docLen, termDf, global)
   }
 

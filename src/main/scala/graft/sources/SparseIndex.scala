@@ -79,10 +79,13 @@ object SparseIndex {
       .select(bucketOf(col("doc_id"), nBuckets).as("_bucket"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
 
-    // Touched-bucket slices of the stored per-doc tables (partition-pruned).
-    val tfSlice = spark.read.parquet(s"$dir/tf")
+    // Touched-bucket slices of the stored per-doc tables (partition-pruned;
+    // explicit schemas so an empty index still reads)
+    val tfSlice = spark.read.schema("doc_id LONG, term STRING, tf LONG, _bucket LONG")
+      .parquet(s"$dir/tf")
       .filter(col("_bucket").isin(touched: _*)).select("doc_id", "term", "tf")
-    val dlSlice = spark.read.parquet(s"$dir/doclen")
+    val dlSlice = spark.read.schema("doc_id LONG, dl LONG, _bucket LONG")
+      .parquet(s"$dir/doclen")
       .filter(col("_bucket").isin(touched: _*)).select("doc_id", "dl")
 
     // removeDocs ∪ mergeStats on the slice: drop replaced docs' rows, union
@@ -95,7 +98,7 @@ object SparseIndex {
     // termdf by delta: df' = df - df(removed) + df(added); drop zeros.
     val minus = removedTf.groupBy("term").agg(count(lit(1)).as("minus"))
     val plus  = add.tf.groupBy("term").agg(count(lit(1)).as("plus"))
-    val termDfOut = spark.read.parquet(s"$dir/termdf")
+    val termDfOut = spark.read.schema("term STRING, df LONG").parquet(s"$dir/termdf")
       .join(minus, Seq("term"), "full_outer")
       .join(plus, Seq("term"), "full_outer")
       .select(col("term"),
@@ -108,7 +111,7 @@ object SparseIndex {
       coalesce(sum("dl"), lit(0L)).as("rs"))
     val addG = add.docLen.agg(count(lit(1)).as("an"),
       coalesce(sum("dl"), lit(0L)).as("as"))
-    val globalOut = spark.read.parquet(s"$dir/global")
+    val globalOut = spark.read.schema("n LONG, sumdl LONG").parquet(s"$dir/global")
       .crossJoin(remG).crossJoin(addG)
       .select((col("n") - col("rn") + col("an")).as("n"),
         (col("sumdl") - col("rs") + col("as")).as("sumdl"))

@@ -178,8 +178,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val addModel = SparseIndex.upsert(spark, sparseDir(tenant, model).toString,
       batchDocs, nB)
     val encModel = Bm25.Model(addModel.tf, addModel.docLen,
-      spark.read.parquet(sparseDir(tenant, model).resolve("termdf").toString),
-      spark.read.parquet(sparseDir(tenant, model).resolve("global").toString))
+      spark.read.schema("term STRING, df LONG")
+        .parquet(sparseDir(tenant, model).resolve("termdf").toString),
+      spark.read.schema("n LONG, sumdl LONG")
+        .parquet(sparseDir(tenant, model).resolve("global").toString))
     val sparse = Bm25.encodeDocuments(encModel,
       properties(tenant, model).getOrElse("drop_ratio_build", "0.0").toDouble)
 
@@ -348,14 +350,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     } else Knn.search(corpus, queries, params)
   }
 
-  /** D3: build the IVF index tables for a collection. */
+  /** D3: build the IVF index tables for a collection. An EMPTY collection
+    * gets a seeded 2-cell codebook with an empty clustered table (KMeans
+    * cannot fit zero rows; Milvus index creation on an empty collection
+    * succeeds, and later inserts are absorbed by nearest-cell assignment).
+    */
   def buildIndex(tenant: String, model: String): Ivf.Index = {
     val props = properties(tenant, model)
     val corpus = load(tenant, model).select(
       xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv"))
+    val n = corpus.count()
+    if (n == 0)
+      Ivf.buildWithCentroids(corpus,
+        Ivf.seededCentroids(spark, nlist = 2, dim = dimension(tenant, model)),
+        props("metric_type"))
     // cap nlist so small collections still get >=2 non-trivial cells
-    Ivf.build(corpus, nlist = math.max(2, math.min(props("nlist").toInt,
-      (corpus.count() / 64).toInt)), metric = props("metric_type"))
+    else Ivf.build(corpus, nlist = math.max(2, math.min(props("nlist").toInt,
+      (n / 64).toInt)), metric = props("metric_type"))
   }
 
   // ---- D4/D5: index persistence + idempotent build ----
@@ -390,7 +401,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // repartition by the partition column first: one file per cell, not
     // (shuffle partitions × cells) tiny files — probe reads stay file-bound
     import spark.implicits._
-    properties(tenant, model).getOrElse("index_type", "IVF_FLAT") match {
+    // quantizers need data to fit params/codebooks; an empty collection
+    // persists the flat (empty) layout whatever the index_type, and the
+    // next explicit build after data arrives quantizes
+    val effectiveType =
+      if (load(tenant, model).isEmpty) "IVF_FLAT"
+      else properties(tenant, model).getOrElse("index_type", "IVF_FLAT")
+    effectiveType match {
       case "IVF_SQ8" =>
         val sq = Ivf.quantizeIndex(idx)
         sq.clustered.repartition(col("centroid_id"))
@@ -466,14 +483,21 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def loadIndex(tenant: String, model: String): Ivf.Index = {
     val d = indexDir(tenant, model)
     val centroids = spark.read.parquet(d.resolve("centroids").toString)
-    val clustered = spark.read.parquet(d.resolve("clustered").toString)
     val metric = properties(tenant, model)("metric_type")
+    // explicit clustered schema per index type: an empty collection's index
+    // has no parquet files to infer from
+    def clustered(payload: String) = spark.read
+      .schema(s"doc_id LONG, $payload, centroid_id INT")
+      .parquet(d.resolve("clustered").toString)
     sq8Params(tenant, model) match {
       case Some((mins, scales)) =>
-        Ivf.decodeSq8(Ivf.Sq8(centroids, clustered, mins, scales, metric))
+        Ivf.decodeSq8(Ivf.Sq8(centroids, clustered("codes ARRAY<INT>"),
+          mins, scales, metric))
       case None => pqCodebooks(tenant, model) match {
-        case Some(cbs) => Ivf.decodePq(Ivf.Pq(centroids, clustered, cbs, metric))
-        case None      => Ivf.Index(centroids, clustered, metric)
+        case Some(cbs) =>
+          Ivf.decodePq(Ivf.Pq(centroids, clustered("pqcodes ARRAY<INT>"), cbs, metric))
+        case None =>
+          Ivf.Index(centroids, clustered("dv ARRAY<DOUBLE>"), metric)
       }
     }
   }

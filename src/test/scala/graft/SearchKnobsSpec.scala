@@ -67,6 +67,16 @@ class SearchKnobsSpec extends SparkSpec {
     val hybrid = cat.search(SearchRequest("t", "m", vec(1), limit = 5,
       hybridSearch = true, textFilter = Some("anything at all")))
     assert(!hybrid.success && hybrid.data.isEmpty)
+
+    // index build on the empty collection succeeds (Milvus parity) and
+    // later inserts are absorbed and searchable without a rebuild
+    cat.persistIndex("t", "m")
+    assert(cat.indexExists("t", "m"))
+    val empty = cat.search(SearchRequest("t", "m", vec(1), limit = 5))
+    assert(!empty.success)
+    cat.insert("t", "m", Seq(EmbeddedVector("a", "alpha doc", "m", Map(), vec(1))))
+    val found = cat.search(SearchRequest("t", "m", vec(1), limit = 5))
+    assert(found.success && found.data.head.content == "alpha doc")
   }
 
   test("concurrent inserts to one collection serialize safely (per-store lock)") {
