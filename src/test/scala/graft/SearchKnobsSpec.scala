@@ -59,6 +59,20 @@ class SearchKnobsSpec extends SparkSpec {
     assert(comb.data.map(_.content).toSet == Set("doc in p2", "doc in p3"))
   }
 
+  test("generate_schema is idempotent; drop_ratio_build collections insert fine") {
+    val cat = mkCat
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, dropRatioBuild = 0.5))
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, dropRatioBuild = 0.5))
+    assert(cat.collectionExists("t", "m"))
+    cat.insert("t", "m", (0 until 10).map(i =>
+      EmbeddedVector(s"k$i", s"alpha beta gamma common doc$i", "m", Map(), vec(i))))
+    // low-weight postings dropped but the stored sparse vectors are non-degenerate
+    val sv = cat.load("t", "m").select("sparse_vector").collect()
+    assert(sv.nonEmpty && sv.exists(r => r.getMap[Int, Float](0).nonEmpty))
+    val hit = cat.search(SearchRequest("t", "m", vec(3), limit = 3))
+    assert(hit.success && hit.data.head.content.contains("doc3"))
+  }
+
   test("search and hybrid search on an empty collection return the empty envelope") {
     val cat = mkCat
     cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
