@@ -241,22 +241,20 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def flush(tenant: String, model: String): Unit = lockFor(tenant, model).synchronized {
     val d = dataDir(tenant, model)
     if (!Files.exists(d)) return
-    // file count per bucket id across all part= dirs (local listing; on a
-    // cluster this is the table-format's file statistics)
-    val counts = scala.collection.mutable.Map.empty[Long, Int]
-    for {
+    // fragmentation is judged PER (part, bucket) DIRECTORY — a bucket whose
+    // keys span many part= dirs legitimately has one file per dir, and
+    // summing across partitions would classify it fragmented forever (the
+    // compaction would then rewrite it on every auto-flush without ever
+    // converging). (Local listing; on a cluster this is the table-format's
+    // file statistics.)
+    val fragmented = (for {
       partDir <- listDirs(d)
       bDir <- listDirs(partDir)
       name = bDir.getFileName.toString if name.startsWith("_bucket=")
-    } {
-      val b = name.stripPrefix("_bucket=").toLong
-      val n = Files.list(bDir).iterator().asScala
+      n = Files.list(bDir).iterator().asScala
         .count(_.getFileName.toString.endsWith(".parquet"))
-      counts(b) = counts.getOrElse(b, 0) + n
-    }
-    val fragmented = counts.collect {
-      case (b, n) if n > FlushMaxFilesPerBucket => b
-    }.toIndexedSeq
+      if n > FlushMaxFilesPerBucket
+    } yield name.stripPrefix("_bucket=").toLong).distinct
     if (fragmented.nonEmpty) {
       val slice = loadRaw(tenant, model).filter(col("_bucket").isin(fragmented: _*))
       replaceBuckets(tenant, model, slice, fragmented)
@@ -640,6 +638,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * dir. Untouched buckets' files are not rewritten — byte-identical across
     * the commit (spec-asserted). The tmp write materializes the plan before
     * any source directory moves.
+    *
+    * Reader safety is PER BUCKET DIRECTORY: each swap is move-aside →
+    * move-in → delete-aside, so a lock-free concurrent reader listing one
+    * bucket dir sees either its old or its new file set, never a
+    * half-deleted window (a delete-then-move would leave one). A reader
+    * listing across SEVERAL swapped buckets can still observe a mix of old
+    * and new — multi-bucket commits are atomic per bucket, not per table
+    * (on a cluster the table format's snapshot commit supplies that).
     */
   private def replaceBuckets(tenant: String, model: String, df: DataFrame,
       touched: Seq[Long]): Unit = {
@@ -657,11 +663,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       for (p <- partDirs; b <- touched) {
         val dst = target.resolve(p).resolve(s"_bucket=$b")
         val src = tmp.resolve(p).resolve(s"_bucket=$b")
-        if (Files.exists(dst)) deleteRec(dst)
-        if (Files.exists(src)) {
-          Files.createDirectories(dst.getParent)
-          Files.move(src, dst)
-        }
+        Files.createDirectories(dst.getParent)
+        // '='-free underscore name: invisible to Spark's file listing, so a
+        // concurrent reader can never parse it as a bogus partition value
+        val old = dst.resolveSibling(s"_aside_${System.nanoTime()}")
+        if (Files.exists(dst)) Files.move(dst, old)
+        if (Files.exists(src)) Files.move(src, dst)
+        if (Files.exists(old)) deleteRec(old)
       }
       deleteRec(tmp)
     }
@@ -703,13 +711,13 @@ object VectorStoreCatalog {
       }
     } catch { case _: Throwable => Map.empty }
 
-  private[sources] def writeJson(p: Path, m: Map[String, String]): Unit = {
+  private[graft] def writeJson(p: Path, m: Map[String, String]): Unit = {
     val ordered = new java.util.LinkedHashMap[String, String]()
     m.toSeq.sortBy(_._1).foreach { case (k, v) => ordered.put(k, v) }
     Files.writeString(p, jsonMapper.writeValueAsString(ordered))
   }
 
-  private[sources] def readJson(p: Path): Map[String, String] = {
+  private[graft] def readJson(p: Path): Map[String, String] = {
     val node = jsonMapper.readTree(Files.readString(p))
     if (node == null || !node.isObject) Map.empty
     else node.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap

@@ -54,16 +54,28 @@ object Ingest {
           .partitionBy(col(key)).orderBy(col("seq").desc)
         batch.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
       } else batch.dropDuplicates(key)
+    // The bucket count is a LAYOUT property: it must match what the table was
+    // first written with, or the anti-join slice misses a key's existing copy
+    // and the table silently duplicates it. The creating call persists its
+    // value in _layout.json; later merges use the stored value and ignore a
+    // divergent parameter (the honest alternative to trusting the caller).
+    val dir = Paths.get(tablePath)
+    val layoutFile = dir.resolve("_layout.json")
+    val nB =
+      if (Files.exists(layoutFile))
+        graft.sources.VectorStoreCatalog.readJson(layoutFile)("n_buckets").toInt
+      else nBuckets
     // int _bucket to match parquet partition-directory type inference
     val withB = deduped.withColumn("_bucket",
-      pmod(xxhash64(col(key).cast("string")), lit(nBuckets.toLong)).cast("int"))
+      pmod(xxhash64(col(key).cast("string")), lit(nB.toLong)).cast("int"))
 
-    val dir = Paths.get(tablePath)
     if (!Files.exists(dir)) {
       val tmp = tmpSibling(dir)
       withB.write.mode("overwrite").partitionBy("_bucket").parquet(tmp.toString)
       Files.createDirectories(dir.getParent)
       Files.move(tmp, dir)
+      graft.sources.VectorStoreCatalog.writeJson(dir.resolve("_layout.json"),
+        Map("n_buckets" -> nB.toString))
     } else {
       val touched = withB.select("_bucket").distinct().collect()
         .map(_.getInt(0)).toIndexedSeq
@@ -96,9 +108,12 @@ object Ingest {
   private def tmpSibling(dir: Path): Path =
     dir.resolveSibling(dir.getFileName.toString + "_tmp_" + System.nanoTime())
 
-  /** Replace `target` with `src` (either may be absent). */
+  /** Replace `target` with `src` (either may be absent). The aside name is
+    * '='-free + underscore-prefixed so Spark's listing never sees it as a
+    * bogus partition value mid-swap.
+    */
   private def swapDir(src: Path, target: Path): Unit = {
-    val old = target.resolveSibling(target.getFileName.toString + "_old_" + System.nanoTime())
+    val old = target.resolveSibling("_aside_" + System.nanoTime())
     if (Files.exists(target)) Files.move(target, old)
     if (Files.exists(src)) Files.move(src, target)
     if (Files.exists(old)) graft.sources.VectorStoreCatalog.deleteRec(old)

@@ -149,6 +149,22 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getAs[Long]("key") -> r.getAs[String]("v")).toMap
     assert(out(7L) == "V7" && out(0L) == "v0" && out.size == 20)
   }
+
+  test("merge uses the persisted bucket layout, not the caller's parameter") {
+    val dir = Files.createTempDirectory("graft_stream_l").resolve("tbl")
+    Ingest.mergeIntoParquet(spark,
+      (0L until 20L).map(i => (i, s"v$i", 1L)).toDF("key", "v", "seq"),
+      dir.toString, "key", nBuckets = 4)
+    // a later caller passing a DIFFERENT bucket count must not make keys hash
+    // to fresh buckets (which would duplicate them past the anti-join)
+    Ingest.mergeIntoParquet(spark,
+      (0L until 20L).map(i => (i, s"V$i", 2L)).toDF("key", "v", "seq"),
+      dir.toString, "key", nBuckets = 16)
+    val out = spark.read.parquet(dir.toString).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[String]("v"))
+    assert(out.length == 20, s"duplicate keys after layout-mismatched merge: ${out.length}")
+    assert(out.toMap.forall { case (k, v) => v == s"V$k" })
+  }
 }
 
 class StreamingDedupSpec extends SparkSpec {

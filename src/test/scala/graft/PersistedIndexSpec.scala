@@ -137,6 +137,25 @@ class PersistedIndexSpec extends SparkSpec {
     assert(snapshot(tableDir.resolve("data")) == before, "clean flush rewrote files")
   }
 
+  test("flush converges on multi-partition collections (per (part,bucket) counting)") {
+    val base = Files.createTempDirectory("graft_flush_mp")
+    val cat = new VectorStoreCatalog(spark, base.toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
+    // one small batch per partition: every (part,bucket) dir holds exactly one
+    // file, but each bucket's files SUMMED across the 6 partitions exceed
+    // FlushMaxFilesPerBucket — counting the sum would rewrite every flush
+    for (p <- 0 until 6)
+      cat.insert("t", "m", (0 until 20).map(i =>
+        EmbeddedVector(s"p${p}_k$i", s"doc $i", "m", Map(), vec(p * 100 + i))),
+        partition = Some(s"p$p"))
+    val tableDir = base.resolve(cat.dbName("t")).resolve(cat.tableName("t", "m"))
+    val before = snapshot(tableDir.resolve("data"))
+    cat.flush("t", "m")
+    assert(snapshot(tableDir.resolve("data")) == before,
+      "flush rewrote a compact multi-partition table")
+    assert(cat.load("t", "m").count() == 120)
+  }
+
   test("incremental SparseIndex.upsert equals a from-scratch refit") {
     import spark.implicits._
     val docsA = (0L until 50L).map(i => (i, s"alpha beta doc$i common")).toDF("doc_id", "text")
