@@ -28,18 +28,39 @@ object Ivf {
 
   final case class Index(centroids: DataFrame, clustered: DataFrame, metric: String)
 
+  /** Coarse-quantizer training budget: KMeans trains on a deterministic
+    * hash-sample of ≈ TrainPerCell·nlist corpus rows (standard IVF practice:
+    * cell quality saturates at a few dozen training points per centroid, so
+    * training must NOT scale with corpus size — the reference treats index
+    * build as an offline DDL step, base_milvus.py:1266-1284). Assignment
+    * always covers the full corpus.
+    */
+  val TrainPerCell = 64
+
   /** Build the index. `corpus`: (doc_id, dv ARRAY<DOUBLE>). */
   def build(corpus: DataFrame, nlist: Int, metric: String = "COSINE",
       seed: Long = 42L, maxIter: Int = 20): Index = {
     require(nlist >= 1 && nlist <= 65536, "nlist 1-65536")
-    val feats = corpus.withColumn("features", array_to_vector(col("dv")))
+    val target = TrainPerCell.toLong * nlist
+    val n = corpus.count()
+    // deterministic sample (hash filter, pushed to the scan): seeded so the
+    // build is reproducible, independent of partitioning/row order
+    val train =
+      if (n > 2 * target)
+        corpus.filter(pmod(xxhash64(col("doc_id"), lit(seed)),
+          lit(math.max(1L, n / target))) === 0L)
+      else corpus
+    val feats = train.withColumn("features", array_to_vector(col("dv")))
     // "random" init: k-means|| costs several extra passes at high k and IVF
     // cell quality is insensitive to init (probe routing only needs balanced
     // cells, recall is governed by nprobe)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setInitMode("random")
       .setFeaturesCol("features").fit(feats)
-    val clustered = model.transform(feats)
+    // full-corpus assignment pass (one map-side job; the only part of the
+    // build that is — and must be — linear in the corpus)
+    val clustered = model
+      .transform(corpus.withColumn("features", array_to_vector(col("dv"))))
       .select(col("prediction").as("centroid_id"), col("doc_id"), col("dv"))
     val spark = corpus.sparkSession
     val centroids = spark.createDataFrame(
