@@ -38,14 +38,18 @@ object Bm25 {
   final case class Model(tf: DataFrame, docLen: DataFrame, termDf: DataFrame,
       global: DataFrame)
 
-  /** Fit corpus stats over (idCol, textCol). One shuffle per aggregation; all
+  /** Fit corpus stats over (idCol, textCol). Every table derives from the
+    * ONE tokenized aggregation `tf` (dl = Σ tf per doc, bit-identical to
+    * counting docTerms directly): a plan that uses several model tables
+    * tokenizes and shuffles the corpus once and reuses the exchange,
+    * instead of paying one tokenize pass per table. All aggregations are
     * keyed by doc or term so they scale horizontally.
     */
   def fit(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Model = {
     val docTerms = docs.select(col(idCol).as("doc_id"),
       explode(Text.tokens(col(textCol))).as("term"))
     val tf     = docTerms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val docLen = docTerms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val docLen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val global = docLen.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sumdl"))
     Model(tf, docLen, termDf, global)
@@ -103,14 +107,23 @@ object Bm25 {
     * weight formula is evaluated only for (candidate doc, query term) rows.
     * (Joining `postings(m)` with the query terms instead would compute
     * weights for the whole corpus first — Catalyst does not reorder inner
-    * joins through the projection, so the order here IS the plan.) docLen
-    * and termDf attach after the filter; at 100 TB tf and docLen share the
+    * joins through the projection, so the order here IS the plan.)
+    *
+    * `df` is derived from the SAME candidate rows (tf holds one row per
+    * (doc, term), so the per-term candidate count IS the corpus document
+    * frequency) — the serving path needs no termDf derivation/read and no
+    * second broadcast join. The window shuffles only the candidate postings,
+    * keyed by term; a pathological hot query term concentrates its postings
+    * in one partition, but such a term's idf ≈ 0 so real queries rarely
+    * carry one (and the later (qid, doc_id) aggregation re-spreads rows).
+    * docLen attaches after the filter; at 100 TB tf and docLen share the
     * doc_id bucketing so that join co-locates.
     */
   private def scoredCandidates(m: Model, qTerms: DataFrame): DataFrame =
-    m.tf.join(broadcast(qTerms), "term")
+    m.tf.join(broadcast(qTerms.select("term").distinct()), "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(broadcast(qTerms), "term")
       .join(m.docLen, "doc_id")
-      .join(broadcast(m.termDf.join(broadcast(qTerms.select("term").distinct()), "term")), "term")
       .crossJoin(broadcast(m.global))
       .withColumn("wScaled", round(weight * Scale, 0).cast("long"))
       .groupBy("qid", "doc_id")
