@@ -57,16 +57,18 @@ object Ivf {
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setInitMode("random")
       .setFeaturesCol("features").fit(feats)
-    // full-corpus assignment pass (one map-side job; the only part of the
-    // build that is — and must be — linear in the corpus)
-    val clustered = model
-      .transform(corpus.withColumn("features", array_to_vector(col("dv"))))
-      .select(col("prediction").as("centroid_id"), col("doc_id"), col("dv"))
     val spark = corpus.sparkSession
     val centroids = spark.createDataFrame(
         model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
       .toDF("centroid_id", "center")
-    Index(centroids, clustered, metric)
+    // full-corpus assignment pass (one map-side job; the only part of the
+    // build that is — and must be — linear in the corpus). Routed through
+    // [[assign]] — the SAME deterministic metric-based rule incremental
+    // insert uses — so any row's cell is recomputable from (dv, centroids)
+    // alone, which is what lets an upsert delete its old row's cell rows
+    // without scanning the index. (It also aligns assignment with probe
+    // routing for COSINE/IP, where min-Euclidean and max-similarity differ.)
+    buildWithCentroids(corpus, centroids, metric)
   }
 
   /** Assign every corpus row to its best centroid under `metric` (ties →

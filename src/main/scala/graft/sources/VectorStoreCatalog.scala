@@ -138,8 +138,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     *    (existing rows keep their stored encodings — mirroring the
     *    reference's encode-at-insert behavior, vector_store.py:164-191);
     *  - a persisted IVF index absorbs the batch by nearest-centroid
-    *    assignment (appended to the touched cell partitions), so new rows
-    *    are searchable without a rebuild.
+    *    assignment — affected cell partitions are rewritten with replaced
+    *    keys' old rows dropped — so new rows are searchable without a
+    *    rebuild and the clustered table never holds stale vectors.
     */
   /** Per-(tenant, model) mutation locks — the reference serializes store
     * mutations with a per-store Lock (vector_store.py:124); here the
@@ -195,20 +196,38 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val out = slice.join(batch.select("flouds_vector_id"),
         Seq("flouds_vector_id"), "left_anti")
       .unionByName(batchOut.select(slice.columns.map(col).toSeq: _*))
+
+    // Cells where replaced keys' OLD rows live in the clustered table —
+    // recomputed from their stored vectors ([[Ivf.assign]] is deterministic
+    // given (dv, centroids, metric), and both the build and every insert
+    // route through it). Must be read BEFORE replaceBuckets swaps the old
+    // vectors away. ≤ |batch| cell ids.
+    val idxOpt = if (indexExists(tenant, model)) Some(loadIndex(tenant, model)) else None
+    val oldCells = idxOpt.map { idx =>
+      Ivf.assign(
+        slice.join(batch.select("flouds_vector_id"), Seq("flouds_vector_id"), "left_semi")
+          .select(xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv")),
+        idx.centroids, idx.metric)
+        .select("centroid_id").distinct().collect().map(_.getInt(0)).toIndexedSeq
+    }
+
     replaceBuckets(tenant, model, out, touched)
 
-    // Keep a persisted IVF index searchable across inserts: assign the batch
-    // to its nearest existing cells and append (no rebuild). Replaced keys'
-    // old routing rows stay behind — doc_id-level probe unions them, which
-    // only widens the probe set (scoring always uses current vectors).
-    if (indexExists(tenant, model)) {
-      val idx = loadIndex(tenant, model)
+    // Keep a persisted IVF index searchable across inserts WITHOUT a rebuild
+    // and WITHOUT stale rows: the batch is assigned to its nearest existing
+    // cells, and the affected cell partitions (the batch's new cells ∪ the
+    // replaced keys' old cells) are rewritten dropping the batch's doc_ids
+    // before the new rows go in. A direct probe over the clustered table
+    // therefore never sees a replaced key's old vector or a duplicate
+    // doc_id, and the table does not grow without bound under upsert churn.
+    // Cost: O(batch + affected cell partitions), independent of corpus size.
+    idxOpt.foreach { idx =>
       val assigned = Ivf.assign(
         batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv")),
         idx.centroids, idx.metric)
       // a quantized index stores codes — encode the batch with the stored
-      // params so the appended rows match the persisted shape
+      // params so the new rows match the persisted shape
       val toAppend = sq8Params(tenant, model) match {
         case Some((mins, scales)) =>
           Ivf.sq8Codes(assigned, mins, scales).select("centroid_id", "doc_id", "codes")
@@ -218,9 +237,29 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           case None => assigned
         }
       }
-      toAppend.write.mode(SaveMode.Append).partitionBy("centroid_id")
-        .parquet(indexDir(tenant, model).resolve("clustered").toString)
-      spark.catalog.refreshByPath(indexDir(tenant, model).resolve("clustered").toString)
+      val newCells = assigned.select("centroid_id").distinct().collect()
+        .map(_.getInt(0)).toIndexedSeq
+      val cells = (oldCells.getOrElse(Nil) ++ newCells).distinct
+      val batchIds = batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"))
+      val kept = clusteredRaw(tenant, model)
+        .filter(col("centroid_id").isin(cells: _*))
+        .join(batchIds, Seq("doc_id"), "left_anti")
+      val outIdx = kept.unionByName(toAppend.select(kept.columns.map(col).toSeq: _*))
+      val target = indexDir(tenant, model).resolve("clustered")
+      val tmp = target.resolveSibling("clustered_tmp_" + System.nanoTime())
+      outIdx.repartition(col("centroid_id"))
+        .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(tmp.toString)
+      Files.createDirectories(target)
+      cells.foreach { c =>
+        val dst = target.resolve(s"centroid_id=$c")
+        val src = tmp.resolve(s"centroid_id=$c")
+        val old = dst.resolveSibling(s"_aside_${System.nanoTime()}")
+        if (Files.exists(dst)) Files.move(dst, old)
+        if (Files.exists(src)) Files.move(src, dst)
+        if (Files.exists(old)) deleteRec(old)
+      }
+      deleteRec(tmp)
+      spark.catalog.refreshByPath(target.toString)
     }
 
     // S3 auto-flush decision (batch >= threshold; 0 always, <0 never)
@@ -471,6 +510,19 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
       })
     }
+  }
+
+  /** The clustered table in its STORED shape (raw codes for SQ8/PQ, raw
+    * vectors for flat) — what insert's cell rewrite reads and writes back.
+    */
+  private def clusteredRaw(tenant: String, model: String): DataFrame = {
+    val d = indexDir(tenant, model)
+    val payload =
+      if (Files.exists(d.resolve("sq8"))) "codes ARRAY<INT>"
+      else if (Files.exists(d.resolve("pq"))) "pqcodes ARRAY<INT>"
+      else "dv ARRAY<DOUBLE>"
+    spark.read.schema(s"doc_id LONG, $payload, centroid_id INT")
+      .parquet(d.resolve("clustered").toString)
   }
 
   /** Load the persisted index. An SQ8/PQ index is decoded on read (codes →

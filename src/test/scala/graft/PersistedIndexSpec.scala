@@ -156,6 +156,37 @@ class PersistedIndexSpec extends SparkSpec {
     assert(cat.load("t", "m").count() == 120)
   }
 
+  test("upsert rewrites its clustered cells: no stale vectors, no duplicate doc_ids") {
+    import graft.operators.Ivf
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_stale").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4))
+    cat.insert("t", "m", (0 until 60).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
+    cat.persistIndex("t", "m")
+
+    // replace k7 with a DIFFERENT vector (vec(300) lands far from vec(7))
+    cat.insert("t", "m",
+      Seq(EmbeddedVector("k7", "moved", "m", Map(), vec(300))))
+
+    // the clustered table holds exactly one row per doc, none stale
+    val idx = cat.loadIndex("t", "m")
+    val k7 = spark.range(1).select(xxhash64(lit("k7"))).head.getLong(0)
+    val rows = idx.clustered.filter(col("doc_id") === k7).collect()
+    assert(rows.length == 1, s"expected 1 clustered row for k7, got ${rows.length}")
+    assert(rows.head.getSeq[Double](rows.head.fieldIndex("dv")) ==
+      vec(300), "clustered row still carries the replaced vector")
+    assert(idx.clustered.count() == 60)
+
+    // a DIRECT probe over the persisted table (the b5b serving path) sees the
+    // new vector: searching with vec(300) ranks k7 first, once
+    import spark.implicits._
+    val q = Seq((0L, vec(300))).toDF("qid", "qv")
+    val hits = Ivf.probePersisted(idx, q, nprobe = 4, k = 5).collect()
+    assert(hits.count(_.getAs[Long]("doc_id") == k7) == 1)
+    assert(hits.minBy(_.getAs[Long]("rank")).getAs[Long]("doc_id") == k7)
+  }
+
   test("incremental SparseIndex.upsert equals a from-scratch refit") {
     import spark.implicits._
     val docsA = (0L until 50L).map(i => (i, s"alpha beta doc$i common")).toDF("doc_id", "text")
