@@ -85,10 +85,128 @@ case class VecNorm2(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): VecNorm2 = copy(child = c)
 }
 
+/** IVF assignment kernel: the centroid id nearest to the row's vector under
+  * the metric, as ONE fused per-row loop (cells × dim) in generated code —
+  * no corpus × centroids join, no aggregation, map-only. `ids`/`cents` are
+  * the collected centroid table (tiny by construction), `norms` the
+  * precomputed per-centroid Σc². Tie-break: cells are scanned in ascending
+  * id order with strict improvement, so the LOWEST id wins ties — the same
+  * rule as max_by(struct(s, -id)) / min_by(struct(s, id)).
+  *
+  * metricCode: 0=COSINE (max dot/(√nd²·√nc²)), 1=L2 (min √(nd²−2·dot+nc²),
+  * exact integer identity), 2=IP (max dot) — score arithmetic bit-identical
+  * to [[Vec.score]] for integer-valued vectors.
+  */
+case class NearestCentroid(child: Expression, ids: Array[Int],
+    cents: Array[Array[Double]], norms: Array[Double], metricCode: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes() = org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  private def score(dot: Double, nd2: Double, c: Int): Double = metricCode match {
+    case 0 => dot / (math.sqrt(nd2) * math.sqrt(norms(c)))
+    case 1 => math.sqrt(nd2 - 2.0 * dot + norms(c))
+    case _ => dot
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var nd2 = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); nd2 += v * v; i += 1 }
+    var bestIdx = 0
+    var bestS = Double.NaN
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val d = math.min(n, cent.length)
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += x.getDouble(j) * cent(j); j += 1 }
+      val s = score(dot, nd2, c)
+      val better =
+        if (c == 0) true
+        else if (metricCode == 1) s < bestS
+        else s > bestS
+      if (better) { bestIdx = c; bestS = s }
+      c += 1
+    }
+    ids(bestIdx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+      val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val nd2 = ctx.freshName("nd2"); val v = ctx.freshName("v")
+      val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val dot = ctx.freshName("dot")
+      val cent = ctx.freshName("cent"); val s = ctx.freshName("s")
+      val bestIdx = ctx.freshName("bestIdx"); val bestS = ctx.freshName("bestS")
+      val scoreExpr = metricCode match {
+        case 0 => s"$dot / (java.lang.Math.sqrt($nd2) * java.lang.Math.sqrt($normsRef[$c]))"
+        case 1 => s"java.lang.Math.sqrt($nd2 - 2.0 * $dot + $normsRef[$c])"
+        case _ => dot
+      }
+      val cmp = if (metricCode == 1) s"$s < $bestS" else s"$s > $bestS"
+      s"""
+         |int $n = $a.numElements();
+         |double $nd2 = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $nd2 += $v * $v;
+         |}
+         |int $bestIdx = 0;
+         |double $bestS = Double.NaN;
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] $cent = $centsRef[$c];
+         |  int $d = java.lang.Math.min($n, $cent.length);
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $d; $j++) {
+         |    $dot += $a.getDouble($j) * $cent[$j];
+         |  }
+         |  double $s = $scoreExpr;
+         |  if ($c == 0 || ($cmp)) { $bestIdx = $c; $bestS = $s; }
+         |}
+         |${ev.value} = $idsRef[$bestIdx];
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
 object VecExprs {
   /** Column API over the codegen kernels. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def norm2(a: Column): Column =
     ColumnBridge.column(VecNorm2(ColumnBridge.expression(a)))
+
+  /** Nearest-centroid assignment over a collected centroid table. Centroids
+    * are scanned in ascending id order (ties → lowest id, as
+    * max_by(struct(s, -id))). Norms are computed here with the same
+    * left-to-right summation as the oracle.
+    */
+  def nearestCentroid(dv: Column, centroids: Seq[(Int, Array[Double])],
+      metric: String): Column = {
+    val sorted = centroids.sortBy(_._1)
+    val code = metric match {
+      case "COSINE" => 0
+      case "L2"     => 1
+      case "IP"     => 2
+      case m => throw new IllegalArgumentException(s"metric $m (want COSINE|L2|IP)")
+    }
+    val cents = sorted.map(_._2).toArray
+    val norms = cents.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(dv),
+      sorted.map(_._1).toArray, cents, norms, code))
+  }
 }

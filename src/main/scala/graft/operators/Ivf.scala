@@ -80,17 +80,23 @@ object Ivf {
     * Returns (centroid_id, doc_id, dv).
     */
   def assign(corpus: DataFrame, centroids: DataFrame, metric: String): DataFrame = {
-    val s = Vec.score(metric, col("dv"), col("center"))
-    val best =
-      if (Vec.higherIsBetter(metric))
-        expr("max_by(struct(centroid_id, dv), struct(s, -centroid_id))")
-      else
-        expr("min_by(struct(centroid_id, dv), struct(s, centroid_id))")
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("s", s)
-      .groupBy("doc_id").agg(best.as("best"))
-      .select(col("best.centroid_id").as("centroid_id"), col("doc_id"),
-        col("best.dv").as("dv"))
+    // The centroid table is tiny by construction (≤ nlist rows) — collect it
+    // and run assignment as ONE fused codegen loop per corpus row
+    // ([[graft.functions.VecExprs.nearestCentroid]]): map-only, no
+    // corpus × centroids join, no aggregation, no shuffle. Score arithmetic
+    // is bit-identical to Vec.score for integer-valued vectors, and the
+    // tie-break (lowest centroid_id) matches the previous
+    // max_by(struct(s, -id)) / min_by(struct(s, id)) rule.
+    val cents = centroids.select("centroid_id", "center").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
+    if (cents.isEmpty)
+      corpus.select(lit(0).cast("int").as("centroid_id"), col("doc_id"), col("dv"))
+        .limit(0)
+    else
+      corpus.select(
+        graft.functions.VecExprs.nearestCentroid(col("dv"), cents, metric)
+          .as("centroid_id"),
+        col("doc_id"), col("dv"))
   }
 
   /** Deterministic seeded centroids: center_j = synthVec(j*7919 + 13) — a

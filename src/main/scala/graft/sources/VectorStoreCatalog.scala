@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.api._
 import graft.functions.Vec
-import graft.operators.{Bm25, Hybrid, Ivf, Knn, SearchParams, Upsert}
+import graft.operators.{Bm25, Hybrid, Ivf, Knn, SearchParams, TopK, Upsert}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -321,38 +321,37 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
   /** The search plan (public so tests can assert its physical shape).
     * Returns ranked hits with chunk/meta columns.
+    *
+    * Scale shape with a persisted IVF index, the request path is
+    * INDEX-BOUNDED — no step reads the full base table:
+    *  1. route the query to its nprobe cells (broadcast against the tiny
+    *     centroid table);
+    *  2. score candidates from the partition-pruned CLUSTERED table
+    *     ([[indexedCandidates]] — the scan reads nprobe/nlist of the index
+    *     files, never the base table);
+    *  3. point-look-up only the ≤ fetchK winners in the bucketed base table
+    *     ([[lookupByDocIds]] — `_bucket`-pruned dirs) for chunk/meta/extra,
+    *     re-score them exactly on the stored vectors, and run the reference
+    *     post-filter pipeline on that tiny set.
+    * Partition targeting composes by semi-joining the candidates with the
+    * part-pruned id column of the base table (a column-pruned scan of only
+    * the targeted `part=` dirs). Without an index the search is the
+    * documented full-scan [[Knn.search]] plan.
     */
   def searchDf(req: SearchRequest): DataFrame = {
-    val table = load(req.tenant, req.model)
     // S6: partition targeting (list-valued, vector_store.py:63-71,505-507)
     // prunes before anything else.
     val parts = (req.partitionNames ++ req.partitionName).distinct
-    val part = if (parts.isEmpty) table else table.filter(col("part").isin(parts: _*))
-    var corpus = part.select(col("flouds_vector_id"), col("chunk"), col("meta"),
-      col("extra"), col("vector").as("dv"))
+    def partScoped(df: DataFrame): DataFrame =
+      if (parts.isEmpty) df else df.filter(col("part").isin(parts: _*))
+    lazy val partCorpus = partScoped(load(req.tenant, req.model))
+      .select(col("flouds_vector_id"), col("chunk"), col("meta"),
+        col("extra"), col("vector").as("dv"))
       .withColumn("doc_id", xxhash64(col("flouds_vector_id")))
-
-    // A1-approx: when an IVF index exists, restrict the scan to the query's
-    // nprobe nearest cells, routed by the INDEX METRIC (nprobe capped 256 —
-    // vector_store.py:495). Composes with partition targeting: the corpus is
-    // already part-filtered, so the cell semi-join searches (probed cells ∩
-    // partitions) — the reference likewise searches through its index within
-    // the requested partitions (vector_store.py:505-517).
-    if (indexExists(req.tenant, req.model)) {
-      val idx = loadIndex(req.tenant, req.model)
-      import spark.implicits._
-      val qv = Seq(Tuple1(req.vector)).toDF("qv")
-      val centScore = Vec.score(idx.metric, col("qv"), col("center"))
-      val cells = qv.crossJoin(broadcast(idx.centroids))
-        .select(col("centroid_id"), centScore.as("cs"))
-        .orderBy(if (Vec.higherIsBetter(idx.metric)) col("cs").desc else col("cs").asc)
-        .limit(math.min(req.nprobe, 256))
-        .collect().map(_.getInt(0))
-      val probedDocs = idx.clustered
-        .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
-        .select("doc_id")
-      corpus = corpus.join(probedDocs, Seq("doc_id"), "left_semi")
-    }
+    // id-only view for partition semi-joins: a column-pruned scan of the
+    // targeted part= dirs (never the payload columns)
+    lazy val partDocIds = partScoped(load(req.tenant, req.model))
+      .select(xxhash64(col("flouds_vector_id")).as("doc_id"))
 
     // A3: radius/range_filter → closed score band oriented by the metric
     // (radius = far bound, range_filter = near bound, as Milvus).
@@ -372,19 +371,121 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       req.includeStopWords, req.increaseLimitForTextSearch, req.metaFilter,
       req.metaRequired, band, req.extraFilter, Seq("chunk", "meta") ++ req.outputFields)
 
+    val haveIndex = indexExists(req.tenant, req.model)
+    lazy val idx = loadIndex(req.tenant, req.model)
+
+    // Dense corpus for the scoring/filter pipeline: with an index, the tiny
+    // point-lookup of the index winners; without, the part-scoped base scan.
+    def denseCorpus(): DataFrame =
+      if (!haveIndex) partCorpus
+      else {
+        val cand = indexedCandidates(req, idx,
+          if (parts.isEmpty) None else Some(partDocIds), band)
+        val ids = cand.select("doc_id").distinct().collect()
+          .map(_.getLong(0)).toIndexedSeq
+        lookupByDocIds(req.tenant, req.model, ids, parts)
+      }
+
     if (req.hybridSearch && req.textFilter.exists(_.nonEmpty)) {
       // H4 gating: sparse leg only with query text. The sparse leg scores
       // from the PERSISTED BM25 tables — never a per-request fit
-      // (base_milvus.py:1286-1310: search goes through the built index).
+      // (base_milvus.py:1286-1310: search goes through the built index) —
+      // restricted by PARTITION only, never by the dense probe (the
+      // reference's sparse index search is partition-scoped, not
+      // IVF-scoped): a strong sparse hit outside the probed cells must
+      // survive fusion.
       ensureSparseIndex(req.tenant, req.model)
       var m = SparseIndex.read(spark, sparseDir(req.tenant, req.model).toString)
-      if (parts.nonEmpty) // partition targeting restricts scored docs
-        m = m.copy(tf = m.tf.join(corpus.select("doc_id"), Seq("doc_id"), "left_semi"))
-      Hybrid.search(corpus.select("doc_id", "dv"), queries, m,
-          Seq(0L -> req.textFilter.get), params)
-        .join(corpus.select(col("doc_id"), col("chunk"), col("meta")), "doc_id")
+      if (parts.nonEmpty)
+        m = m.copy(tf = m.tf.join(partDocIds, Seq("doc_id"), "left_semi"))
+      // Dense leg from the index when present: scores the cell-pruned
+      // clustered vectors (for IVF_FLAT these ARE the stored vectors;
+      // SQ8/PQ legs score the decoded approximation, as Milvus does).
+      val denseLeg =
+        if (!haveIndex) partCorpus.select("doc_id", "dv")
+        else {
+          val pruned = probedClustered(req, idx).select("doc_id", "dv")
+          if (parts.isEmpty) pruned
+          else pruned.join(partDocIds, Seq("doc_id"), "left_semi")
+        }
+      val fused = Hybrid.search(denseLeg, queries, m,
+        Seq(0L -> req.textFilter.get), params)
+      // ≤ limit fused winners: materialize once (avoids re-running both legs
+      // when the result is consumed), then attach chunk/meta by
+      // bucket-pruned point lookups — never a full base scan, and never
+      // probe-restricted (sparse-only hits keep their chunk/meta and their
+      // dense 1..limit ranks).
+      val rows = fused.collect()
+      val ids = rows.map(_.getAs[Long]("doc_id")).toIndexedSeq.distinct
+      val fusedDf = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), fused.schema)
+      fusedDf
+        .join(lookupByDocIds(req.tenant, req.model, ids, parts)
+          .select(col("doc_id"), col("chunk"), col("meta")), "doc_id")
         .select("qid", "rank", "doc_id", "rrf_score", "chunk", "meta")
-    } else Knn.search(corpus, queries, params)
+    } else Knn.search(denseCorpus(), queries, params)
+  }
+
+  /** The query's nprobe nearest cells of the clustered table, routed by the
+    * INDEX metric (nprobe capped at 256 — vector_store.py:495). The cell ids
+    * are collected (≤ nprobe ints) and pushed as a static partition filter,
+    * so the scan reads only the probed cells' files.
+    */
+  private def probedClustered(req: SearchRequest, idx: Ivf.Index): DataFrame = {
+    import spark.implicits._
+    val qv = Seq(Tuple1(req.vector)).toDF("qv")
+    val centScore = Vec.score(idx.metric, col("qv"), col("center"))
+    val cells = qv.crossJoin(broadcast(idx.centroids))
+      .select(col("centroid_id"), centScore.as("cs"))
+      .orderBy(if (Vec.higherIsBetter(idx.metric)) col("cs").desc else col("cs").asc)
+      .limit(math.min(req.nprobe, 256))
+      .collect().map(_.getInt(0))
+    idx.clustered.filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
+  }
+
+  /** A1-approx candidate generation, entirely on the INDEX tables: score the
+    * cell-pruned clustered vectors with the REQUEST metric and keep the top
+    * fetchK (the reference's over-fetch for post-filters). Quantized (SQ8/PQ)
+    * indexes score decoded approximations, so they over-fetch a refine
+    * margin — the exact re-rank happens on the looked-up base vectors.
+    * Package-private so plan specs can assert the pruned scan shape.
+    */
+  private[graft] def indexedCandidates(req: SearchRequest, idx: Ivf.Index,
+      partDocIds: Option[DataFrame], band: Option[(Double, Double)]): DataFrame = {
+    import spark.implicits._
+    val pruned0 = probedClustered(req, idx).select("doc_id", "dv")
+    val pruned = partDocIds.fold(pruned0)(p => pruned0.join(p, Seq("doc_id"), "left_semi"))
+    val queries = Seq((0L, req.vector)).toDF("qid", "qv")
+    var scored = Knn.scored(pruned, queries, req.metricType)
+    band.foreach { case (lo, hi) =>
+      scored = scored.filter(col("rawScore") >= lo && col("rawScore") <= hi)
+    }
+    val fetchK = req.offset + req.limit +
+      (if (req.textFilter.exists(_.trim.nonEmpty)) req.increaseLimitForTextSearch else 0)
+    val quantized = sq8Params(req.tenant, req.model).isDefined ||
+      pqCodebooks(req.tenant, req.model).isDefined
+    val kIdx = if (quantized) fetchK * 4 + 32 else fetchK
+    TopK.perKey(scored, "qid", "rawScore", "doc_id", kIdx,
+      desc = Knn.higherIsBetter(req.metricType))
+  }
+
+  /** Bucket-pruned point lookups: the base-table rows whose doc_id
+    * (= xxhash64 of the PK) is one of `ids`. Reads only the `_bucket`
+    * directories the ids hash to — with thousands of buckets at scale this
+    * is k point reads, never a table scan.
+    */
+  private def lookupByDocIds(tenant: String, model: String, ids: Seq[Long],
+      parts: Seq[String]): DataFrame = {
+    val nB = nBuckets(tenant, model)
+    val buckets = ids.map(id => java.lang.Math.floorMod(id, nB.toLong)).distinct
+    val raw = loadRaw(tenant, model)
+      .filter(col("_bucket").isin(buckets: _*))
+      .filter(xxhash64(col("flouds_vector_id")).isin(ids: _*))
+    val scoped = if (parts.isEmpty) raw else raw.filter(col("part").isin(parts: _*))
+    scoped.drop("_bucket")
+      .select(col("flouds_vector_id"), col("chunk"), col("meta"),
+        col("extra"), col("vector").as("dv"))
+      .withColumn("doc_id", xxhash64(col("flouds_vector_id")))
   }
 
   /** D3: build the IVF index tables for a collection. An EMPTY collection

@@ -62,6 +62,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "query-term join must broadcast")
   }
 
+  test("facade indexed search is index-bounded: no un-pruned base-table scan") {
+    import graft.api.SearchRequest
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_idxbound").toString)
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 8))
+    cat.insert("t", "m", (0 until 200).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
+    cat.persistIndex("t", "m")
+    val req = SearchRequest("t", "m", vec(5), limit = 5, nprobe = 4)
+
+    // candidate generation scans ONLY the probed cells of the INDEX table
+    val cand = cat.indexedCandidates(req, cat.loadIndex("t", "m"), None, None)
+    val pc = plan(cand)
+    val cpf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(pc).map(_.group(1))
+    assert(cpf.exists(_.contains("centroid_id")),
+      s"candidate scan not cell-pruned: $cpf")
+
+    // the final search plan touches the BASE table only through _bucket
+    // point lookups: every file scan in it carries a partition filter
+    val df = cat.searchDf(req)
+    val pfs = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan(df)).map(_.group(1)).toSeq
+    assert(pfs.nonEmpty, "no file scans found in indexed search plan")
+    assert(pfs.forall(f => f.contains("_bucket") || f.contains("part")),
+      s"un-pruned base scan in indexed search plan: $pfs")
+    // and the result is still the exact answer: the synthetic vectors repeat
+    // with period 97, so chunks 5/102/199 are exact cosine-1 ties at the top
+    // (ordered among themselves by doc_id hash)
+    val hits = df.orderBy("rank").select("chunk").collect().map(_.getString(0))
+    assert(hits.take(3).toSet == Set("chunk 5", "chunk 102", "chunk 199"),
+      s"got ${hits.toSeq}")
+  }
+
   test("persisted IVF probe prunes partitions (centroid_id IN pushed to scan)") {
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_prune").toString)

@@ -117,6 +117,50 @@ class SearchKnobsSpec extends SparkSpec {
     assert(hit.success && hit.data.head.content == "writer 3 doc 7 alpha")
   }
 
+  test("hybrid sparse leg is not probe-restricted: dense-far sparse hits survive") {
+    import org.apache.spark.sql.functions._
+    val cat = mkCat
+    // 400 rows -> buildIndex caps nlist at 400/64 = 6 cells; nprobe=4 leaves
+    // cells unprobed. Every doc carries a unique term, so we can aim the
+    // sparse leg at a doc whose cell the dense probe does NOT visit.
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 64))
+    for (g <- 0 until 2)
+      cat.insert("t", "m", (0 until 200).map { j =>
+        val i = g * 200 + j
+        EmbeddedVector(s"k$i", s"common words uniq$i", "m", Map(), vec(i))
+      })
+    cat.persistIndex("t", "m")
+    val idx = cat.loadIndex("t", "m")
+    assert(idx.centroids.count() >= 5)
+
+    // route vec(5) exactly as the facade does; find a doc in an UNPROBED cell
+    val qv = vec(5)
+    import spark.implicits._
+    val centScore = graft.functions.Vec.score(idx.metric, col("qv"), col("center"))
+    val probed = Seq(Tuple1(qv)).toDF("qv").crossJoin(broadcast(idx.centroids))
+      .select(col("centroid_id"), centScore.as("cs"))
+      .orderBy(col("cs").desc).limit(4).collect().map(_.getInt(0)).toSet
+    val outside = idx.clustered.filter(!col("centroid_id").isin(probed.toSeq: _*))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outside.nonEmpty, "probe covered every cell; test needs more rows")
+    val hashOf = (0 until 400).map(i =>
+      i -> spark.range(1).select(xxhash64(lit(s"k$i"))).head.getLong(0)).toMap
+    val target = (0 until 400).find(i => outside.contains(hashOf(i))).get
+
+    // hybrid search: dense leg probes 4 cells (target's cell excluded), the
+    // sparse leg matches ONLY the target's unique term -> the target must
+    // still fuse in, with chunk/meta attached and dense 1..n ranks
+    val df = cat.searchDf(graft.api.SearchRequest("t", "m", qv, limit = 10,
+      nprobe = 4, hybridSearch = true, textFilter = Some(s"uniq$target")))
+    val rows = df.orderBy("rank").collect()
+    val contents = rows.map(_.getAs[String]("chunk"))
+    assert(contents.contains(s"common words uniq$target"),
+      s"sparse-only hit dropped: ${contents.toSeq}")
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq,
+      "gapped ranks after fusion")
+    assert(rows.forall(r => r.getAs[String]("chunk") != null))
+  }
+
   test("dynamic-field extra filter is a CI substring conjunction (P5 over extra)") {
     val cat = mkCat
     cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
