@@ -218,9 +218,29 @@ object Dedup {
   /** Token-set Jaccard near-dup within a blocking column (e.g. lang):
     * |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. Blocking keeps the pair join keyed.
     */
-  def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double): DataFrame = {
-    val sets = docs.select(col("doc_id"), col(blockCol).as("blk"),
+  def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double): DataFrame =
+    jaccardPairs(docs, blockCol, threshold, maxDf = None)
+
+  /** `maxDf`: skew guard for the term-keyed self-join — a term contained in
+    * df docs of one block emits ~df²/2 intersection rows, so one ubiquitous
+    * token ("the", a boilerplate marker) can make the join quadratic in the
+    * block size. Terms with per-block document frequency > maxDf are dropped
+    * from the token SETS (both intersections and sizes, so Jaccard stays a
+    * true set similarity over the remaining vocabulary); such terms carry
+    * negligible discrimination anyway — near-identical docs still share
+    * their rare terms. None (the oracle-checked default) keeps every term.
+    * The same guard shape as [[lshCandidatePairs]]'s maxBucketSize.
+    */
+  def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
+      maxDf: Option[Int]): DataFrame = {
+    val sets0 = docs.select(col("doc_id"), col(blockCol).as("blk"),
         explode(array_distinct(Text.tokens(col("text")))).as("term"))
+    val sets = maxDf.fold(sets0) { cap =>
+      val keep = sets0.groupBy("blk", "term")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        .select("blk", "term")
+      sets0.join(keep, Seq("blk", "term"), "left_semi")
+    }
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sets.as("x").join(sets.as("y"),
         col("x.blk") === col("y.blk") && col("x.term") === col("y.term") &&

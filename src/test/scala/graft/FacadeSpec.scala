@@ -195,6 +195,25 @@ class LshSkewGuardSpec extends SparkSpec {
   import graft.operators.Dedup
   import spark.implicits._
 
+  test("jaccardPairs maxDf caps the quadratic blowup of a ubiquitous term") {
+    // 40 docs sharing one ubiquitous token, pairwise-distinct otherwise,
+    // plus one true near-dup pair on rare terms
+    val docs = ((0L until 40L).map(i => (i, s"boiler token$i", "en"))
+      ++ Seq((100L, "alpha beta gamma delta", "en"),
+             (101L, "alpha beta gamma epsilon", "en"))).toDF("doc_id", "text", "blk")
+    // unguarded: "boiler" (df=40) emits 40*39/2 = 780 intersection pairs
+    val unguarded = Dedup.jaccardPairs(docs, "blk", 0.01)
+    assert(unguarded.count() >= 780)
+    // guarded: boiler dropped from the sets; only the rare-term pair remains,
+    // with Jaccard computed over the remaining vocabulary (3/5)
+    val guarded = Dedup.jaccardPairs(docs, "blk", 0.5, maxDf = Some(10))
+    val rows = guarded.collect()
+    assert(rows.length == 1, s"got ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("doc_a") == 100L &&
+      rows.head.getAs[Long]("doc_b") == 101L)
+    assert(math.abs(rows.head.getAs[Double]("jaccard") - 0.6) < 1e-12)
+  }
+
   test("maxBucketSize drops degenerate buckets but keeps normal near-dup pairs") {
     // 30 identical boilerplate docs (a degenerate bucket) + one true pair
     val docs = ((0L until 30L).map(i => (i, "the same boilerplate text every time repeated"))
