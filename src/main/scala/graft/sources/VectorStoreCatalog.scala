@@ -158,6 +158,17 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     require(rows.nonEmpty && rows.size <= Upsert.MaxBatch, "batch 1-1000 rows")
     val dim = dimension(tenant, model)
     rows.foreach(Validation.requireValidRow(_, dim))
+    // metadata_length is a hard schema property in the reference (meta is a
+    // VARCHAR(metadata_length) column, base_milvus.py:1058-1065) — oversize
+    // metadata must fail the insert, not silently truncate or pass.
+    properties(tenant, model).get("metadata_length").map(_.toInt).foreach { max =>
+      rows.foreach { r =>
+        val n = metaJson(r.metadata).length
+        require(n <= max,
+          s"metadata for key '${r.key}' serializes to $n chars, " +
+            s"exceeding the collection's metadata_length $max")
+      }
+    }
     val keys = rows.map(_.key)
     require(keys.distinct.size == keys.size, "duplicate keys in batch")
     val nB = nBuckets(tenant, model)
@@ -863,6 +874,16 @@ object VectorStoreCatalog {
         }.toMap
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** The serialized form of a metadata map — same compact JSON and key order
+    * as the stored `to_json(metadata)` column, so the metadata_length check
+    * measures exactly what gets stored.
+    */
+  private[sources] def metaJson(m: Map[String, String]): String = {
+    val ordered = new java.util.LinkedHashMap[String, String]()
+    m.foreach { case (k, v) => ordered.put(k, v) }
+    jsonMapper.writeValueAsString(ordered)
+  }
 
   private[graft] def writeJson(p: Path, m: Map[String, String]): Unit = {
     val ordered = new java.util.LinkedHashMap[String, String]()

@@ -70,6 +70,22 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("metadata_length is enforced on ingest (VARCHAR(metadata_length) parity)") {
+    val cat = mkCatalog
+    cat.generateSchema(SchemaSpec("t9", "m1", dimension = 8, metadataLength = 256))
+    // {"k":"<v>"} serializes to 8 + len(v) chars: 248 -> exactly 256, passes
+    cat.insert("t9", "m1", Seq(EmbeddedVector("a", "c", "m1",
+      Map("k" -> "x" * 248), vec(1))))
+    assert(cat.load("t9", "m1").count() == 1)
+    // 249 -> 257, one past the boundary: rejected
+    val ex = intercept[IllegalArgumentException] {
+      cat.insert("t9", "m1", Seq(EmbeddedVector("b", "c", "m1",
+        Map("k" -> "x" * 249), vec(2))))
+    }
+    assert(ex.getMessage.contains("metadata_length"))
+    assert(cat.load("t9", "m1").count() == 1)
+  }
+
   test("partition targeting restricts search (S6); config KV round-trips (D8)") {
     val cat = mkCatalog
     cat.generateSchema(SchemaSpec("t2", "m1", dimension = 8))
