@@ -633,6 +633,16 @@ object Oracles {
       |       CAST(SUM(price) AS DOUBLE) AS total_price
       |FROM merged GROUP BY status""".stripMargin
 
+  /** INT64 auto_id round-trip (Q-INT64-PK): generated ids are the
+    * deterministic 1-based insert order, and q_int64_pk inserts in
+    * o_orderkey order — row_number() reproduces the store's id assignment.
+    */
+  val int64Pk: String =
+    """SELECT row_number() OVER (ORDER BY o_orderkey) AS auto_id,
+      |       CAST(o_orderkey AS VARCHAR) || ' ' || o_orderstatus AS chunk,
+      |       o_orderpriority AS priority
+      |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)""".stripMargin
+
   /** Brute-force cosine top-k over the real embedding column (quantized) —
     * the exact-ANN baseline of the similarity-search suite.
     */

@@ -226,6 +226,31 @@ object SparkEntry {
         sum("price").cast("double").as("total_price"))
     }),
 
+    // ---- D2 variant: INT64 / auto_id primary keys (base_milvus.py:895-917,
+    //      1019-1030: dtype INT64 ⇒ auto_id, store-generated PKs). The id
+    //      counter is deterministic (1,2,3,… in insert order), so the whole
+    //      catalog round-trip — schema, id generation, bucketed storage,
+    //      readback — is oracle-checkable.
+    "q_int64_pk" -> ((s, dir) => {
+      val cat = new graft.sources.VectorStoreCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_int64").toString)
+      cat.generateSchema(graft.api.SchemaSpec("oracle", "pk-int64", dimension = 8,
+        primaryKeyDataType = "INT64"))
+      val src = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey").limit(200).collect()
+      src.grouped(100).foreach { b =>
+        cat.insert("oracle", "pk-int64", b.toSeq.map { r =>
+          graft.api.EmbeddedVector("", s"${r.getLong(0)} ${r.getString(1)}",
+            "pk-int64", Map("priority" -> r.getString(2)),
+            (0 until 8).map(i => ((r.getLong(0) * 131 + i * 313 + 7) % 97 - 48).toDouble))
+        })
+      }
+      cat.load("oracle", "pk-int64").select(
+        col("flouds_vector_id").as("auto_id"), col("chunk"),
+        get_json_object(col("meta"), "$.priority").as("priority"))
+    }),
+
     // ---- D3/A1-approx: IVF index build + nprobe-routed search. The codebook
     //      is a DETERMINISTIC seeded one (Ivf.seededCentroids) so assignment,
     //      routing, and the cell-pruned scan are all DuckDB-replicable —
@@ -398,6 +423,7 @@ object SparkEntry {
     "q_pii_scrub"     -> Oracles.piiScrub,
     "q_fingerprint"   -> Oracles.fingerprint,
     "q_upsert"        -> Oracles.upsert,
+    "q_int64_pk"      -> Oracles.int64Pk,
     "q_ivf_knn"       -> Oracles.ivfKnn(8, 16, 4, 10),
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),
     "q_ann_lsh"       -> Oracles.annLsh(4, 10),

@@ -26,13 +26,25 @@ final case class SchemaSpec(
     indexType: String = "IVF_FLAT",
     nlist: Int = 1024,
     metadataLength: Int = 4096,
-    dropRatioBuild: Double = 0.1) {
+    dropRatioBuild: Double = 0.1,
+    /** PK dtype (base_milvus.py:895-917): VARCHAR (caller-supplied string
+      * keys, upsert-by-key) or INT64 (store-generated auto_id, append-only —
+      * `auto_id = dtype == INT64` in the reference). INT / STRING are the
+      * reference's accepted aliases.
+      */
+    primaryKeyDataType: String = "VARCHAR") {
   require(dimension >= 1 && dimension <= 4096, "dimension 1-4096")
   require(Set("COSINE", "L2", "IP")(metricType), "metric COSINE|L2|IP")
   require(Set("IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW")(indexType), "index type")
   require(nlist >= 1 && nlist <= 65536, "nlist 1-65536")
   require(metadataLength >= 256 && metadataLength <= 65535, "metadata_length 256-65535")
   require(dropRatioBuild >= 0.0 && dropRatioBuild <= 1.0, "drop_ratio_build 0-1")
+  require(Set("VARCHAR", "STRING", "INT64", "INT")(primaryKeyDataType.toUpperCase),
+    "primary_key_data_type VARCHAR|STRING|INT64|INT")
+
+  /** Normalized dtype, as the reference's dtype_map collapses aliases. */
+  def pkType: String =
+    if (Set("INT64", "INT")(primaryKeyDataType.toUpperCase)) "INT64" else "VARCHAR"
 }
 
 /** Search request knobs (search_request.py:49-131) — mapped onto the engine's
@@ -120,9 +132,13 @@ object Validation {
       "vector values must be finite with |x| <= 1e6")
   }
 
-  /** insert_request.py / embedded_vector.py limits. */
-  def requireValidRow(r: EmbeddedVector, dim: Int): Unit = {
-    require(r.key != null && r.key.nonEmpty && r.key.length <= 256, "key 1-256 chars")
+  /** insert_request.py / embedded_vector.py limits. `requireKey = false` for
+    * auto_id (INT64-PK) collections, where the store generates the PK and
+    * the caller's key is ignored (base_milvus.py:1019-1030).
+    */
+  def requireValidRow(r: EmbeddedVector, dim: Int, requireKey: Boolean = true): Unit = {
+    if (requireKey)
+      require(r.key != null && r.key.nonEmpty && r.key.length <= 256, "key 1-256 chars")
     require(r.chunk != null && r.chunk.length <= 60000, "chunk <=60000 chars")
     requireValidModel(r.model)
     requireValidVector(r.vector, dim)

@@ -56,9 +56,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private def dataDir(tenant: String, model: String): Path =
     tableDir(tenant, model).resolve("data")
 
-  /** The one table shape (SURVEY §1.2 / base_milvus.py:920-997). */
-  def storeSchema(dim: Int): StructType = StructType(Seq(
-    StructField("flouds_vector_id", StringType, nullable = false),
+  /** The one table shape (SURVEY §1.2 / base_milvus.py:920-997). The PK
+    * column is STRING for VARCHAR collections, BIGINT for INT64 (auto_id)
+    * ones — base_milvus.py:895-917.
+    */
+  def storeSchema(dim: Int, pkType: String = "VARCHAR"): StructType = StructType(Seq(
+    StructField("flouds_vector_id",
+      if (pkType == "INT64") LongType else StringType, nullable = false),
     StructField("chunk", StringType),
     StructField("model", StringType),
     StructField("vector", ArrayType(DoubleType, containsNull = false)),
@@ -67,8 +71,17 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     StructField("extra", MapType(StringType, StringType)),
     StructField("part", StringType)))
 
-  private def rawSchema(dim: Int): StructType =
-    storeSchema(dim).add(StructField("_bucket", LongType))
+  /** Normalized PK dtype of a collection (VARCHAR unless declared INT64). */
+  def pkType(tenant: String, model: String): String =
+    properties(tenant, model).getOrElse("primary_key_data_type", "VARCHAR")
+
+  /** Whether the store generates the PK (reference: auto_id ⇔ INT64). */
+  def autoId(tenant: String, model: String): Boolean =
+    pkType(tenant, model) == "INT64"
+
+  private def rawSchema(tenant: String, model: String): StructType =
+    storeSchema(dimension(tenant, model), pkType(tenant, model))
+      .add(StructField("_bucket", LongType))
 
   // ---- D1/D2: generate_schema ----
   def generateSchema(spec: SchemaSpec): Unit = {
@@ -82,7 +95,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       "index_type" -> spec.indexType,
       "nlist" -> spec.nlist.toString,
       "metadata_length" -> spec.metadataLength.toString,
-      "drop_ratio_build" -> spec.dropRatioBuild.toString)
+      "drop_ratio_build" -> spec.dropRatioBuild.toString,
+      "primary_key_data_type" -> spec.pkType)
     writeJson(dir.resolve("_schema.json"), props)
   }
 
@@ -116,9 +130,21 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private def loadRaw(tenant: String, model: String): DataFrame = {
     val d = dataDir(tenant, model)
     if (Files.exists(d) && Files.list(d).iterator().asScala.nonEmpty)
-      spark.read.schema(rawSchema(dimension(tenant, model))).parquet(d.toString)
+      spark.read.schema(rawSchema(tenant, model)).parquet(d.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      rawSchema(dimension(tenant, model)))
+      rawSchema(tenant, model))
+  }
+
+  /** Next auto_id block for an INT64 collection: reserves `n` consecutive
+    * ids from the persisted counter (called under the collection lock, so
+    * the reservation is atomic; ids start at 1 and are never reused —
+    * auto_id collections are append-only like the reference's).
+    */
+  private def reserveAutoIds(tenant: String, model: String, n: Int): Long = {
+    val p = tableDir(tenant, model).resolve("_autoid.json")
+    val next = if (Files.exists(p)) readJson(p)("next").toLong else 1L
+    writeJson(p, Map("next" -> (next + n).toString))
+    next
   }
 
   // ---- S1: validated upsert, bucket-restricted + incremental sparse ----
@@ -157,7 +183,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     require(collectionExists(tenant, model), s"collection missing for $tenant/$model")
     require(rows.nonEmpty && rows.size <= Upsert.MaxBatch, "batch 1-1000 rows")
     val dim = dimension(tenant, model)
-    rows.foreach(Validation.requireValidRow(_, dim))
+    val auto = autoId(tenant, model)
+    rows.foreach(Validation.requireValidRow(_, dim, requireKey = !auto))
     // metadata_length is a hard schema property in the reference (meta is a
     // VARCHAR(metadata_length) column, base_milvus.py:1058-1065) — oversize
     // metadata must fail the insert, not silently truncate or pass.
@@ -169,14 +196,26 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
             s"exceeding the collection's metadata_length $max")
       }
     }
-    val keys = rows.map(_.key)
-    require(keys.distinct.size == keys.size, "duplicate keys in batch")
+    if (!auto) {
+      val keys = rows.map(_.key)
+      require(keys.distinct.size == keys.size, "duplicate keys in batch")
+    }
     val nB = nBuckets(tenant, model)
 
     import spark.implicits._
-    val batch = rows.toDF()
-      .select(col("key").as("flouds_vector_id"), col("chunk"), col("model"),
-        col("vector"), col("metadata"), col("dynamicFields").as("extra"))
+    // INT64 collections generate their PK (auto_id, reference parity):
+    // a reserved consecutive id block replaces the caller's keys; fresh ids
+    // can never collide, so auto_id inserts are append-only by construction.
+    val keyed: DataFrame =
+      if (auto) {
+        val start = reserveAutoIds(tenant, model, rows.size)
+        rows.zipWithIndex.map { case (r, i) =>
+          (start + i, r.chunk, r.model, r.vector, r.metadata, r.dynamicFields)
+        }.toDF("flouds_vector_id", "chunk", "model", "vector", "metadata", "extra")
+      } else rows.toDF()
+        .select(col("key").as("flouds_vector_id"), col("chunk"), col("model"),
+          col("vector"), col("metadata"), col("dynamicFields").as("extra"))
+    val batch = keyed
       .withColumn("meta", to_json(col("metadata"))).drop("metadata")
       .withColumn("part", lit(partition.getOrElse("_default")))
       .withColumn("_bucket", bucketExpr(col("flouds_vector_id"), nB))

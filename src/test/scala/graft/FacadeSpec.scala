@@ -70,6 +70,27 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("INT64 auto_id collection: generated long PKs, append-only, searchable") {
+    val cat = mkCatalog
+    cat.generateSchema(SchemaSpec("t8", "m1", dimension = 8,
+      primaryKeyDataType = "INT64"))
+    assert(cat.autoId("t8", "m1"))
+    // caller keys are ignored on an auto_id collection (reference parity)
+    cat.insert("t8", "m1", (0 until 20).map(i =>
+      EmbeddedVector("", s"auto chunk $i", "m1", Map(), vec(i))))
+    val ids = cat.load("t8", "m1").select("flouds_vector_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 20L), s"got $ids")
+    // append-only: the next batch reserves fresh ids, nothing is replaced
+    cat.insert("t8", "m1",
+      Seq(EmbeddedVector("", "auto chunk 20", "m1", Map(), vec(42))))
+    assert(cat.load("t8", "m1").count() == 21)
+    assert(cat.load("t8", "m1").agg(max("flouds_vector_id")).head.getLong(0) == 21L)
+    // search round-trip over the long-PK store
+    val hit = cat.search(SearchRequest("t8", "m1", vec(3), limit = 3))
+    assert(hit.success && hit.data.head.content == "auto chunk 3")
+  }
+
   test("metadata_length is enforced on ingest (VARCHAR(metadata_length) parity)") {
     val cat = mkCatalog
     cat.generateSchema(SchemaSpec("t9", "m1", dimension = 8, metadataLength = 256))
