@@ -28,12 +28,20 @@ object Hybrid {
     * Returns (qid, rank, doc_id, rrf_score, dense_score, sparse_score).
     */
   def search(corpus: DataFrame, queries: DataFrame, bm25: Bm25.Model,
+      queryTexts: Seq[(Long, String)], p: SearchParams): DataFrame =
+    searchScored(Knn.scored(corpus, queries.select("qid", "qv"), p.metric),
+      bm25, queryTexts, p)
+
+  /** [[search]] over a PRE-SCORED dense leg (qid, doc_id, rawScore) — the
+    * facade's index-bounded path supplies per-query cell-pruned scores here
+    * instead of a full-corpus cross join.
+    */
+  def searchScored(denseScored: DataFrame, bm25: Bm25.Model,
       queryTexts: Seq[(Long, String)], p: SearchParams): DataFrame = {
     val legK = math.min(p.limit, 50)
 
-    // Dense leg: exact metric top-legK per qid (codegen dot + partial top-k).
-    val dense = TopK.perKey(
-        Knn.scored(corpus, queries.select("qid", "qv"), p.metric),
+    // Dense leg: metric top-legK per qid (codegen dot + partial top-k).
+    val dense = TopK.perKey(denseScored.select("qid", "doc_id", "rawScore"),
         "qid", "rawScore", "doc_id", legK, desc = Knn.higherIsBetter(p.metric))
       .select(col("qid"), col("doc_id"), col("rawScore").as("dense_score"),
         col("rank").as("dense_rank"))

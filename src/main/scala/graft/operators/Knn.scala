@@ -76,17 +76,43 @@ object Knn {
       .select((Seq("qid", "doc_id", "rawScore") ++ passthrough).map(col): _*)
   }
 
+  /** Score ONLY the given (query, corpus) pairs: `corpusPairs` carries a
+    * `qid` column naming which query each candidate row belongs to (e.g. the
+    * winners of that query's own probed IVF cells), and the join on qid —
+    * queries broadcast — evaluates the same codegen kernel chain as
+    * [[scored]], so scores are bit-identical. This is what keeps a BATCH of
+    * searches per-query-exact: candidates never leak across queries.
+    */
+  def scoredPairs(corpusPairs: DataFrame, queries: DataFrame, metric: String): DataFrame = {
+    val corpusPrep  = corpusPairs.withColumn("nd2", VecExprs.norm2(col("dv")))
+    val queriesPrep = queries.withColumn("nq2", VecExprs.norm2(col("qv")))
+    val passthrough = corpusPairs.columns
+      .filter(c => c != "dv" && c != "doc_id" && c != "qid").toSeq
+    corpusPrep.join(broadcast(queriesPrep), "qid")
+      .withColumn("dotp", VecExprs.dot(col("qv"), col("dv")))
+      .withColumn("rawScore", rawScore(metric))
+      .select((Seq("qid", "doc_id", "rawScore") ++ passthrough).map(col): _*)
+  }
+
   /** corpus: (doc_id, dv, [chunk], [meta], …); queries: (qid, qv).
     * Returns (qid, rank, doc_id, score, outputFields…).
     */
-  def search(corpus: DataFrame, queries: DataFrame, p: SearchParams): DataFrame = {
+  def search(corpus: DataFrame, queries: DataFrame, p: SearchParams): DataFrame =
+    pipeline(scored(corpus, queries, p.metric), p)
+
+  /** The reference's post-scoring pipeline over ANY pre-scored
+    * (qid, doc_id, rawScore, fields…) rows — shared by the full-scan path
+    * ([[search]]) and the index-bounded facade path (which pre-scores
+    * point-looked-up candidates with [[scoredPairs]]).
+    */
+  def pipeline(scoredDf: DataFrame, p: SearchParams): DataFrame = {
     require(p.limit >= 1 && p.limit <= 100, "limit 1-100")
     require(p.offset >= 0 && p.offset <= 100, "offset 0-100")
 
     val overFetch = if (p.textFilter.exists(_.trim.nonEmpty)) p.increaseLimitForTextSearch else 0
     val fetchK    = p.offset + p.limit + overFetch
 
-    var df = scored(corpus, queries, p.metric)
+    var df = scoredDf
 
     // Range search (A3, vector_store.py:501-503) restricts by score band
     // before ranking — the engine-side part of radius / range_filter.

@@ -388,7 +388,40 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * the targeted `part=` dirs). Without an index the search is the
     * documented full-scan [[Knn.search]] plan.
     */
-  def searchDf(req: SearchRequest): DataFrame = {
+  def searchDf(req: SearchRequest): DataFrame = searchDfBatch(req, Seq(req.vector))
+
+  /** Batch search: N query vectors in ONE request sharing the request's
+    * knobs (the Milvus client likewise accepts a vector list per search).
+    * Rank parity with N single-vector requests is exact: with an index,
+    * candidates are generated per query from that query's OWN probed cells
+    * (the routing join keys on (qid, centroid_id)), then re-scored with
+    * [[Knn.scoredPairs]] so no candidate leaks across queries.
+    */
+  def searchBatch(req: SearchRequest, vectors: Seq[Seq[Double]]): Seq[SearchResponse] = {
+    val t0 = System.nanoTime()
+    require(collectionExists(req.tenant, req.model), "collection missing")
+    require(vectors.nonEmpty && vectors.size <= 1000, "batch 1-1000 vectors")
+    val dim = dimension(req.tenant, req.model)
+    vectors.foreach(Validation.requireValidVector(_, dim))
+    val byQ = searchDfBatch(req, vectors)
+      .orderBy(col("qid"), col("rank"))
+      .select(col("qid"), col("chunk"), col("meta"))
+      .collect().groupBy(_.getLong(0))
+    val dt = (System.nanoTime() - t0) / 1e9
+    vectors.indices.map { q =>
+      val rows = byQ.getOrElse(q.toLong, Array.empty).toSeq
+        .map(r => EmbeddedMeta(r.getString(1), parseMeta(r.getString(2))))
+      if (rows.isEmpty)
+        SearchResponse(success = false, "No vectors found for the given query.",
+          req.tenant, dt, Nil)
+      else SearchResponse(success = true, "ok", req.tenant, dt, rows)
+    }
+  }
+
+  /** The batch search plan: all of [[searchDf]]'s documentation applies; the
+    * `qid` column identifies the query (vectors' index order).
+    */
+  def searchDfBatch(req: SearchRequest, vectors: Seq[Seq[Double]]): DataFrame = {
     // S6: partition targeting (list-valued, vector_store.py:63-71,505-507)
     // prunes before anything else.
     val parts = (req.partitionNames ++ req.partitionName).distinct
@@ -402,6 +435,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // targeted part= dirs (never the payload columns)
     lazy val partDocIds = partScoped(load(req.tenant, req.model))
       .select(xxhash64(col("flouds_vector_id")).as("doc_id"))
+    val partOpt = if (parts.isEmpty) None else Some(partDocIds)
 
     // A3: radius/range_filter → closed score band oriented by the metric
     // (radius = far bound, range_filter = near bound, as Milvus).
@@ -415,7 +449,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           req.radius.getOrElse(Double.PositiveInfinity)))
 
     import spark.implicits._
-    val queries = Seq((0L, req.vector)).toDF("qid", "qv")
+    val queries = vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("qid", "qv")
     val params = SearchParams(req.metricType, req.limit, req.offset,
       req.scoreThreshold, req.roundDecimal, req.textFilter, req.minimumWordsMatch,
       req.includeStopWords, req.increaseLimitForTextSearch, req.metaFilter,
@@ -424,16 +459,20 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val haveIndex = indexExists(req.tenant, req.model)
     lazy val idx = loadIndex(req.tenant, req.model)
 
-    // Dense corpus for the scoring/filter pipeline: with an index, the tiny
-    // point-lookup of the index winners; without, the part-scoped base scan.
-    def denseCorpus(): DataFrame =
-      if (!haveIndex) partCorpus
+    // Index-bounded dense search: per-query winners from the pruned index →
+    // bucket-pruned point lookups → exact per-pair re-score → the reference
+    // post-filter pipeline. Without an index: the full-scan Knn plan.
+    def denseSearch(): DataFrame =
+      if (!haveIndex) Knn.search(partCorpus, queries, params)
       else {
-        val cand = indexedCandidates(req, idx,
-          if (parts.isEmpty) None else Some(partDocIds), band)
-        val ids = cand.select("doc_id").distinct().collect()
-          .map(_.getLong(0)).toIndexedSeq
-        lookupByDocIds(req.tenant, req.model, ids, parts)
+        val winners = indexedCandidates(req, idx, queries, partOpt, band)
+        val pairRows = winners.select("qid", "doc_id").collect()
+        val ids = pairRows.map(_.getLong(1)).toIndexedSeq.distinct
+        val pairs = pairRows.map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+          .toDF("qid", "doc_id")
+        val corpusPairs = lookupByDocIds(req.tenant, req.model, ids, parts)
+          .join(pairs, Seq("doc_id"))
+        Knn.pipeline(Knn.scoredPairs(corpusPairs, queries, req.metricType), params)
       }
 
     if (req.hybridSearch && req.textFilter.exists(_.nonEmpty)) {
@@ -448,20 +487,17 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       var m = SparseIndex.read(spark, sparseDir(req.tenant, req.model).toString)
       if (parts.nonEmpty)
         m = m.copy(tf = m.tf.join(partDocIds, Seq("doc_id"), "left_semi"))
-      // Dense leg from the index when present: scores the cell-pruned
-      // clustered vectors (for IVF_FLAT these ARE the stored vectors;
-      // SQ8/PQ legs score the decoded approximation, as Milvus does).
-      val denseLeg =
-        if (!haveIndex) partCorpus.select("doc_id", "dv")
-        else {
-          val pruned = probedClustered(req, idx).select("doc_id", "dv")
-          if (parts.isEmpty) pruned
-          else pruned.join(partDocIds, Seq("doc_id"), "left_semi")
-        }
-      val fused = Hybrid.search(denseLeg, queries, m,
-        Seq(0L -> req.textFilter.get), params)
-      // ≤ limit fused winners: materialize once (avoids re-running both legs
-      // when the result is consumed), then attach chunk/meta by
+      // Dense leg from the index when present: per-query cell-pruned scores
+      // over the clustered vectors (for IVF_FLAT these ARE the stored
+      // vectors; SQ8/PQ legs score the decoded approximation, as Milvus).
+      val denseScored =
+        if (!haveIndex)
+          Knn.scored(partCorpus.select("doc_id", "dv"), queries, req.metricType)
+        else indexedScored(req, idx, queries, partOpt)
+      val fused = Hybrid.searchScored(denseScored, m,
+        vectors.indices.map(_.toLong -> req.textFilter.get), params)
+      // ≤ limit·|queries| fused winners: materialize once (avoids re-running
+      // both legs when the result is consumed), then attach chunk/meta by
       // bucket-pruned point lookups — never a full base scan, and never
       // probe-restricted (sparse-only hits keep their chunk/meta and their
       // dense 1..limit ranks).
@@ -473,40 +509,53 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         .join(lookupByDocIds(req.tenant, req.model, ids, parts)
           .select(col("doc_id"), col("chunk"), col("meta")), "doc_id")
         .select("qid", "rank", "doc_id", "rrf_score", "chunk", "meta")
-    } else Knn.search(denseCorpus(), queries, params)
+    } else denseSearch()
   }
 
-  /** The query's nprobe nearest cells of the clustered table, routed by the
-    * INDEX metric (nprobe capped at 256 — vector_store.py:495). The cell ids
-    * are collected (≤ nprobe ints) and pushed as a static partition filter,
-    * so the scan reads only the probed cells' files.
+  /** Per-query cell-pruned scoring on the INDEX tables: each query is routed
+    * to its nprobe nearest cells by the INDEX metric (nprobe capped 256 —
+    * vector_store.py:495; rank ties break on centroid_id), the union of
+    * probed cells is pushed as a static partition filter (≤ nprobe·|queries|
+    * ints), and the scoring join keys on (qid, centroid_id) so every query
+    * scores ONLY its own cells' docs — batch results equal N independent
+    * requests. Returns (qid, doc_id, rawScore) under the REQUEST metric.
     */
-  private def probedClustered(req: SearchRequest, idx: Ivf.Index): DataFrame = {
-    import spark.implicits._
-    val qv = Seq(Tuple1(req.vector)).toDF("qv")
+  private def indexedScored(req: SearchRequest, idx: Ivf.Index,
+      queries: DataFrame, partDocIds: Option[DataFrame]): DataFrame = {
+    val np = math.min(req.nprobe, 256)
     val centScore = Vec.score(idx.metric, col("qv"), col("center"))
-    val cells = qv.crossJoin(broadcast(idx.centroids))
-      .select(col("centroid_id"), centScore.as("cs"))
-      .orderBy(if (Vec.higherIsBetter(idx.metric)) col("cs").desc else col("cs").asc)
-      .limit(math.min(req.nprobe, 256))
-      .collect().map(_.getInt(0))
-    idx.clustered.filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy(
+      (if (Vec.higherIsBetter(idx.metric)) centScore.desc else centScore.asc),
+      col("centroid_id").asc)
+    val routed = queries.crossJoin(broadcast(idx.centroids))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= np)
+      .select("qid", "qv", "centroid_id")
+    val cells = routed.select("centroid_id").distinct().collect().map(_.getInt(0))
+    val pruned0 = idx.clustered
+      .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
+      .select("centroid_id", "doc_id", "dv")
+    val pruned = partDocIds.fold(pruned0)(p => pruned0.join(p, Seq("doc_id"), "left_semi"))
+    pruned
+      .withColumn("nd2", graft.functions.VecExprs.norm2(col("dv")))
+      .join(routed.withColumn("nq2", graft.functions.VecExprs.norm2(col("qv"))),
+        "centroid_id")
+      .withColumn("dotp", graft.functions.VecExprs.dot(col("qv"), col("dv")))
+      .withColumn("rawScore", Knn.rawScore(req.metricType))
+      .select("qid", "doc_id", "rawScore")
   }
 
-  /** A1-approx candidate generation, entirely on the INDEX tables: score the
-    * cell-pruned clustered vectors with the REQUEST metric and keep the top
-    * fetchK (the reference's over-fetch for post-filters). Quantized (SQ8/PQ)
+  /** A1-approx candidate generation, entirely on the INDEX tables: the
+    * [[indexedScored]] per-query scores, band-filtered, top-fetchK per qid
+    * (the reference's over-fetch for post-filters). Quantized (SQ8/PQ)
     * indexes score decoded approximations, so they over-fetch a refine
     * margin — the exact re-rank happens on the looked-up base vectors.
     * Package-private so plan specs can assert the pruned scan shape.
     */
   private[graft] def indexedCandidates(req: SearchRequest, idx: Ivf.Index,
-      partDocIds: Option[DataFrame], band: Option[(Double, Double)]): DataFrame = {
-    import spark.implicits._
-    val pruned0 = probedClustered(req, idx).select("doc_id", "dv")
-    val pruned = partDocIds.fold(pruned0)(p => pruned0.join(p, Seq("doc_id"), "left_semi"))
-    val queries = Seq((0L, req.vector)).toDF("qid", "qv")
-    var scored = Knn.scored(pruned, queries, req.metricType)
+      queries: DataFrame, partDocIds: Option[DataFrame],
+      band: Option[(Double, Double)]): DataFrame = {
+    var scored = indexedScored(req, idx, queries, partDocIds)
     band.foreach { case (lo, hi) =>
       scored = scored.filter(col("rawScore") >= lo && col("rawScore") <= hi)
     }

@@ -70,6 +70,39 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("batch search: one request, N vectors, rank parity with N single requests") {
+    val cat = mkCatalog
+    cat.generateSchema(SchemaSpec("tb", "m1", dimension = 8, nlist = 8))
+    cat.insert("tb", "m1", (0 until 90).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m1", Map("i" -> s"$i"), vec(i))))
+
+    def parity(note: String): Unit = {
+      val vs = Seq(vec(3), vec(17), vec(55))
+      val req = SearchRequest("tb", "m1", vs.head, limit = 5, nprobe = 4)
+      val batch = cat.searchBatch(req, vs)
+      val singles = vs.map(v => cat.search(req.copy(vector = v)))
+      assert(batch.size == 3)
+      batch.zip(singles).zipWithIndex.foreach { case ((b, s), i) =>
+        assert(b.success == s.success, s"[$note] q$i success mismatch")
+        assert(b.data.map(_.content) == s.data.map(_.content),
+          s"[$note] q$i: batch ${b.data.map(_.content)} vs single ${s.data.map(_.content)}")
+      }
+    }
+    parity("full scan")          // no index yet
+    cat.persistIndex("tb", "m1")
+    parity("index-bounded")      // per-query probed cells, point lookups
+
+    // hybrid batch parity (persisted postings + per-query dense cells)
+    val vs = Seq(vec(3), vec(17))
+    val hreq = SearchRequest("tb", "m1", vs.head, limit = 5, nprobe = 8,
+      hybridSearch = true, textFilter = Some("chunk 17"))
+    val hb = cat.searchBatch(hreq, vs)
+    val hs = vs.map(v => cat.search(hreq.copy(vector = v)))
+    hb.zip(hs).foreach { case (b, s) =>
+      assert(b.data.map(_.content) == s.data.map(_.content), "hybrid batch parity")
+    }
+  }
+
   test("INT64 auto_id collection: generated long PKs, append-only, searchable") {
     val cat = mkCatalog
     cat.generateSchema(SchemaSpec("t8", "m1", dimension = 8,

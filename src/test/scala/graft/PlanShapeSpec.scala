@@ -75,7 +75,9 @@ class PlanShapeSpec extends SparkSpec {
     val req = SearchRequest("t", "m", vec(5), limit = 5, nprobe = 4)
 
     // candidate generation scans ONLY the probed cells of the INDEX table
-    val cand = cat.indexedCandidates(req, cat.loadIndex("t", "m"), None, None)
+    import spark.implicits._
+    val queries = Seq((0L, vec(5))).toDF("qid", "qv")
+    val cand = cat.indexedCandidates(req, cat.loadIndex("t", "m"), queries, None, None)
     val pc = plan(cand)
     val cpf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(pc).map(_.group(1))
     assert(cpf.exists(_.contains("centroid_id")),
