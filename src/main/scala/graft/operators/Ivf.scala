@@ -320,6 +320,20 @@ object Ivf {
       .select(col("qid"), col("rank"), col("doc_id"), col("rawScore").as("score"))
   }
 
+  /** Bulk (million-query) variant of [[probePersisted]]: routing stays a
+    * JOIN keyed on centroid_id — the driver never collects the probed cell
+    * ids, so the plan is fully distributed and |queries| can be arbitrarily
+    * large. The static `centroid_id IN (…)` partition filter is deliberately
+    * absent: at bulk scale the union of probed cells approaches ALL cells
+    * (the IN-list would prune nothing and only burden the driver); the
+    * routing join still cell-masks every (query, doc) pair, so results are
+    * identical to [[probePersisted]] (spec-asserted). Use probePersisted for
+    * request-serving (few queries → few cells → static pruning wins); use
+    * this when queries are a large Dataset.
+    */
+  def probeBulk(index: Index, queries: DataFrame, nprobe: Int, k: Int): DataFrame =
+    probe(index, queries, nprobe, k)
+
   /** Recall@k of the approximate result vs an exact result (both
     * (qid, rank, doc_id)): |approx ∩ exact| / |exact|.
     */

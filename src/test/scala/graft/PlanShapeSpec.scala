@@ -116,5 +116,19 @@ class PlanShapeSpec extends SparkSpec {
     val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1))
     assert(pf.exists(_.contains("centroid_id")), s"partition filter missing: $pf")
     assert(res.count() == 3)
+
+    // Bulk path: routing stays a join — the plan carries NO collected
+    // centroid_id IN-list (proof no driver collect built one), and results
+    // match probePersisted row-for-row on many queries.
+    val qs = spark.range(40).select(col("id").as("qid"),
+      graft.core.Tables.synthVec(col("id") * 7 + 3, 8).as("qv"))
+    val bulk = Ivf.probeBulk(idx, qs, nprobe = 2, k = 3)
+    val pb = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan(bulk)).map(_.group(1)).toSeq
+    assert(!pb.exists(_.contains("centroid_id IN")),
+      s"bulk probe has a collected IN-list: $pb")
+    val a = bulk.collect().map(_.toSeq).toSet
+    val b = Ivf.probePersisted(idx, qs, nprobe = 2, k = 3).collect().map(_.toSeq).toSet
+    assert(a == b, "bulk probe diverges from probePersisted")
   }
 }
