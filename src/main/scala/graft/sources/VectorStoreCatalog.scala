@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.api._
 import graft.functions.Vec
-import graft.operators.{Bm25, Hybrid, Ivf, Knn, SearchParams, TopK, Upsert}
+import graft.operators.{Bm25, Hnsw, Hybrid, Ivf, Knn, SearchParams, TopK, Upsert}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -312,6 +312,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       spark.catalog.refreshByPath(target.toString)
     }
 
+    // An HNSW graph absorbs the batch by CONNECT (see [[absorbIntoHnsw]]).
+    if (hnswExists(tenant, model))
+      absorbIntoHnsw(tenant, model,
+        batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
+          col("vector").as("dv")))
+
     // S3 auto-flush decision (batch >= threshold; 0 always, <0 never)
     if (AutoFlushMinBatch == 0 || (AutoFlushMinBatch > 0 && rows.size >= AutoFlushMinBatch))
       flush(tenant, model)
@@ -456,24 +462,41 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       req.includeStopWords, req.increaseLimitForTextSearch, req.metaFilter,
       req.metaRequired, band, req.extraFilter, Seq("chunk", "meta") ++ req.outputFields)
 
-    val haveIndex = indexExists(req.tenant, req.model)
+    val haveHnsw  = hnswExists(req.tenant, req.model)
+    val haveIndex = !haveHnsw && indexExists(req.tenant, req.model)
     lazy val idx = loadIndex(req.tenant, req.model)
+    lazy val hnsw = loadHnsw(req.tenant, req.model)
+    val fetchK = req.offset + req.limit +
+      (if (req.textFilter.exists(_.trim.nonEmpty)) req.increaseLimitForTextSearch else 0)
 
-    // Index-bounded dense search: per-query winners from the pruned index →
+    // Shared tail of every indexed path: per-query (qid, doc_id) winners →
     // bucket-pruned point lookups → exact per-pair re-score → the reference
-    // post-filter pipeline. Without an index: the full-scan Knn plan.
+    // post-filter pipeline.
+    def pipelineOverWinners(winners: DataFrame): DataFrame = {
+      val pairRows = winners.select("qid", "doc_id").collect()
+      val ids = pairRows.map(_.getLong(1)).toIndexedSeq.distinct
+      val pairs = pairRows.map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+        .toDF("qid", "doc_id")
+      val corpusPairs = lookupByDocIds(req.tenant, req.model, ids, parts)
+        .join(pairs, Seq("doc_id"))
+      Knn.pipeline(Knn.scoredPairs(corpusPairs, queries, req.metricType), params)
+    }
+
+    // Per-query HNSW beam-search winners (graph metric; margin over fetchK
+    // because the exact re-rank uses the request metric on stored vectors).
+    def hnswWinners(k: Int): DataFrame = {
+      val w = Hnsw.search(hnsw, queries, k = k, ef = math.max(64, 2 * k))
+        .select("qid", "doc_id")
+      partOpt.fold(w)(p => w.join(p, Seq("doc_id"), "left_semi"))
+    }
+
+    // Index-bounded dense search; without any index: the full-scan Knn plan.
     def denseSearch(): DataFrame =
-      if (!haveIndex) Knn.search(partCorpus, queries, params)
-      else {
-        val winners = indexedCandidates(req, idx, queries, partOpt, band)
-        val pairRows = winners.select("qid", "doc_id").collect()
-        val ids = pairRows.map(_.getLong(1)).toIndexedSeq.distinct
-        val pairs = pairRows.map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
-          .toDF("qid", "doc_id")
-        val corpusPairs = lookupByDocIds(req.tenant, req.model, ids, parts)
-          .join(pairs, Seq("doc_id"))
-        Knn.pipeline(Knn.scoredPairs(corpusPairs, queries, req.metricType), params)
-      }
+      if (haveHnsw) pipelineOverWinners(hnswWinners(fetchK * 2 + 16))
+      else if (haveIndex)
+        pipelineOverWinners(indexedCandidates(req, idx, queries, partOpt, band)
+          .select("qid", "doc_id"))
+      else Knn.search(partCorpus, queries, params)
 
     if (req.hybridSearch && req.textFilter.exists(_.nonEmpty)) {
       // H4 gating: sparse leg only with query text. The sparse leg scores
@@ -489,11 +512,15 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         m = m.copy(tf = m.tf.join(partDocIds, Seq("doc_id"), "left_semi"))
       // Dense leg from the index when present: per-query cell-pruned scores
       // over the clustered vectors (for IVF_FLAT these ARE the stored
-      // vectors; SQ8/PQ legs score the decoded approximation, as Milvus).
+      // vectors; SQ8/PQ legs score the decoded approximation, as Milvus);
+      // HNSW legs re-score the beam-search winners' node vectors exactly.
       val denseScored =
-        if (!haveIndex)
-          Knn.scored(partCorpus.select("doc_id", "dv"), queries, req.metricType)
-        else indexedScored(req, idx, queries, partOpt)
+        if (haveHnsw)
+          Knn.scoredPairs(hnswWinners(math.min(params.limit, 50) * 2)
+            .join(hnsw.nodes, "doc_id"), queries, req.metricType)
+            .select("qid", "doc_id", "rawScore")
+        else if (haveIndex) indexedScored(req, idx, queries, partOpt)
+        else Knn.scored(partCorpus.select("doc_id", "dv"), queries, req.metricType)
       val fused = Hybrid.searchScored(denseScored, m,
         vectors.indices.map(_.toLong -> req.textFilter.get), params)
       // ≤ limit·|queries| fused winners: materialize once (avoids re-running
@@ -630,20 +657,28 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * (base_milvus.py:1216-1264).
     */
   def persistIndex(tenant: String, model: String): Unit = lockFor(tenant, model).synchronized {
-    val idx = buildIndex(tenant, model)
     val d = indexDir(tenant, model)
     // D3 index_type actually changes the build: IVF_SQ8 stores per-component
     // byte codes (8x smaller clustered table) + a tiny per-dim params table;
-    // IVF_FLAT stores raw vectors. (generate_schema_request.py:113-132)
+    // IVF_FLAT stores raw vectors; HNSW stores a navigable small-world graph
+    // (nodes/edges/entry-medoid tables). (generate_schema_request.py:113-132)
     // repartition by the partition column first: one file per cell, not
     // (shuffle partitions × cells) tiny files — probe reads stay file-bound
     import spark.implicits._
     // quantizers need data to fit params/codebooks; an empty collection
-    // persists the flat (empty) layout whatever the index_type, and the
-    // next explicit build after data arrives quantizes
+    // persists the flat (empty) layout for them, and the next explicit
+    // build after data arrives quantizes. HNSW builds fine empty (an empty
+    // graph) and absorbs later inserts by rebuild-then-connect.
+    val declaredType = properties(tenant, model).getOrElse("index_type", "IVF_FLAT")
+    if (declaredType == "HNSW") {
+      persistHnsw(tenant, model)
+      rebuildSparseIndex(tenant, model)
+      spark.catalog.refreshByPath(d.toString)
+      return
+    }
+    val idx = buildIndex(tenant, model)
     val effectiveType =
-      if (load(tenant, model).isEmpty) "IVF_FLAT"
-      else properties(tenant, model).getOrElse("index_type", "IVF_FLAT")
+      if (load(tenant, model).isEmpty) "IVF_FLAT" else declaredType
     effectiveType match {
       case "IVF_SQ8" =>
         val sq = Ivf.quantizeIndex(idx)
@@ -678,7 +713,77 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   }
 
   def ensureIndex(tenant: String, model: String): Unit =
-    if (!indexExists(tenant, model)) persistIndex(tenant, model)
+    if (!indexExists(tenant, model) && !hnswExists(tenant, model))
+      persistIndex(tenant, model)
+
+  // ---- HNSW: navigable small-world graph index (D3 variant) ----
+  private def hnswDir(tenant: String, model: String): Path =
+    indexDir(tenant, model).resolve("hnsw")
+
+  def hnswExists(tenant: String, model: String): Boolean =
+    Files.exists(hnswDir(tenant, model).resolve("entries"))
+
+  /** Build + persist the graph tables ([[Hnsw.build]]) for the corpus. */
+  private def persistHnsw(tenant: String, model: String): Unit = {
+    val corpus = load(tenant, model).select(
+      xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv"))
+    val g = Hnsw.build(corpus, m = 8,
+      metric = properties(tenant, model)("metric_type"))
+    val d = hnswDir(tenant, model)
+    Files.createDirectories(d)
+    g.nodes.write.mode(SaveMode.Overwrite).parquet(d.resolve("nodes").toString)
+    g.edges.write.mode(SaveMode.Overwrite).parquet(d.resolve("edges").toString)
+    g.entries.write.mode(SaveMode.Overwrite).parquet(d.resolve("entries").toString)
+    spark.catalog.refreshByPath(d.toString)
+  }
+
+  def loadHnsw(tenant: String, model: String): Hnsw.Graph = {
+    val d = hnswDir(tenant, model)
+    Hnsw.Graph(
+      spark.read.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+        .parquet(d.resolve("nodes").toString),
+      spark.read.schema("src LONG, dst LONG").parquet(d.resolve("edges").toString),
+      spark.read.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+        .parquet(d.resolve("entries").toString),
+      properties(tenant, model)("metric_type"))
+  }
+
+  /** HNSW insert absorption — the HNSW insert algorithm, batched: beam-search
+    * each new vector's nearest existing nodes and append symmetric edges;
+    * entry medoids stay. Replaced keys' old node rows are dropped (their
+    * surviving old edges still walk correctly — scoring always reads the
+    * CURRENT node vectors — they are just no-longer-optimal links, cleaned
+    * up by the next explicit rebuild). An empty graph rebuilds instead.
+    */
+  private def absorbIntoHnsw(tenant: String, model: String,
+      batchVecs: DataFrame): Unit = {
+    val g = loadHnsw(tenant, model)
+    if (g.entries.isEmpty) { persistHnsw(tenant, model); return }
+    val batchIds = batchVecs.select("doc_id")
+    val queries = batchVecs.select(col("doc_id").as("qid"), col("dv").as("qv"))
+    val nbrs = Hnsw.search(g, queries, k = 8, ef = 32)
+      .select(col("qid").as("src"), col("doc_id").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val newEdges = nbrs.unionByName(
+      nbrs.select(col("dst").as("src"), col("src").as("dst")))
+    val nodesOut = g.nodes.join(batchIds, Seq("doc_id"), "left_anti")
+      .unionByName(batchVecs)
+    val edgesOut = g.edges.unionByName(newEdges).distinct()
+    val d = hnswDir(tenant, model)
+    // tmp-write materializes (reading the current dirs) before any swap
+    val nodesTmp = d.resolve("_tmp_nodes_" + System.nanoTime())
+    val edgesTmp = d.resolve("_tmp_edges_" + System.nanoTime())
+    nodesOut.write.mode(SaveMode.Overwrite).parquet(nodesTmp.toString)
+    edgesOut.write.mode(SaveMode.Overwrite).parquet(edgesTmp.toString)
+    Seq((nodesTmp, d.resolve("nodes")), (edgesTmp, d.resolve("edges"))).foreach {
+      case (src, dst) =>
+        val old = dst.resolveSibling("_aside_" + System.nanoTime())
+        if (Files.exists(dst)) Files.move(dst, old)
+        Files.move(src, dst)
+        if (Files.exists(old)) deleteRec(old)
+    }
+    spark.catalog.refreshByPath(d.toString)
+  }
 
   /** D4: (re)build the sparse BM25 model tables from the current corpus. */
   def rebuildSparseIndex(tenant: String, model: String): Unit =

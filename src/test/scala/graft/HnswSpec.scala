@@ -1,0 +1,83 @@
+package graft
+
+import graft.api._
+import graft.core.Tables
+import graft.operators.{Hnsw, Ivf, Knn, SearchParams}
+import graft.sources.VectorStoreCatalog
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** HNSW (navigable small-world graph) index — build quality, beam-search
+  * recall, and the facade lifecycle (VERDICT r2 "What's missing" #1: accept
+  * HNSW as a real index type instead of silently building IVF_FLAT).
+  */
+class HnswSpec extends SparkSpec {
+
+  test("beam search recall@10 >= 0.8 vs exact KNN at ef=64") {
+    val corpus = Tables.docsCorpus(spark, Sf)
+      .select(col("doc_id"), col("qv").as("dv"))
+    val queries = Tables.docsCorpus(spark, Sf).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("qid"), col("qv"))
+    val g = Hnsw.build(corpus, m = 8)
+    val exact = Knn.search(corpus, queries, SearchParams(limit = 10, outputFields = Nil))
+    val approx = Hnsw.search(g, queries, k = 10, ef = 64)
+    val recall = Ivf.recallVsExact(approx, exact)
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("graph edges are symmetric (reverse links kept)") {
+    val corpus = Tables.docsCorpus(spark, Sf).limit(300)
+      .select(col("doc_id"), col("qv").as("dv"))
+    val g = Hnsw.build(corpus, m = 4)
+    val rev = g.edges.select(col("dst").as("src"), col("src").as("dst"))
+    assert(g.edges.join(rev, Seq("src", "dst"), "left_anti").count() == 0)
+    assert(g.edges.count() > 0 && !g.entries.isEmpty)
+  }
+
+  test("facade HNSW lifecycle: build, search, insert-absorb, empty-then-insert") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_hnsw").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW"))
+    // 90 < 97 = synthetic vector period, so all vectors are distinct
+    cat.insert("t", "m", (0 until 90).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
+    cat.persistIndex("t", "m")
+    assert(cat.hnswExists("t", "m") && !cat.indexExists("t", "m"),
+      "HNSW must build a graph, not a silent IVF_FLAT")
+
+    // exact self-match through the graph path (re-ranked on stored vectors)
+    val hit = cat.search(SearchRequest("t", "m", vec(17), limit = 5))
+    assert(hit.success && hit.data.head.content == "chunk 17")
+
+    // insert absorption: new docs connect into the graph, no rebuild
+    cat.insert("t", "m",
+      Seq(EmbeddedVector("k95", "fresh doc", "m", Map(), vec(95))))
+    val fresh = cat.search(SearchRequest("t", "m", vec(95), limit = 3))
+    assert(fresh.success && fresh.data.head.content == "fresh doc")
+    // and an upserted key is searchable at its NEW vector, once
+    cat.insert("t", "m",
+      Seq(EmbeddedVector("k17", "moved", "m", Map(), vec(60))))
+    val moved = cat.searchDf(SearchRequest("t", "m", vec(60), limit = 5))
+      .orderBy("rank").select("chunk").collect().map(_.getString(0))
+    assert(moved.count(_ == "moved") == 1, s"got ${moved.toSeq}")
+    assert(moved.head == "moved")
+
+    // hybrid over the graph: dense leg from beam search, sparse from postings
+    val hy = cat.search(SearchRequest("t", "m", vec(5), limit = 5,
+      hybridSearch = true, textFilter = Some("chunk 5")))
+    assert(hy.success && hy.data.map(_.content).contains("chunk 5"))
+
+    // empty-collection HNSW: index build succeeds, first insert rebuilds
+    val cat2 = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_hnsw_e").toString)
+    cat2.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW"))
+    cat2.persistIndex("t", "m")
+    assert(cat2.hnswExists("t", "m"))
+    cat2.insert("t", "m", Seq(EmbeddedVector("a", "alpha doc", "m", Map(), vec(1))))
+    val found = cat2.search(SearchRequest("t", "m", vec(1), limit = 5))
+    assert(found.success && found.data.head.content == "alpha doc")
+  }
+}
