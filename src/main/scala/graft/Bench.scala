@@ -107,6 +107,25 @@ object Bench {
         Knn.search(corpus, queries, SearchParams(limit = 10, outputFields = Nil))
       }),
       "b12_media_decode" -> (() => Multimodal.extractMediaFeatures(docs)),
+      // graph ANN: build over the real-embedding corpus, then beam search —
+      // reported separately (build is an offline DDL step, search the hot path)
+      "b13_hnsw_build" -> (() => {
+        val corpus = docsCorpus.select(col("doc_id"), col("qv").as("dv"))
+        val g = Hnsw.build(corpus, m = 8)
+        g.edges.write.mode("overwrite").parquet(s"$prepDir/hnsw/edges")
+        g.nodes.write.mode("overwrite").parquet(s"$prepDir/hnsw/nodes")
+        g.entries.write.mode("overwrite").parquet(s"$prepDir/hnsw/entries")
+        spark.read.parquet(s"$prepDir/hnsw/edges")
+      }),
+      "b14_hnsw_search" -> (() => {
+        val g = Hnsw.Graph(
+          spark.read.parquet(s"$prepDir/hnsw/nodes"),
+          spark.read.parquet(s"$prepDir/hnsw/edges"),
+          spark.read.parquet(s"$prepDir/hnsw/entries"), "COSINE")
+        val queries = docsCorpus.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("qid"), col("qv"))
+        Hnsw.search(g, queries, k = 10, ef = 64)
+      }),
     )
 
     val results = benches.map { case (name, fn) =>
