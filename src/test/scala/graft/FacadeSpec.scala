@@ -237,6 +237,42 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class VectorIngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming facade ingest keeps the collection and its index searchable") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_vstream").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
+    val mem = MemoryStream[(String, String, Seq[Double])]
+    val stream = mem.toDF().toDF("key", "chunk", "vector")
+      .withColumn("metadata", map(lit("src"), lit("stream")))
+    val q = graft.streaming.VectorIngest.start(cat, "t", "m", stream)
+    try {
+      mem.addData((0 until 20).map(i => (s"k$i", s"streamed chunk $i", vec(i))): _*)
+      q.processAllAvailable()
+      assert(cat.load("t", "m").count() == 20)
+      val hit = cat.search(SearchRequest("t", "m", vec(7), limit = 3))
+      assert(hit.success && hit.data.head.content == "streamed chunk 7")
+      assert(hit.data.head.meta.get("src").contains("stream"))
+
+      // a later micro-batch UPSERTS (and in-batch dup keys keep the last)
+      mem.addData(("k7", "old text", vec(7)), ("k7", "replaced by stream", vec(7)))
+      q.processAllAvailable()
+      assert(cat.load("t", "m").count() == 20)
+      val rep = cat.search(SearchRequest("t", "m", vec(7), limit = 3))
+      assert(rep.data.head.content == "replaced by stream")
+      // the incrementally-maintained sparse index followed the stream
+      val m = graft.sources.SparseIndex.read(spark,
+        java.nio.file.Paths.get(cat.sparseDirOf("t", "m")).toString)
+      assert(m.global.head.getLong(0) == 20)
+    } finally q.stop()
+  }
+}
+
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
 
