@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{AnnLsh, Bm25, Dedup, Hybrid, Ivf, Knn, Multimodal, SearchParams, Sessionize, TextAnalysis, Upsert}
+import graft.operators.{AnnLsh, Bm25, Dedup, Hnsw, Hybrid, Ivf, Knn, Multimodal, SearchParams, Sessionize, TextAnalysis, Upsert}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -224,6 +224,18 @@ object SparkEntry {
       merged.groupBy("status").agg(
         count(lit(1)).as("n_rows"),
         sum("price").cast("double").as("total_price"))
+    }),
+
+    // ---- D3 variant: HNSW graph ANN (graph from KMeans cells — not
+    //      oracle-replicable, so no oracleSql entry: the driver records the
+    //      rows-only check; recall vs exact is spec-asserted in HnswSpec) ----
+    "q_hnsw_knn" -> ((s, dir) => {
+      val corpus = Tables.docsCorpus(s, dir)
+        .select(col("doc_id"), col("qv").as("dv"))
+      val queries = Tables.docsCorpus(s, dir).filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"), col("qv"))
+      val g = Hnsw.build(corpus, m = 8)
+      Hnsw.search(g, queries, k = 10, ef = 64)
     }),
 
     // ---- D2 variant: INT64 / auto_id primary keys (base_milvus.py:895-917,
