@@ -94,18 +94,34 @@ object Knn {
       .select((Seq("qid", "doc_id", "rawScore") ++ passthrough).map(col): _*)
   }
 
-  /** corpus: (doc_id, dv, [chunk], [meta], …); queries: (qid, qv).
-    * Returns (qid, rank, doc_id, score, outputFields…).
+  /** corpus: (doc_id, dv, [chunk], [meta], …); queries: (qid, qv). doc_id
+    * must be unique (it is the PK). Returns (qid, rank, doc_id, score,
+    * outputFields…).
+    *
+    * LATE MATERIALIZATION: when the corpus carries payload columns
+    * (chunk/meta/extra), scoring and the top-k prune run over NARROW
+    * (doc_id, dv) rows only, and the payload is joined back for just the
+    * ≤ fetchK·|queries| winners (broadcast) before the payload-dependent
+    * filters. At 100 TB this is the difference between streaming kilobyte
+    * chunk strings through billions of scored pairs and reading them once
+    * for a few hundred winners.
     */
-  def search(corpus: DataFrame, queries: DataFrame, p: SearchParams): DataFrame =
-    pipeline(scored(corpus, queries, p.metric), p)
+  def search(corpus: DataFrame, queries: DataFrame, p: SearchParams): DataFrame = {
+    val payload = corpus.columns.filterNot(c => c == "doc_id" || c == "dv")
+    if (payload.isEmpty) pipeline(scored(corpus, queries, p.metric), p)
+    else pipeline(scored(corpus.select("doc_id", "dv"), queries, p.metric), p,
+      payload = Some(corpus.drop("dv")))
+  }
 
   /** The reference's post-scoring pipeline over ANY pre-scored
     * (qid, doc_id, rawScore, fields…) rows — shared by the full-scan path
     * ([[search]]) and the index-bounded facade path (which pre-scores
-    * point-looked-up candidates with [[scoredPairs]]).
+    * point-looked-up candidates with [[scoredPairs]]). `payload`, when
+    * given, is joined on doc_id AFTER the top-k prune (late
+    * materialization) and before the payload-dependent filters.
     */
-  def pipeline(scoredDf: DataFrame, p: SearchParams): DataFrame = {
+  def pipeline(scoredDf: DataFrame, p: SearchParams,
+      payload: Option[DataFrame] = None): DataFrame = {
     require(p.limit >= 1 && p.limit <= 100, "limit 1-100")
     require(p.offset >= 0 && p.offset <= 100, "offset 0-100")
 
@@ -127,6 +143,10 @@ object Knn {
 
     // P2: score threshold (reference drops hits below threshold client-side).
     df = p.scoreThreshold.fold(df)(t => df.filter(col("rawScore") >= t))
+
+    // Late materialization: the winners are tiny — broadcast them into the
+    // payload scan (map-side join, corpus never shuffles).
+    payload.foreach(pl => df = pl.join(broadcast(df), "doc_id"))
 
     // P3/P4: keyword-containment text filter with stopword removal
     // (vector_store.py:888-936). Empty effective word set rejects every row.
