@@ -101,6 +101,21 @@ class CatalogSpec extends SparkSpec {
     hb.zip(hs).foreach { case (b, s) =>
       assert(b.data.map(_.content) == s.data.map(_.content), "hybrid batch parity")
     }
+
+    // quantized (SQ8) collection: same per-query candidate masking + refine
+    // margin, so batch still equals N single requests
+    val cat2 = mkCatalog
+    cat2.generateSchema(SchemaSpec("tq", "m1", dimension = 8, nlist = 8,
+      indexType = "IVF_SQ8"))
+    cat2.insert("tq", "m1", (0 until 90).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m1", Map(), vec(i))))
+    cat2.persistIndex("tq", "m1")
+    val qreq = SearchRequest("tq", "m1", vs.head, limit = 5, nprobe = 4)
+    val qb = cat2.searchBatch(qreq, vs)
+    val qsgl = vs.map(v => cat2.search(qreq.copy(vector = v)))
+    qb.zip(qsgl).foreach { case (b, s) =>
+      assert(b.data.map(_.content) == s.data.map(_.content), "SQ8 batch parity")
+    }
   }
 
   test("INT64 auto_id collection: generated long PKs, append-only, searchable") {

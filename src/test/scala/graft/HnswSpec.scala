@@ -70,6 +70,15 @@ class HnswSpec extends SparkSpec {
       hybridSearch = true, textFilter = Some("chunk 5")))
     assert(hy.success && hy.data.map(_.content).contains("chunk 5"))
 
+    // partition targeting composes: in-partition docs only (the beam walks
+    // the whole graph; winners are partition-filtered before the lookup)
+    cat.insert("t", "m",
+      Seq(EmbeddedVector("p1", "partitioned doc", "m", Map(), vec(33))),
+      partition = Some("px"))
+    val inPart = cat.search(SearchRequest("t", "m", vec(33), limit = 5,
+      partitionNames = Seq("px")))
+    assert(inPart.success && inPart.data.map(_.content) == Seq("partitioned doc"))
+
     // empty-collection HNSW: index build succeeds, first insert rebuilds
     val cat2 = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_hnsw_e").toString)
