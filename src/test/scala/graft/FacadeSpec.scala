@@ -492,6 +492,43 @@ class DynamicFieldsAndConfigSpec extends SparkSpec {
 
 class IndexedSearchSpec extends SparkSpec {
 
+  test("index-bounded searchDf equals operator-level exact KNN at full probe") {
+    import graft.operators.{Knn, SearchParams}
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_idxeq").toString)
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 8))
+    cat.insert("t", "m", (0 until 90).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m", Map("i" -> s"$i"), vec(i))))
+    cat.persistIndex("t", "m")
+
+    // expected: exact Knn.search over the SAME stored rows and doc_ids
+    import spark.implicits._
+    val corpus = cat.load("t", "m")
+      .select(col("flouds_vector_id"), col("chunk"), col("meta"), col("extra"),
+        col("vector").as("dv"))
+      .withColumn("doc_id", xxhash64(col("flouds_vector_id")))
+    for (req <- Seq(
+        SearchRequest("t", "m", vec(23), limit = 7, nprobe = 8),
+        SearchRequest("t", "m", vec(23), limit = 7, nprobe = 8, offset = 3,
+          scoreThreshold = Some(-0.5)),
+        SearchRequest("t", "m", vec(23), limit = 7, nprobe = 8,
+          metaFilter = Map("i" -> "2")))) {
+      val params = SearchParams(req.metricType, req.limit, req.offset,
+        req.scoreThreshold, req.roundDecimal, req.textFilter,
+        req.minimumWordsMatch, req.includeStopWords,
+        req.increaseLimitForTextSearch, req.metaFilter, req.metaRequired,
+        None, req.extraFilter, Seq("chunk", "meta"))
+      val expected = Knn.search(corpus, Seq((0L, req.vector)).toDF("qid", "qv"), params)
+        .select("rank", "doc_id", "score", "chunk").collect().map(_.toSeq).toSeq
+      val got = cat.searchDf(req)
+        .select("rank", "doc_id", "score", "chunk").collect().map(_.toSeq).toSeq
+      assert(got == expected, s"facade diverges from exact for $req")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("facade search routes through the persisted IVF index (nprobe cells)") {
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_idxsearch").toString)
