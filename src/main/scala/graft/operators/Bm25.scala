@@ -118,23 +118,33 @@ object Bm25 {
     * carry one (and the later (qid, doc_id) aggregation re-spreads rows).
     * docLen attaches after the filter; at 100 TB tf and docLen share the
     * doc_id bucketing so that join co-locates.
+    *
+    * `candidates` (doc_id) restricts which docs may SCORE — applied strictly
+    * AFTER the df window, so a partition-targeted search keeps the
+    * index-wide document frequencies (restricting tf itself would silently
+    * mix partition-local df with corpus-wide n/sumdl — the reference's
+    * sparse index stats are always index-wide, candidates or not).
     */
-  private def scoredCandidates(m: Model, qTerms: DataFrame): DataFrame =
-    m.tf.join(broadcast(qTerms.select("term").distinct()), "term")
+  private def scoredCandidates(m: Model, qTerms: DataFrame,
+      candidates: Option[DataFrame]): DataFrame = {
+    val withDf = m.tf.join(broadcast(qTerms.select("term").distinct()), "term")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    candidates.fold(withDf)(c => withDf.join(c, Seq("doc_id"), "left_semi"))
       .join(broadcast(qTerms), "term")
       .join(m.docLen, "doc_id")
       .crossJoin(broadcast(m.global))
       .withColumn("wScaled", round(weight * Scale, 0).cast("long"))
       .groupBy("qid", "doc_id")
       .agg((sum("wScaled").cast("double") / Scale).as("score"))
+  }
 
   /** Sparse top-k (A2): score docs against `queries` = (qid, text) pairs.
     * Query analysis matches document analysis (same tokenizer); duplicate
     * query terms count once (set semantics, as pymilvus query encoding).
     * Returns (qid, rank, doc_id, score DOUBLE).
     */
-  def searchTopK(m: Model, queries: Seq[(Long, String)], k: Int): DataFrame = {
+  def searchTopK(m: Model, queries: Seq[(Long, String)], k: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val spark = m.tf.sparkSession
     import spark.implicits._
     val qTerms = queries
@@ -142,7 +152,7 @@ object Bm25 {
         text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.map(qid -> _)
       }
       .toDF("qid", "term")
-    TopK.perKey(scoredCandidates(m, qTerms), "qid", "score", "doc_id", k)
+    TopK.perKey(scoredCandidates(m, qTerms, candidates), "qid", "score", "doc_id", k)
       .select("qid", "rank", "doc_id", "score")
   }
 
@@ -151,10 +161,11 @@ object Bm25 {
     * million-query batch never passes through the driver. Semantics are
     * identical (same tokenizer, set semantics per query).
     */
-  def searchTopKDf(m: Model, queries: DataFrame, k: Int): DataFrame = {
+  def searchTopKDf(m: Model, queries: DataFrame, k: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val qTerms = queries.select(col("qid"),
       explode(array_distinct(Text.tokens(col("text")))).as("term"))
-    TopK.perKey(scoredCandidates(m, qTerms), "qid", "score", "doc_id", k)
+    TopK.perKey(scoredCandidates(m, qTerms, candidates), "qid", "score", "doc_id", k)
       .select("qid", "rank", "doc_id", "score")
   }
 

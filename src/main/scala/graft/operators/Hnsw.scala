@@ -86,8 +86,12 @@ object Hnsw {
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "a_dv", "b_id", "b_dv")
 
-    // Per-node top-m outgoing edges from the blocked candidates.
-    val scored = scorePairs(cellPairs.unionByName(bridgePairs), metric)
+    // Per-node top-m outgoing edges from the blocked candidates. The same
+    // pair can surface from the cell join AND several LSH tables — dedup
+    // BEFORE top-m, or one neighbour occupies multiple of src's m slots and
+    // crowds out distinct neighbours (degrading graph recall).
+    val scored = scorePairs(
+        cellPairs.unionByName(bridgePairs).dropDuplicates("a_id", "b_id"), metric)
       .select(col("a_id").as("src"), col("b_id").as("dst"), col("s"))
     val top = TopK.perKey(scored, "src", "s", "dst", m,
         desc = Knn.higherIsBetter(metric))
@@ -142,9 +146,17 @@ object Hnsw {
     * query by the graph metric. `ef` is the beam width (HNSW's efSearch);
     * recall grows with ef and the walk stops as soon as a hop adds nothing
     * new to any beam (or after `maxHops`).
+    *
+    * `allowed` (doc_id column) restricts the RESULT set, not the walk — the
+    * standard filtered-ANN shape: the beam traverses the full graph (a
+    * filtered beam gets stuck the moment the allowed region is sparse), every
+    * scored candidate that passes the filter accumulates into a result pool,
+    * and the beam is additionally seeded from allowed nodes so a small or
+    * far-away allowed set is always reachable (never starved by the global
+    * top-ef, which is what a post-hoc filter over the unfiltered top-k does).
     */
   def search(g: Graph, queries: DataFrame, k: Int, ef: Int = 64,
-      maxHops: Int = 8): DataFrame = {
+      maxHops: Int = 8, allowed: Option[DataFrame] = None): DataFrame = {
     val desc = Knn.higherIsBetter(g.metric)
     val qPrep = queries.select(col("qid"), col("qv"),
       VecExprs.norm2(col("qv")).as("nq2"))
@@ -158,11 +170,22 @@ object Hnsw {
       .withColumn("s", Knn.rawScore(g.metric))
       .select("qid", "doc_id", "s")
 
-    // Seed: score the entry medoids, keep the best ef per query.
-    val seeds = score(queries.select("qid")
-      .crossJoin(g.entries.select(col("doc_id"), col("dv"))))
+    def keepAllowed(df: DataFrame): DataFrame =
+      allowed.fold(df)(a => df.join(a, Seq("doc_id"), "left_semi"))
+
+    // Seed: the entry medoids, plus (when filtering) a deterministic slice
+    // of the allowed nodes to anchor the beam near the allowed region.
+    val entrySeed = queries.select("qid")
+      .crossJoin(g.entries.select(col("doc_id"), col("dv")))
+    val seedCand = allowed.fold(entrySeed) { a =>
+      entrySeed.unionByName(queries.select("qid").crossJoin(
+        g.nodes.join(a, Seq("doc_id"), "left_semi").orderBy("doc_id").limit(ef)))
+    }
+    val seeds = score(seedCand.dropDuplicates("qid", "doc_id"))
     var best = TopK.perKey(seeds, "qid", "s", "doc_id", ef, desc)
       .select("qid", "doc_id", "s").localCheckpoint()
+    var pool: Option[DataFrame] =
+      allowed.map(_ => keepAllowed(seeds).localCheckpoint())
     var frontier = best.select("qid", "doc_id")
     var visited = frontier
     var hop = 0
@@ -175,13 +198,19 @@ object Hnsw {
       val newBest = TopK.perKey(best.unionByName(scoredN), "qid", "s", "doc_id",
           ef, desc)
         .select("qid", "doc_id", "s").localCheckpoint()
+      // the pool keeps every allowed candidate the walk ever scored, even
+      // ones the (unfiltered) beam evicts — capped at ef per query to bound
+      // its size across hops
+      pool = pool.map(p => TopK.perKey(p.unionByName(keepAllowed(scoredN)),
+          "qid", "s", "doc_id", ef, desc)
+        .select("qid", "doc_id", "s").localCheckpoint())
       frontier = newBest.join(best, Seq("qid", "doc_id"), "left_anti")
         .select("qid", "doc_id").localCheckpoint()
       visited = visited.unionByName(nbrs).localCheckpoint()
       best = newBest
       hop += 1
     }
-    TopK.perKey(best, "qid", "s", "doc_id", k, desc)
+    TopK.perKey(pool.getOrElse(best), "qid", "s", "doc_id", k, desc)
       .select(col("qid"), col("rank"), col("doc_id"), col("s").as("score"))
   }
 }

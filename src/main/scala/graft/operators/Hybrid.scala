@@ -37,7 +37,8 @@ object Hybrid {
     * instead of a full-corpus cross join.
     */
   def searchScored(denseScored: DataFrame, bm25: Bm25.Model,
-      queryTexts: Seq[(Long, String)], p: SearchParams): DataFrame = {
+      queryTexts: Seq[(Long, String)], p: SearchParams,
+      sparseCandidates: Option[DataFrame] = None): DataFrame = {
     val legK = math.min(p.limit, 50)
 
     // Dense leg: metric top-legK per qid (codegen dot + partial top-k).
@@ -46,8 +47,10 @@ object Hybrid {
       .select(col("qid"), col("doc_id"), col("rawScore").as("dense_score"),
         col("rank").as("dense_rank"))
 
-    // Sparse leg (gated: only when query text present — H4).
-    val sparse = Bm25.searchTopK(bm25, queryTexts, legK)
+    // Sparse leg (gated: only when query text present — H4). The candidate
+    // restriction (partition targeting) limits which docs score, never the
+    // df statistics (see Bm25.scoredCandidates).
+    val sparse = Bm25.searchTopK(bm25, queryTexts, legK, sparseCandidates)
       .select(col("qid"), col("doc_id"), col("score").as("sparse_score"),
         col("rank").as("sparse_rank"))
 

@@ -145,17 +145,8 @@ object SparseIndex {
     tmp
   }
 
-  /** Replace `target` with `src` (either may be absent). Move-aside →
-    * move-in → delete-aside, so a lock-free reader sees the old or new dir,
-    * never a half-deleted one. The aside name is '='-free + underscore-
-    * prefixed: invisible to Spark's listing, never a bogus partition value.
-    */
-  private def swapDir(src: Path, target: Path): Unit = {
-    val old = target.resolveSibling("_aside_" + System.nanoTime())
-    if (Files.exists(target)) Files.move(target, old)
-    if (Files.exists(src)) Files.move(src, target)
-    if (Files.exists(old)) VectorStoreCatalog.deleteRec(old)
-  }
+  private def swapDir(src: Path, target: Path): Unit =
+    VectorStoreCatalog.swapDir(src, target)
 
   private def refresh(spark: SparkSession, dir: String): Unit =
     Seq("tf", "doclen", "termdf", "global").foreach(t =>

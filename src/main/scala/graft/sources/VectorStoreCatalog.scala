@@ -301,12 +301,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(tmp.toString)
       Files.createDirectories(target)
       cells.foreach { c =>
-        val dst = target.resolve(s"centroid_id=$c")
-        val src = tmp.resolve(s"centroid_id=$c")
-        val old = dst.resolveSibling(s"_aside_${System.nanoTime()}")
-        if (Files.exists(dst)) Files.move(dst, old)
-        if (Files.exists(src)) Files.move(src, dst)
-        if (Files.exists(old)) deleteRec(old)
+        swapDir(tmp.resolve(s"centroid_id=$c"), target.resolve(s"centroid_id=$c"))
       }
       deleteRec(tmp)
       spark.catalog.refreshByPath(target.toString)
@@ -484,11 +479,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
     // Per-query HNSW beam-search winners (graph metric; margin over fetchK
     // because the exact re-rank uses the request metric on stored vectors).
-    def hnswWinners(k: Int): DataFrame = {
-      val w = Hnsw.search(hnsw, queries, k = k, ef = math.max(64, 2 * k))
+    // Partition targeting goes INTO the search as a result filter (filtered
+    // beam search: unrestricted walk, allowed-only result pool, allowed
+    // seeds) — a post-hoc semi-join over the global top-k would starve a
+    // small targeted partition entirely.
+    def hnswWinners(k: Int): DataFrame =
+      Hnsw.search(hnsw, queries, k = k, ef = math.max(64, 2 * k),
+          allowed = partOpt)
         .select("qid", "doc_id")
-      partOpt.fold(w)(p => w.join(p, Seq("doc_id"), "left_semi"))
-    }
 
     // Index-bounded dense search; without any index: the full-scan Knn plan.
     def denseSearch(): DataFrame =
@@ -507,9 +505,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // IVF-scoped): a strong sparse hit outside the probed cells must
       // survive fusion.
       ensureSparseIndex(req.tenant, req.model)
-      var m = SparseIndex.read(spark, sparseDir(req.tenant, req.model).toString)
-      if (parts.nonEmpty)
-        m = m.copy(tf = m.tf.join(partDocIds, Seq("doc_id"), "left_semi"))
+      // Partition targeting restricts sparse CANDIDATES, never the model's
+      // statistics: df/n/sumdl stay index-wide (restricting tf would mix
+      // partition-local df with global n — not what the reference's
+      // index-wide sparse stats compute).
+      val m = SparseIndex.read(spark, sparseDir(req.tenant, req.model).toString)
       // Dense leg from the index when present: per-query cell-pruned scores
       // over the clustered vectors (for IVF_FLAT these ARE the stored
       // vectors; SQ8/PQ legs score the decoded approximation, as Milvus);
@@ -522,7 +522,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         else if (haveIndex) indexedScored(req, idx, queries, partOpt)
         else Knn.scored(partCorpus.select("doc_id", "dv"), queries, req.metricType)
       val fused = Hybrid.searchScored(denseScored, m,
-        vectors.indices.map(_.toLong -> req.textFilter.get), params)
+        vectors.indices.map(_.toLong -> req.textFilter.get), params,
+        sparseCandidates = partOpt)
       // ≤ limit·|queries| fused winners: materialize once (avoids re-running
       // both legs when the result is consumed), then attach chunk/meta by
       // bucket-pruned point lookups — never a full base scan, and never
@@ -769,19 +770,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val nodesOut = g.nodes.join(batchIds, Seq("doc_id"), "left_anti")
       .unionByName(batchVecs)
     val edgesOut = g.edges.unionByName(newEdges).distinct()
+    // An upserted key that is a cell's entry medoid must seed future walks
+    // with its NEW vector — refresh the (tiny) entries table from the batch.
+    val entriesOut = g.entries
+      .join(batchVecs.select(col("doc_id"), col("dv").as("new_dv")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_dv"), col("dv")).as("dv"))
     val d = hnswDir(tenant, model)
     // tmp-write materializes (reading the current dirs) before any swap
     val nodesTmp = d.resolve("_tmp_nodes_" + System.nanoTime())
     val edgesTmp = d.resolve("_tmp_edges_" + System.nanoTime())
+    val entriesTmp = d.resolve("_tmp_entries_" + System.nanoTime())
     nodesOut.write.mode(SaveMode.Overwrite).parquet(nodesTmp.toString)
     edgesOut.write.mode(SaveMode.Overwrite).parquet(edgesTmp.toString)
-    Seq((nodesTmp, d.resolve("nodes")), (edgesTmp, d.resolve("edges"))).foreach {
-      case (src, dst) =>
-        val old = dst.resolveSibling("_aside_" + System.nanoTime())
-        if (Files.exists(dst)) Files.move(dst, old)
-        Files.move(src, dst)
-        if (Files.exists(old)) deleteRec(old)
-    }
+    entriesOut.write.mode(SaveMode.Overwrite).parquet(entriesTmp.toString)
+    swapDir(nodesTmp, d.resolve("nodes"))
+    swapDir(edgesTmp, d.resolve("edges"))
+    swapDir(entriesTmp, d.resolve("entries"))
     spark.catalog.refreshByPath(d.toString)
   }
 
@@ -1019,14 +1024,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         .map(_.getFileName.toString).filter(_.startsWith("part=")).distinct
       for (p <- partDirs; b <- touched) {
         val dst = target.resolve(p).resolve(s"_bucket=$b")
-        val src = tmp.resolve(p).resolve(s"_bucket=$b")
         Files.createDirectories(dst.getParent)
-        // '='-free underscore name: invisible to Spark's file listing, so a
-        // concurrent reader can never parse it as a bogus partition value
-        val old = dst.resolveSibling(s"_aside_${System.nanoTime()}")
-        if (Files.exists(dst)) Files.move(dst, old)
-        if (Files.exists(src)) Files.move(src, dst)
-        if (Files.exists(old)) deleteRec(old)
+        swapDir(tmp.resolve(p).resolve(s"_bucket=$b"), dst)
       }
       deleteRec(tmp)
     }
@@ -1081,7 +1080,28 @@ object VectorStoreCatalog {
   private[graft] def writeJson(p: Path, m: Map[String, String]): Unit = {
     val ordered = new java.util.LinkedHashMap[String, String]()
     m.toSeq.sortBy(_._1).foreach { case (k, v) => ordered.put(k, v) }
-    Files.writeString(p, jsonMapper.writeValueAsString(ordered))
+    // tmp + atomic rename: a crash mid-write must never corrupt or lose the
+    // current file — the auto_id counter depends on this (a lost counter
+    // would restart ids at 1 and silently replace existing rows)
+    val tmp = p.resolveSibling(p.getFileName.toString + "._tmp" + System.nanoTime())
+    Files.writeString(tmp, jsonMapper.writeValueAsString(ordered))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Reader-safe directory replacement — the ONE commit protocol every swap
+    * site uses (bucket compaction, IVF cell rewrite, HNSW absorb, sparse
+    * index commit, streaming merge): move `dst` aside, move `src` in (a
+    * missing `src` makes this a remove), delete the aside dir. A lock-free
+    * reader listing `dst` sees either the old or the new file set, never the
+    * half-deleted window a delete-then-move would leave. The aside name has
+    * no '=' so Spark's partition discovery never parses it as a value.
+    */
+  private[graft] def swapDir(src: Path, dst: Path): Unit = {
+    val old = dst.resolveSibling("_aside_" + System.nanoTime())
+    if (Files.exists(dst)) Files.move(dst, old)
+    if (Files.exists(src)) Files.move(src, dst)
+    if (Files.exists(old)) deleteRec(old)
   }
 
   private[graft] def readJson(p: Path): Map[String, String] = {

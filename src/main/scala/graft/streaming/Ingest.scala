@@ -108,14 +108,6 @@ object Ingest {
   private def tmpSibling(dir: Path): Path =
     dir.resolveSibling(dir.getFileName.toString + "_tmp_" + System.nanoTime())
 
-  /** Replace `target` with `src` (either may be absent). The aside name is
-    * '='-free + underscore-prefixed so Spark's listing never sees it as a
-    * bogus partition value mid-swap.
-    */
-  private def swapDir(src: Path, target: Path): Unit = {
-    val old = target.resolveSibling("_aside_" + System.nanoTime())
-    if (Files.exists(target)) Files.move(target, old)
-    if (Files.exists(src)) Files.move(src, target)
-    if (Files.exists(old)) graft.sources.VectorStoreCatalog.deleteRec(old)
-  }
+  private def swapDir(src: Path, target: Path): Unit =
+    graft.sources.VectorStoreCatalog.swapDir(src, target)
 }

@@ -29,6 +29,14 @@ object VectorIngest {
   def start(cat: VectorStoreCatalog, tenant: String, model: String,
       stream: DataFrame, partition: Option[String] = None,
       checkpoint: Option[String] = None): StreamingQuery = {
+    // foreachBatch is AT-LEAST-ONCE: after a crash between the insert commit
+    // and the offset commit, the micro-batch replays. Keyed collections
+    // converge (the replay upserts the same keys); an auto_id collection
+    // would mint fresh ids and duplicate every replayed row — reject it.
+    require(!cat.autoId(tenant, model),
+      s"streaming ingest into auto_id collection $tenant/$model would " +
+        "duplicate rows on micro-batch replay (at-least-once delivery); " +
+        "use a keyed (VARCHAR-PK) collection for streams")
     val writer = stream.writeStream
       .outputMode("update")
       .trigger(Trigger.ProcessingTime("1 second"))

@@ -286,6 +286,21 @@ class VectorIngestStreamSpec extends SparkSpec {
       assert(m.global.head.getLong(0) == 20)
     } finally q.stop()
   }
+
+  test("streaming ingest rejects auto_id collections (replay would duplicate rows)") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_vstream_auto").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8,
+      primaryKeyDataType = "INT64"))
+    val mem = MemoryStream[(String, String, Seq[Double])]
+    val stream = mem.toDF().toDF("key", "chunk", "vector")
+      .withColumn("metadata", map(lit("src"), lit("stream")))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.VectorIngest.start(cat, "t", "m", stream)
+    }
+    assert(e.getMessage.contains("auto_id"))
+  }
 }
 
 class StreamingDedupSpec extends SparkSpec {

@@ -70,14 +70,37 @@ class HnswSpec extends SparkSpec {
       hybridSearch = true, textFilter = Some("chunk 5")))
     assert(hy.success && hy.data.map(_.content).contains("chunk 5"))
 
-    // partition targeting composes: in-partition docs only (the beam walks
-    // the whole graph; winners are partition-filtered before the lookup)
+    // partition targeting composes: in-partition docs only (FILTERED beam
+    // search — the walk is unrestricted but allowed candidates pool and
+    // allowed nodes seed the beam)
     cat.insert("t", "m",
       Seq(EmbeddedVector("p1", "partitioned doc", "m", Map(), vec(33))),
       partition = Some("px"))
     val inPart = cat.search(SearchRequest("t", "m", vec(33), limit = 5,
       partitionNames = Seq("px")))
     assert(inPart.success && inPart.data.map(_.content) == Seq("partitioned doc"))
+    // ...and a 1-doc partition FAR from the query is still served — a
+    // post-hoc partition filter over the global top-k would starve it
+    val farPart = cat.search(SearchRequest("t", "m", vec(71), limit = 3,
+      partitionNames = Seq("px")))
+    assert(farPart.success && farPart.data.map(_.content) == Seq("partitioned doc"),
+      "filtered search must return the partition's docs even when none make the global beam")
+
+    // upserting a key that is an entry medoid refreshes the entries table —
+    // future walks must seed from the CURRENT vector
+    val hnswG = cat.loadHnsw("t", "m")
+    val entryIds = hnswG.entries.select("doc_id").collect().map(_.getLong(0)).toSet
+    val keyHash = spark.range(0, 96).selectExpr("id", "xxhash64(concat('k', id)) AS h")
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val medoidKey = entryIds.flatMap(keyHash.get).headOption
+    medoidKey.foreach { ki =>
+      cat.insert("t", "m",
+        Seq(EmbeddedVector(s"k$ki", s"chunk $ki", "m", Map(), vec(77))))
+      val dv = cat.loadHnsw("t", "m").entries
+        .filter(col("doc_id") === lit(keyHash.map(_.swap).apply(ki)))
+        .select("dv").head.getSeq[Double](0)
+      assert(dv == vec(77), "entry medoid must carry its upserted vector")
+    }
 
     // empty-collection HNSW: index build succeeds, first insert rebuilds
     val cat2 = new VectorStoreCatalog(spark,

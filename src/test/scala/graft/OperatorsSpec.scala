@@ -20,6 +20,26 @@ class Bm25Spec extends SparkSpec {
     assert(math.abs(res.head.getAs[Double]("score") - expected) < 1e-6)
   }
 
+  test("candidate restriction limits WHICH docs score, never their scores") {
+    // partition targeting must keep index-wide df/n/sumdl: a doc's BM25
+    // score is a function of the corpus stats only, so restricting the
+    // candidate set may drop rows but never change a surviving row's score
+    // (deriving df from a restricted tf table would inflate rare-in-
+    // partition terms).
+    val docs = Seq((0L, "a b a"), (1L, "b c a"), (2L, "c c a c"), (3L, "a d"))
+      .toDF("doc_id", "text")
+    val m = Bm25.fit(docs)
+    val q = Seq(0L -> "a c")
+    val all = Bm25.searchTopK(m, q, 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val keep = Seq(1L, 2L).toDF("doc_id")
+    val restricted = Bm25.searchTopK(m, q, 10, Some(keep)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(restricted.keySet == Set(1L, 2L))
+    restricted.foreach { case (id, s) => assert(s == all(id),
+      s"doc $id score changed under candidate restriction: $s vs ${all(id)}") }
+  }
+
   test("document sparse encoding drops low-weight postings with drop_ratio_build") {
     val docs = Tables.load(spark, Sf, "documents").limit(50)
     val m = Bm25.fit(docs)
