@@ -88,11 +88,13 @@ object Hnsw {
 
     // Per-node top-m outgoing edges from the blocked candidates. The same
     // pair can surface from the cell join AND several LSH tables — dedup
-    // BEFORE top-m, or one neighbour occupies multiple of src's m slots and
-    // crowds out distinct neighbours (degrading graph recall).
-    val scored = scorePairs(
-        cellPairs.unionByName(bridgePairs).dropDuplicates("a_id", "b_id"), metric)
+    // before top-m, or one neighbour occupies multiple of src's m slots and
+    // crowds out distinct neighbours (degrading graph recall). Scoring runs
+    // FIRST (map-side, no exchange), so the dedup shuffle moves (id, id,
+    // score) rows, never rows carrying two dim-length vectors.
+    val scored = scorePairs(cellPairs.unionByName(bridgePairs), metric)
       .select(col("a_id").as("src"), col("b_id").as("dst"), col("s"))
+      .dropDuplicates("src", "dst")
     val top = TopK.perKey(scored, "src", "s", "dst", m,
         desc = Knn.higherIsBetter(metric))
       .select("src", "dst")

@@ -107,10 +107,19 @@ object Knn {
     * for a few hundred winners.
     */
   def search(corpus: DataFrame, queries: DataFrame, p: SearchParams): DataFrame = {
-    val payload = corpus.columns.filterNot(c => c == "doc_id" || c == "dv")
-    if (payload.isEmpty) pipeline(scored(corpus, queries, p.metric), p)
-    else pipeline(scored(corpus.select("doc_id", "dv"), queries, p.metric), p,
-      payload = Some(corpus.drop("dv")))
+    // Column-prune the payload to what the request actually touches — a
+    // filter it runs or a field it returns. A request needing NO payload
+    // (b1 shape: no filters, outputFields=Nil) skips the materialization
+    // pass entirely; one that needs `meta` only never reads `chunk`.
+    val needed = corpus.columns.filterNot(c => c == "doc_id" || c == "dv")
+      .filter(c => p.outputFields.contains(c) ||
+        (c == "chunk" && p.textFilter.exists(_.trim.nonEmpty)) ||
+        (c == "meta"  && (p.metaFilter.nonEmpty || p.metaRequired)) ||
+        (c == "extra" && p.extraFilter.nonEmpty))
+    val narrow = scored(corpus.select("doc_id", "dv"), queries, p.metric)
+    if (needed.isEmpty) pipeline(narrow, p)
+    else pipeline(narrow, p,
+      payload = Some(corpus.select(("doc_id" +: needed).map(col): _*)))
   }
 
   /** The reference's post-scoring pipeline over ANY pre-scored
