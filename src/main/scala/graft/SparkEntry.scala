@@ -226,16 +226,21 @@ object SparkEntry {
         sum("price").cast("double").as("total_price"))
     }),
 
-    // ---- D3 variant: HNSW graph ANN (graph from KMeans cells — not
-    //      oracle-replicable, so no oracleSql entry: the driver records the
-    //      rows-only check; recall vs exact is spec-asserted in HnswSpec) ----
+    // ---- D3 variant: HNSW graph ANN, driven at FULL beam width so the
+    //      oracle gate is hash-exact (the q_ivf_knn trick: nprobe=nlist).
+    //      With ef ≥ corpus the beam never truncates, and the graph is
+    //      connected by construction (every node ↔ its cell medoid, medoid
+    //      set kNN-connected, seeds = all medoids), so the walk visits every
+    //      node and the result IS exact brute-force KNN — same oracle as
+    //      q_ann_embed. The approximate regime (ef=64) is spec-asserted in
+    //      HnswSpec (recall ≥ 0.8). ----
     "q_hnsw_knn" -> ((s, dir) => {
       val corpus = Tables.docsCorpus(s, dir)
         .select(col("doc_id"), col("qv").as("dv"))
       val queries = Tables.docsCorpus(s, dir).filter(col("doc_id") < 8)
         .select(col("doc_id").as("qid"), col("qv"))
       val g = Hnsw.build(corpus, m = 8)
-      Hnsw.search(g, queries, k = 10, ef = 64)
+      Hnsw.search(g, queries, k = 10, ef = 8192)
     }),
 
     // ---- D2 variant: INT64 / auto_id primary keys (base_milvus.py:895-917,
@@ -438,6 +443,8 @@ object SparkEntry {
     "q_int64_pk"      -> Oracles.int64Pk,
     "q_ivf_knn"       -> Oracles.ivfKnn(8, 16, 4, 10),
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),
+    // full-width beam (ef ≥ corpus) over a connected graph == exact KNN
+    "q_hnsw_knn"      -> Oracles.annEmbedExact(8, 10),
     "q_ann_lsh"       -> Oracles.annLsh(4, 10),
     "q_sessionize"    -> Oracles.sessionize(30L * 60 * 1000000L), // us gap, matches query
     "q_events_hourly" -> Oracles.eventsHourly,

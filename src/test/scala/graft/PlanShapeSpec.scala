@@ -41,6 +41,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), "queries must broadcast")
   }
 
+  test("late materialization prunes the payload to what the request touches") {
+    val corpus = Tables.ordersCorpus(spark, Sf) // (doc_id, dv, meta, chunk)
+    val q = Tables.queryBatch(spark, 2)
+    // no filters, no output fields: the payload pass must vanish — exactly
+    // one join (the scoring BNLJ), no second corpus scan
+    val bare = plan(Knn.search(corpus, q, SearchParams(limit = 5, outputFields = Nil)))
+    assert(bare.contains("BroadcastNestedLoopJoin"), "scoring BNLJ missing")
+    assert(!bare.contains("BroadcastHashJoin") && !bare.contains("SortMergeJoin") &&
+      !bare.contains("ShuffledHashJoin"),
+      s"payload join present in a payload-free search:\n$bare")
+    // meta-only request: payload joined back, but chunk never read — the
+    // payload scan's projection excludes the chunk source column
+    val metaOnly = plan(Knn.search(corpus, q,
+      SearchParams(limit = 5, metaFilter = Map("priority" -> "URGENT"),
+        outputFields = Seq("meta"))))
+    assert(metaOnly.contains("BroadcastHashJoin"), "payload join must broadcast winners")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(metaOnly)
+      .map(_.group(1)).toSeq
+    assert(reads.exists(r => r.contains("o_orderstatus")),
+      s"payload scan missing: $reads")
+    assert(!metaOnly.contains("chunk"), "chunk materialized for a meta-only request")
+  }
+
   test("shingle generation is shuffle-free (no Exchange below the first aggregate)") {
     import spark.implicits._
     val docs = Seq((0L, "a b c d e f g h i")).toDF("doc_id", "text")
