@@ -384,11 +384,15 @@ object Oracles {
        |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id""".stripMargin
   }
 
-  def dedupMinhashVerified(threshold: Double): String = {
+  /** CTE chain ending in `vp` = the LSH-verified near-dup pairs
+    * (doc_a, doc_b, jaccard) — shared by the pair, component, and keep-set
+    * oracles so all three verify the SAME pair derivation.
+    */
+  private def verifiedPairsCtes(threshold: Double): String = {
     val bandRows = (0 until 4)
       .map(bd => s"SELECT doc_id, $bd AS band, h${2 * bd} * $P + h${2 * bd + 1} AS bucket FROM sig")
       .mkString(" UNION ALL ")
-    s"""WITH $toksp, $shinglesCte, $sigCte,
+    s"""$toksp, $shinglesCte, $sigCte,
        |bands AS ($bandRows),
        |cands AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -401,12 +405,43 @@ object Oracles {
        |  FROM cands c
        |  JOIN shd x ON c.doc_a = x.doc_id
        |  JOIN shd y ON c.doc_b = y.doc_id AND x.shingle = y.shingle
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-       |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
-       |WHERE jaccard >= $threshold""".stripMargin
+       |  GROUP BY 1, 2),
+       |vp AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |    FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+       |  WHERE jaccard >= $threshold)""".stripMargin
   }
+
+  def dedupMinhashVerified(threshold: Double): String =
+    s"""WITH ${verifiedPairsCtes(threshold)}
+       |SELECT doc_a, doc_b, jaccard FROM vp""".stripMargin
+
+  /** Connected components over the verified-pairs graph: min reachable
+    * doc_id per node via a recursive transitive closure (the pair graph is
+    * tiny — closure is safe here; the Spark side uses label propagation).
+    */
+  private def componentsCtes(threshold: Double): String =
+    s"""${verifiedPairsCtes(threshold)},
+       |cedges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |           UNION SELECT doc_b, doc_a FROM vp),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM cedges
+       |  UNION
+       |  SELECT e.src, r.r FROM cedges e JOIN reach r ON e.dst = r.node),
+       |comp AS (SELECT node AS doc_id, MIN(r) AS root FROM reach GROUP BY node)""".stripMargin
+
+  def dedupComponents(threshold: Double): String =
+    s"""WITH RECURSIVE ${componentsCtes(threshold)}
+       |SELECT doc_id, root FROM comp""".stripMargin
+
+  /** The kept corpus after near-dup removal: every doc except
+    * non-representative component members.
+    */
+  def dedupKeep(threshold: Double): String =
+    s"""WITH RECURSIVE ${componentsCtes(threshold)}
+       |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> root)""".stripMargin
 
   /** Top-5 terms per language by corpus frequency (vocabulary stats). */
   val topTerms: String =

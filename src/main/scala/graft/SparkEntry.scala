@@ -136,6 +136,18 @@ object SparkEntry {
       Dedup.lshCandidatePairs(Dedup.minhashSignatures(Tables.load(s, dir, "documents")))),
     "q_dedup_verified" -> ((s, dir) =>
       Dedup.minhashVerifiedPairs(Tables.load(s, dir, "documents"), 0.7)),
+    // pairs → GROUPS: connected components by label propagation (root = min
+    // doc_id per near-dup cluster), then the kept corpus after dropping
+    // non-representative members — the end-to-end dedup materialization.
+    "q_dedup_components" -> ((s, dir) =>
+      Dedup.components(
+        Dedup.minhashVerifiedPairs(Tables.load(s, dir, "documents"), 0.7))),
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dropNearDuplicates(docs,
+          Dedup.minhashVerifiedPairs(docs, 0.7))
+        .select("doc_id", "lang", "n_chars")
+    }),
     "q_top_terms" -> ((s, dir) => {
       val toks = Dedup.tokenTable(Tables.load(s, dir, "documents"))
       val w = org.apache.spark.sql.expressions.Window
@@ -421,6 +433,8 @@ object SparkEntry {
     "q_dedup_minhash" -> Oracles.dedupMinhash,
     "q_dedup_lsh_pairs" -> Oracles.dedupLshPairs,
     "q_dedup_verified" -> Oracles.dedupMinhashVerified(0.7),
+    "q_dedup_components" -> Oracles.dedupComponents(0.7),
+    "q_dedup_keep"    -> Oracles.dedupKeep(0.7),
     "q_top_terms"     -> Oracles.topTerms,
     "q_dedup_simhash" -> Oracles.dedupSimhash,
     "q_dedup_jaccard" -> Oracles.dedupJaccard(0.8),

@@ -179,6 +179,54 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over an undirected near-dup pair list
+    * (doc_a, doc_b) — the step that turns dedup PAIRS into dedup GROUPS so
+    * a pipeline can keep one representative per cluster. Small-label
+    * propagation: every paired doc starts labelled with itself; each round
+    * a doc takes the min label over itself and its neighbours; fixpoint
+    * when no label changes. Rounds = component diameter — near-dup
+    * clusters are shallow (a dup of a dup of a dup is rare), so the loop
+    * is short, and every step is a keyed join + min-aggregate: nothing
+    * driver-side, no component ever materialized as a row set. Returns
+    * (doc_id, root) for every doc appearing in a pair, root = the min
+    * doc_id of its component.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("root", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("dst"), col("root")), "dst")
+        .select(col("src").as("doc_id"), col("root"))
+      val upd = labels.unionByName(nbr)
+        .groupBy("doc_id").agg(min("root").as("root")).localCheckpoint()
+      changed = upd.join(labels.withColumnRenamed("root", "prev"), "doc_id")
+        .filter(col("root") =!= col("prev")).count()
+      labels = upd
+      it += 1
+    }
+    labels
+  }
+
+  /** Materialized near-dup removal: drop every non-representative member of
+    * each component (representative = min doc_id); docs in no pair pass
+    * through. Join strategy is left to AQE: a web-scale drop set can be a
+    * large corpus fraction (not broadcastable), and the anti-join keys on
+    * the PK either way.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val drop = components(pairs)
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Train/test contamination check (decontamination): for each doc in the
     * `test` split, the fraction of its distinct 3-token shingles that occur
     * anywhere in the `train` split. splitDf: (doc_id, split). At scale the

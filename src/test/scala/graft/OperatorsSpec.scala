@@ -107,6 +107,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(r => r.getAs[Long]("doc_a") == 0L &&
       r.getAs[Long]("doc_b") == 1L && r.getAs[Double]("est_sim") == 1.0))
   }
+
+  test("components propagate across a chain; dropNearDuplicates keeps one per cluster") {
+    // chain 1-2-3 (1-3 never directly paired) + isolated pair 7-9: label
+    // propagation must converge to the transitive closure's roots
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("root")).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val kept = Dedup.dropNearDuplicates(docs, pairs).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept == Seq(1L, 5L, 7L), s"got $kept") // 5 untouched, reps 1 and 7
+  }
 }
 
 class IvfSpec extends SparkSpec {
