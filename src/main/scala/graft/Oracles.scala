@@ -874,6 +874,31 @@ object Oracles {
        |       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_toks
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Sliding-window chunking (mirror of TextAnalysis.chunkDocs): chunk c
+    * covers positions [c·stride+1, c·stride+size]; a token at pos lands in
+    * chunks firstC..lastC (integer arithmetic identical to the operator).
+    */
+  def chunkDocs(maxDoc: Long, size: Int, overlap: Int): String = {
+    val stride = size - overlap
+    s"""WITH $toksp,
+       |tk AS (SELECT * FROM toksp WHERE doc_id < $maxDoc),
+       |tc AS (
+       |  SELECT doc_id, term, pos,
+       |         CASE WHEN pos <= $size THEN 0
+       |              ELSE (pos - $size + $stride - 1) // $stride END AS firstc,
+       |         (pos - 1) // $stride AS lastc
+       |  FROM tk),
+       |ex AS (
+       |  SELECT doc_id, term, pos, firstc + g.c AS chunk_id
+       |  FROM tc CROSS JOIN (SELECT CAST(range AS BIGINT) AS c
+       |                      FROM range(${(size + stride - 1) / stride + 1})) g
+       |  WHERE firstc + g.c <= lastc)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |       string_agg(term, ' ' ORDER BY pos) AS chunk_text,
+       |       CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |FROM ex GROUP BY 1, 2""".stripMargin
+  }
+
   /** Intra-doc max 3-gram repetition share (mirror of Dedup.repetition). */
   val repetition: String =
     s"""WITH $toksp, $shinglesCte,

@@ -201,6 +201,12 @@ object SparkEntry {
         .groupBy("grp", "shard_id")
         .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_toks"))),
 
+    // ---- sliding-window chunking (size 32, overlap 8): the ingestion step
+    //      that turns long docs into overlapping retrieval units ----
+    "q_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 40), size = 32, overlap = 8)),
+
     // ---- span-level cross-doc duplication (8-gram overlap, Lee et al.) ----
     "q_ngram_overlap" -> ((s, dir) =>
       Dedup.ngramOverlap(Tables.load(s, dir, "documents"), n = 8)),
@@ -449,6 +455,7 @@ object SparkEntry {
     "q_lm_score"      -> Oracles.lmScore,
     "q_stratified"    -> Oracles.stratified(Map("en" -> 0.5, "de" -> 0.25), 0.1),
     "q_token_shards"  -> Oracles.tokenShards(2000L),
+    "q_chunk"         -> Oracles.chunkDocs(40L, 32, 8),
     "q_ngram_overlap" -> Oracles.ngramOverlap(8),
     "q_repetition"    -> Oracles.repetition,
     "q_pii_scrub"     -> Oracles.piiScrub,

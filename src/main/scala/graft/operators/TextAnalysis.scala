@@ -164,6 +164,32 @@ object TextAnalysis {
     docs.filter(h.cast("double") < f * 4294967296.0)
   }
 
+  /** Sliding-window document chunking — the ingestion step that turns long
+    * documents into overlapping retrieval units (the reference stores
+    * client-side pre-chunked text, base_milvus.py:1048; this is the
+    * engine-side equivalent). Chunk c covers token positions
+    * [c·stride+1, c·stride+size], stride = size − overlap; every window
+    * that starts before the document's end is emitted, so short tail
+    * chunks are kept (standard sliding-window semantics). One map-side
+    * explode (each token lands in ≤ size/stride chunks) + one keyed
+    * aggregation; integer arithmetic only, DuckDB-replicable.
+    */
+  def chunkDocs(docs: DataFrame, size: Int = 32, overlap: Int = 8): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    Dedup.tokenTable(docs)
+      .withColumn("lastC", expr(s"(pos - 1) div $stride"))
+      .withColumn("firstC", when(col("pos") <= size, lit(0L))
+        .otherwise(expr(s"(pos - $size + $stride - 1) div $stride")))
+      .withColumn("chunk_id", explode(sequence(col("firstC"), col("lastC"))))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, term))), x -> x.term)"),
+          " ").as("chunk_text"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Contiguous token-budget sharding (the scalable form of sequence
     * packing): within each group, docs in doc_id order are assigned to
     * shards of ~`binTokens` whitespace tokens — shard_id = floor(running

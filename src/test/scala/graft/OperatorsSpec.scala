@@ -108,6 +108,17 @@ class DedupSpec extends SparkSpec {
       r.getAs[Long]("doc_b") == 1L && r.getAs[Double]("est_sim") == 1.0))
   }
 
+  test("chunkDocs emits hand-computed sliding windows incl. the short tail") {
+    val docs = Seq((0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, size = 4, overlap = 2).collect()
+      .map(r => r.getAs[Long]("chunk_id") ->
+        (r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got == Map(
+      0L -> ("t1 t2 t3 t4", 4L), 1L -> ("t3 t4 t5 t6", 4L),
+      2L -> ("t5 t6 t7 t8", 4L), 3L -> ("t7 t8 t9 t10", 4L),
+      4L -> ("t9 t10", 2L)), s"got $got")
+  }
+
   test("components propagate across a chain; dropNearDuplicates keeps one per cluster") {
     // chain 1-2-3 (1-3 never directly paired) + isolated pair 7-9: label
     // propagation must converge to the transitive closure's roots
