@@ -27,6 +27,39 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("components equal a driver-side BFS closure on random pair graphs") {
+    import spark.implicits._
+    val gen = for {
+      n     <- Gen.choose(2, 24)
+      m     <- Gen.choose(1, 30)
+      pairs <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (a, b))
+    } yield pairs
+    // 15 random graphs through the full Spark path (each run is a real
+    // iterative job — 200 would be slow for no extra coverage)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15),
+      Prop.forAll(gen) { pairs =>
+        // reference: BFS closure on the driver (gen guarantees >= 1 pair)
+        val adj = (pairs ++ pairs.map(_.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        def root(v: Long): Long = {
+          var seen = Set(v); var frontier = Set(v)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+            seen ++= frontier
+          }
+          seen.min
+        }
+        val expect = adj.keySet.map(v => v -> root(v)).toMap
+        val got = Dedup.components(pairs.toDF("doc_a", "doc_b")).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("root")).toMap
+        got == expect
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("top-k results are a prefix of the brute-force ranking (k' <= k nests)") {
     val corpus = Tables.ordersCorpus(spark, Sf)
     val queries = Tables.queryBatch(spark, 3)
