@@ -210,6 +210,11 @@ object Dedup {
       labels = upd
       it += 1
     }
+    // returning partially-propagated labels would silently split clusters
+    // (multiple "representatives" per component) — fail loudly instead
+    require(changed == 0,
+      s"components did not converge in $maxIter rounds — a component has " +
+        s"diameter > $maxIter; raise maxIter")
     labels
   }
 

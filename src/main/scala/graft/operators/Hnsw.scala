@@ -172,24 +172,32 @@ object Hnsw {
       .withColumn("s", Knn.rawScore(g.metric))
       .select("qid", "doc_id", "s")
 
+    // Materialize the allowed id set ONCE — the semi-join runs per hop, and
+    // in the facade `allowed` is a parquet scan + hash over the targeted
+    // partition dirs that must not be re-read maxHops times.
+    val allowedIds = allowed.map(_.select("doc_id").localCheckpoint())
     def keepAllowed(df: DataFrame): DataFrame =
-      allowed.fold(df)(a => df.join(a, Seq("doc_id"), "left_semi"))
+      allowedIds.fold(df)(a => df.join(a, Seq("doc_id"), "left_semi"))
 
     // Seed: the entry medoids, plus (when filtering) a deterministic slice
     // of the allowed nodes to anchor the beam near the allowed region.
     val entrySeed = queries.select("qid")
       .crossJoin(g.entries.select(col("doc_id"), col("dv")))
-    val seedCand = allowed.fold(entrySeed) { a =>
+    val seedCand = allowedIds.fold(entrySeed) { a =>
       entrySeed.unionByName(queries.select("qid").crossJoin(
         g.nodes.join(a, Seq("doc_id"), "left_semi").orderBy("doc_id").limit(ef)))
     }
-    val seeds = score(seedCand.dropDuplicates("qid", "doc_id"))
+    val seeds = score(seedCand.dropDuplicates("qid", "doc_id")).localCheckpoint()
     var best = TopK.perKey(seeds, "qid", "s", "doc_id", ef, desc)
       .select("qid", "doc_id", "s").localCheckpoint()
     var pool: Option[DataFrame] =
-      allowed.map(_ => keepAllowed(seeds).localCheckpoint())
+      allowedIds.map(_ => keepAllowed(seeds).localCheckpoint())
     var frontier = best.select("qid", "doc_id")
-    var visited = frontier
+    // visited covers ALL scored seeds, not just the top-ef beam: an evicted
+    // seed is already in the pool, and re-scoring it on a later hop would
+    // put the same (qid, doc_id) into the pool twice — the final top-k
+    // would then list one document in two ranks.
+    var visited = seeds.select("qid", "doc_id")
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       val nbrs = frontier

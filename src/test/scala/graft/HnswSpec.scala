@@ -26,6 +26,24 @@ class HnswSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("filtered search never returns a doc_id twice (evicted seeds stay visited)") {
+    val corpus = Tables.docsCorpus(spark, Sf).limit(200)
+      .select(col("doc_id"), col("qv").as("dv"))
+    val g = Hnsw.build(corpus, m = 4)
+    val queries = Tables.docsCorpus(spark, Sf).filter(col("doc_id") < 4)
+      .select(col("doc_id").as("qid"), col("qv"))
+    val allowed = corpus.filter(col("doc_id") % 3 === 0).select("doc_id")
+    // ef far below |allowed| forces seed eviction: an evicted allowed seed
+    // re-reached by the walk must NOT enter the pool a second time
+    val res = Hnsw.search(g, queries, k = 20, ef = 4, allowed = Some(allowed))
+    val rows = res.collect().map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"))).toSeq
+    assert(rows.size == rows.distinct.size,
+      s"duplicate (qid, doc_id) in filtered results")
+    val ok = allowed.collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => ok(r._2)), "filtered result outside the allowed set")
+  }
+
   test("graph edges are symmetric (reverse links kept)") {
     val corpus = Tables.docsCorpus(spark, Sf).limit(300)
       .select(col("doc_id"), col("qv").as("dv"))

@@ -131,6 +131,17 @@ class DedupSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(kept == Seq(1L, 5L, 7L), s"got $kept") // 5 untouched, reps 1 and 7
   }
+
+  test("components refuse to return non-converged labels (diameter > maxIter)") {
+    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.components(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+    val ok = Dedup.components(chain).collect() // default maxIter suffices
+      .map(r => r.getAs[Long]("root")).toSet
+    assert(ok == Set(0L), "whole chain must share root 0")
+  }
 }
 
 class IvfSpec extends SparkSpec {
