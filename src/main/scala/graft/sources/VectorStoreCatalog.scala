@@ -650,6 +650,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def sparseDirOf(tenant: String, model: String): String =
     sparseDir(tenant, model).toString
 
+  /** Location of the persisted HNSW graph tables (for tooling/specs). */
+  def hnswDirOf(tenant: String, model: String): String =
+    hnswDir(tenant, model).toString
+
   /** Persist the IVF index tables (centroids + corpus clustered by
     * centroid_id) and the BM25 model tables — the durable form of D3/D4.
     * The clustered table is PARTITIONED BY centroid_id so a probe scan reads
@@ -725,25 +729,44 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     Files.exists(hnswDir(tenant, model).resolve("entries"))
 
   /** Build + persist the graph tables ([[Hnsw.build]]) for the corpus. */
+  /** The graph tables are BUCKETED like the data table — nodes by
+    * pmod(doc_id, nB) (doc_id IS xxhash64(key), so a node shares its data
+    * row's bucket), edges by the src node's bucket — so insert absorption
+    * rewrites only touched bucket directories, never the whole graph.
+    */
   private def persistHnsw(tenant: String, model: String): Unit = {
     val corpus = load(tenant, model).select(
       xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv"))
     val g = Hnsw.build(corpus, m = 8,
       metric = properties(tenant, model)("metric_type"))
+    val nB = nBuckets(tenant, model).toLong
     val d = hnswDir(tenant, model)
     Files.createDirectories(d)
-    g.nodes.write.mode(SaveMode.Overwrite).parquet(d.resolve("nodes").toString)
-    g.edges.write.mode(SaveMode.Overwrite).parquet(d.resolve("edges").toString)
+    g.nodes.withColumn("_bucket", pmod(col("doc_id"), lit(nB)))
+      .repartition(col("_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+      .parquet(d.resolve("nodes").toString)
+    g.edges.withColumn("_bucket", pmod(col("src"), lit(nB)))
+      .repartition(col("_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+      .parquet(d.resolve("edges").toString)
     g.entries.write.mode(SaveMode.Overwrite).parquet(d.resolve("entries").toString)
     spark.catalog.refreshByPath(d.toString)
   }
 
+  private def hnswNodesRaw(tenant: String, model: String): DataFrame =
+    spark.read.schema("doc_id LONG, dv ARRAY<DOUBLE>, _bucket LONG")
+      .parquet(hnswDir(tenant, model).resolve("nodes").toString)
+
+  private def hnswEdgesRaw(tenant: String, model: String): DataFrame =
+    spark.read.schema("src LONG, dst LONG, _bucket LONG")
+      .parquet(hnswDir(tenant, model).resolve("edges").toString)
+
   def loadHnsw(tenant: String, model: String): Hnsw.Graph = {
     val d = hnswDir(tenant, model)
     Hnsw.Graph(
-      spark.read.schema("doc_id LONG, dv ARRAY<DOUBLE>")
-        .parquet(d.resolve("nodes").toString),
-      spark.read.schema("src LONG, dst LONG").parquet(d.resolve("edges").toString),
+      hnswNodesRaw(tenant, model).drop("_bucket"),
+      hnswEdgesRaw(tenant, model).drop("_bucket"),
       spark.read.schema("doc_id LONG, dv ARRAY<DOUBLE>")
         .parquet(d.resolve("entries").toString),
       properties(tenant, model)("metric_type"))
@@ -762,30 +785,53 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     if (g.entries.isEmpty) { persistHnsw(tenant, model); return }
     val batchIds = batchVecs.select("doc_id")
     val queries = batchVecs.select(col("doc_id").as("qid"), col("dv").as("qv"))
+    // materialized BEFORE any directory swap — the beam search reads the
+    // current graph dirs
     val nbrs = Hnsw.search(g, queries, k = 8, ef = 32)
       .select(col("qid").as("src"), col("doc_id").as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") =!= col("dst")).localCheckpoint()
+    val nB = nBuckets(tenant, model).toLong
     val newEdges = nbrs.unionByName(
-      nbrs.select(col("dst").as("src"), col("src").as("dst")))
-    val nodesOut = g.nodes.join(batchIds, Seq("doc_id"), "left_anti")
-      .unionByName(batchVecs)
-    val edgesOut = g.edges.unionByName(newEdges).distinct()
+        nbrs.select(col("dst").as("src"), col("src").as("dst")))
+      .withColumn("_bucket", pmod(col("src"), lit(nB)))
+    val d = hnswDir(tenant, model)
+
+    // BUCKET-RESTRICTED rewrite, O(batch), never O(graph): node buckets =
+    // the batch ids' buckets (a replaced key hashes to the same bucket as
+    // its old row); edge buckets = the src buckets of the new symmetric
+    // edges (≤ 2·m·batch endpoints). Untouched bucket dirs keep their files.
+    val nodeBuckets = batchVecs.select(pmod(col("doc_id"), lit(nB)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val nodesOut = hnswNodesRaw(tenant, model)
+      .filter(col("_bucket").isin(nodeBuckets: _*))
+      .join(batchIds, Seq("doc_id"), "left_anti")
+      .unionByName(batchVecs.withColumn("_bucket", pmod(col("doc_id"), lit(nB))))
+    val edgeBuckets = newEdges.select("_bucket").distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
+    val edgesOut = hnswEdgesRaw(tenant, model)
+      .filter(col("_bucket").isin(edgeBuckets: _*))
+      .unionByName(newEdges).distinct()
     // An upserted key that is a cell's entry medoid must seed future walks
     // with its NEW vector — refresh the (tiny) entries table from the batch.
     val entriesOut = g.entries
       .join(batchVecs.select(col("doc_id"), col("dv").as("new_dv")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("new_dv"), col("dv")).as("dv"))
-    val d = hnswDir(tenant, model)
+
     // tmp-write materializes (reading the current dirs) before any swap
     val nodesTmp = d.resolve("_tmp_nodes_" + System.nanoTime())
     val edgesTmp = d.resolve("_tmp_edges_" + System.nanoTime())
     val entriesTmp = d.resolve("_tmp_entries_" + System.nanoTime())
-    nodesOut.write.mode(SaveMode.Overwrite).parquet(nodesTmp.toString)
-    edgesOut.write.mode(SaveMode.Overwrite).parquet(edgesTmp.toString)
+    nodesOut.repartition(col("_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(nodesTmp.toString)
+    edgesOut.repartition(col("_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(edgesTmp.toString)
     entriesOut.write.mode(SaveMode.Overwrite).parquet(entriesTmp.toString)
-    swapDir(nodesTmp, d.resolve("nodes"))
-    swapDir(edgesTmp, d.resolve("edges"))
+    nodeBuckets.foreach(b => swapDir(nodesTmp.resolve(s"_bucket=$b"),
+      d.resolve("nodes").resolve(s"_bucket=$b")))
+    edgeBuckets.foreach(b => swapDir(edgesTmp.resolve(s"_bucket=$b"),
+      d.resolve("edges").resolve(s"_bucket=$b")))
+    deleteRec(nodesTmp); deleteRec(edgesTmp)
     swapDir(entriesTmp, d.resolve("entries"))
     spark.catalog.refreshByPath(d.toString)
   }

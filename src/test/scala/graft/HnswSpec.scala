@@ -120,6 +120,29 @@ class HnswSpec extends SparkSpec {
       assert(dv == vec(77), "entry medoid must carry its upserted vector")
     }
 
+    // absorb is bucket-restricted: inserting one key rewrites only that
+    // key's node-bucket directory — every other bucket's files are untouched
+    {
+      import scala.jdk.CollectionConverters._
+      val nodesDir = java.nio.file.Paths.get(cat.hnswDirOf("t", "m"), "nodes")
+      def snapshot(): Map[String, Long] =
+        Files.walk(nodesDir).iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(p => nodesDir.relativize(p).toString -> Files.getLastModifiedTime(p).toMillis)
+          .toMap
+      val before = snapshot()
+      cat.insert("t", "m",
+        Seq(EmbeddedVector("bkt-probe", "bucket probe doc", "m", Map(), vec(44))))
+      val after = snapshot()
+      val bkt = spark.range(1)
+        .select(pmod(xxhash64(lit("bkt-probe")), lit(16L))).head.getLong(0)
+      val untouched = before.keySet.filterNot(_.contains(s"_bucket=$bkt"))
+      assert(untouched.nonEmpty, "need untouched buckets for the assertion")
+      untouched.foreach { p =>
+        assert(after.get(p) == before.get(p), s"untouched node bucket rewritten: $p")
+      }
+    }
+
     // empty-collection HNSW: index build succeeds, first insert rebuilds
     val cat2 = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_hnsw_e").toString)
