@@ -42,6 +42,10 @@ object Bench {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$prepDir/ivf/clustered")
     prepIdx.centroids.write.mode("overwrite").parquet(s"$prepDir/ivf/centroids")
+    val prepPq = Ivf.quantizePq(prepIdx, mSub = 8, ksub = 64, maxIter = 3)
+    prepPq.clustered.write.mode("overwrite").parquet(s"$prepDir/pq/clustered")
+    def persistedPq = Ivf.Pq(prepIdx.centroids,
+      spark.read.parquet(s"$prepDir/pq/clustered"), prepPq.codebooks, "COSINE")
     def persistedIvf = Ivf.Index(
       spark.read.parquet(s"$prepDir/ivf/centroids"),
       spark.read.parquet(s"$prepDir/ivf/clustered"), "COSINE")
@@ -107,6 +111,12 @@ object Bench {
         Knn.search(corpus, queries, SearchParams(limit = 10, outputFields = Nil))
       }),
       "b12_media_decode" -> (() => Multimodal.extractMediaFeatures(docs)),
+      // PQ scoring paths over one prebuilt index: decode-then-dot vs the
+      // ADC table-lookup kernel (same candidates, mSub reads per pair)
+      "b15_pq_probe_decode" -> (() =>
+        Ivf.probePq(persistedPq, q64, nprobe = 16, k = 10)),
+      "b15b_pq_probe_adc" -> (() =>
+        Ivf.probePqAdc(persistedPq, q64, nprobe = 16, k = 10)),
       // graph ANN: build over the real-embedding corpus, then beam search —
       // reported separately (build is an offline DDL step, search the hot path)
       "b13_hnsw_build" -> (() => {

@@ -85,6 +85,47 @@ case class VecNorm2(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): VecNorm2 = copy(child = c)
 }
 
+/** PQ asymmetric-distance (ADC) kernel: codes ARRAY<INT> (one code per
+  * subspace) × a flattened lookup table ARRAY<DOUBLE> of mSub·ksub partials
+  * → Σ_m lut[m·ksub + codes[m]]. Replaces per-row decode-then-dot (O(dim)
+  * work + an array allocation per pair) with mSub table reads — the
+  * classic PQ scoring trick (Jégou et al. 2011 §5.2). ksub is derived per
+  * row from the two lengths, so ragged codebooks work via padded tables.
+  */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val ksub = if (m == 0) 0 else lut.numElements() / m
+    var acc = 0.0
+    var i = 0
+    while (i < m) { acc += lut.getDouble(i * ksub + codes.getInt(i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val m = ctx.freshName("m")
+      val ksub = ctx.freshName("ksub"); val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |int $ksub = ($m == 0) ? 0 : $b.numElements() / $m;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $acc += $b.getDouble($i * $ksub + $a.getInt($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
 /** IVF assignment kernel: the centroid id nearest to the row's vector under
   * the metric, as ONE fused per-row loop (cells × dim) in generated code —
   * no corpus × centroids join, no aggregation, map-only. `ids`/`cents` are
@@ -185,6 +226,9 @@ object VecExprs {
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def norm2(a: Column): Column =
     ColumnBridge.column(VecNorm2(ColumnBridge.expression(a)))
+  def pqAdc(codes: Column, lut: Column): Column =
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(codes),
+      ColumnBridge.expression(lut)))
 
   /** Nearest-centroid assignment over a collected centroid table. Centroids
     * are scanned in ascending id order (ties → lowest id, as

@@ -261,6 +261,67 @@ object Ivf {
   def probePq(pq: Pq, queries: DataFrame, nprobe: Int, k: Int): DataFrame =
     probe(decodePq(pq), queries, nprobe, k)
 
+  /** [[probePq]] with ASYMMETRIC DISTANCE COMPUTATION (Jégou et al. 2011
+    * §5.2): instead of decoding every candidate to a dim-length vector and
+    * dotting it, each query precomputes a per-subspace lookup table
+    * lut[m][c] = ⟨q_m, codebook[m][c]⟩ (mSub·ksub doubles, computed ONCE
+    * per query), and per-candidate scoring collapses to mSub table reads
+    * via the [[graft.functions.PqAdc]] codegen kernel. ‖decoded‖² decomposes
+    * the same way from a query-INDEPENDENT constant table of per-entry
+    * ‖codebook[m][c]‖², so the shared [[Knn.rawScore]] arithmetic applies
+    * unchanged (COSINE/L2/IP). Same decoded-vector semantics as [[probePq]];
+    * per-pair work drops dim/mSub-fold (only FP summation grouping differs).
+    * Ragged codebooks (kEff < ksub) are zero-padded — padded slots are
+    * never addressed because codes only index real entries.
+    */
+  def probePqAdc(pq: Pq, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val np = math.min(nprobe, 256)
+    val centScore = Vec.score(pq.metric, col("qv"), col("center"))
+    val cw = Window.partitionBy("qid").orderBy(
+      (if (Vec.higherIsBetter(pq.metric)) centScore.desc else centScore.asc),
+      col("centroid_id").asc)
+    val routed = queries.crossJoin(broadcast(pq.centroids))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= np)
+      .select("qid", "qv", "centroid_id")
+    val scored = adcScores(pq.clustered, routed, pq.codebooks, pq.metric)
+    TopK.perKey(scored, "qid", "rawScore", "doc_id", k,
+        desc = Knn.higherIsBetter(pq.metric))
+      .select(col("qid"), col("rank"), col("doc_id"), col("rawScore").as("score"))
+  }
+
+  /** The ADC scoring core, shared with the facade's PQ serving path:
+    * clusteredCodes (centroid_id, doc_id, pqcodes) ⋈ routed
+    * (qid, qv, centroid_id) → (qid, doc_id, rawScore) under `metric`.
+    */
+  def adcScores(clusteredCodes: DataFrame, routed: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], metric: String): DataFrame = {
+    val mSub = codebooks.length
+    val dsub = codebooks.head.head.length
+    val ksub = codebooks.map(_.length).max
+    val padded: Seq[Seq[Seq[Double]]] = codebooks.map(cb =>
+      cb ++ Seq.fill(ksub - cb.length)(Seq.fill(dsub)(0.0)))
+    val cbLit = typedLit(padded)
+    // per-query dot table: lut[m·ksub + c] = ⟨q_m, cb[m][c]⟩ — one array
+    // column of mSub·ksub doubles per routed query row
+    val qLut = flatten(zip_with(cbLit, sequence(lit(0), lit(mSub - 1)),
+      (cbm, m) => transform(cbm, c =>
+        aggregate(
+          zip_with(c, slice(col("qv"), m * dsub + 1, lit(dsub)), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))))
+    // query-independent norm table: ‖cb[m][c]‖² as a plain literal
+    val ndLut = typedLit(padded.flatten.map(c => c.map(x => x * x).sum))
+    clusteredCodes
+      .join(routed
+        .withColumn("lutq", qLut)
+        .withColumn("nq2", graft.functions.VecExprs.norm2(col("qv"))),
+        "centroid_id")
+      .withColumn("dotp", graft.functions.VecExprs.pqAdc(col("pqcodes"), col("lutq")))
+      .withColumn("nd2", graft.functions.VecExprs.pqAdc(col("pqcodes"), ndLut))
+      .withColumn("rawScore", Knn.rawScore(metric))
+      .select("qid", "doc_id", "rawScore")
+  }
+
   /** Approximate top-k: queries (qid, qv) → (qid, rank, doc_id, score). */
   def probe(index: Index, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val np = math.min(nprobe, 256) // reference cap, vector_store.py:495

@@ -560,17 +560,33 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       .filter(col("crank") <= np)
       .select("qid", "qv", "centroid_id")
     val cells = routed.select("centroid_id").distinct().collect().map(_.getInt(0))
-    val pruned0 = idx.clustered
-      .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
-      .select("centroid_id", "doc_id", "dv")
-    val pruned = partDocIds.fold(pruned0)(p => pruned0.join(p, Seq("doc_id"), "left_semi"))
-    pruned
-      .withColumn("nd2", graft.functions.VecExprs.norm2(col("dv")))
-      .join(routed.withColumn("nq2", graft.functions.VecExprs.norm2(col("qv"))),
-        "centroid_id")
-      .withColumn("dotp", graft.functions.VecExprs.dot(col("qv"), col("dv")))
-      .withColumn("rawScore", Knn.rawScore(req.metricType))
-      .select("qid", "doc_id", "rawScore")
+
+    // A PQ index scores by ADC: mSub table reads per candidate (per-query
+    // dot LUT + constant norm LUT, Ivf.adcScores) instead of decoding a
+    // dim-length vector per row and dotting it — same decoded semantics,
+    // dim/mSub-fold less per-pair work on the serving hot path.
+    pqCodebooks(req.tenant, req.model) match {
+      case Some(cbs) =>
+        val rawClustered = clusteredRaw(req.tenant, req.model)
+          .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
+          .select("centroid_id", "doc_id", "pqcodes")
+        val pruned = partDocIds.fold(rawClustered)(p =>
+          rawClustered.join(p, Seq("doc_id"), "left_semi"))
+        Ivf.adcScores(pruned, routed, cbs, req.metricType)
+      case None =>
+        val pruned0 = idx.clustered
+          .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
+          .select("centroid_id", "doc_id", "dv")
+        val pruned = partDocIds.fold(pruned0)(p =>
+          pruned0.join(p, Seq("doc_id"), "left_semi"))
+        pruned
+          .withColumn("nd2", graft.functions.VecExprs.norm2(col("dv")))
+          .join(routed.withColumn("nq2", graft.functions.VecExprs.norm2(col("qv"))),
+            "centroid_id")
+          .withColumn("dotp", graft.functions.VecExprs.dot(col("qv"), col("dv")))
+          .withColumn("rawScore", Knn.rawScore(req.metricType))
+          .select("qid", "doc_id", "rawScore")
+    }
   }
 
   /** A1-approx candidate generation, entirely on the INDEX tables: the

@@ -62,6 +62,20 @@ class Sq8Spec extends SparkSpec {
     // decode reconstructs each subvector to its codebook center exactly
     val dec = Ivf.decodePq(pq).clustered.select(size(col("dv"))).head.getInt(0)
     assert(dec == 64)
+
+    // ADC scoring == decode-then-dot scoring: at k = |corpus| every probed
+    // (qid, doc_id) is scored by both paths — same candidate sets, scores
+    // equal to FP-regrouping tolerance (mSub table reads vs a dim-loop)
+    val n = corpus.count().toInt
+    def scoreMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("score")).toMap
+    val viaDecode = scoreMap(Ivf.probePq(pq, queries, nprobe = 8, k = n))
+    val viaAdc    = scoreMap(Ivf.probePqAdc(pq, queries, nprobe = 8, k = n))
+    assert(viaAdc.keySet == viaDecode.keySet, "ADC candidate set diverged")
+    viaAdc.foreach { case (key, s) =>
+      assert(math.abs(s - viaDecode(key)) < 1e-9, s"$key: $s vs ${viaDecode(key)}")
+    }
   }
 
   test("index_type=IVF_PQ round-trips through the catalog; inserts stay searchable") {
