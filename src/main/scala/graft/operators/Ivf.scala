@@ -275,15 +275,7 @@ object Ivf {
     * never addressed because codes only index real entries.
     */
   def probePqAdc(pq: Pq, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val np = math.min(nprobe, 256)
-    val centScore = Vec.score(pq.metric, col("qv"), col("center"))
-    val cw = Window.partitionBy("qid").orderBy(
-      (if (Vec.higherIsBetter(pq.metric)) centScore.desc else centScore.asc),
-      col("centroid_id").asc)
-    val routed = queries.crossJoin(broadcast(pq.centroids))
-      .withColumn("crank", row_number().over(cw))
-      .filter(col("crank") <= np)
-      .select("qid", "qv", "centroid_id")
+    val routed = route(queries, pq.centroids, pq.metric, nprobe)
     val scored = adcScores(pq.clustered, routed, pq.codebooks, pq.metric)
     TopK.perKey(scored, "qid", "rawScore", "doc_id", k,
         desc = Knn.higherIsBetter(pq.metric))
@@ -302,39 +294,52 @@ object Ivf {
     val padded: Seq[Seq[Seq[Double]]] = codebooks.map(cb =>
       cb ++ Seq.fill(ksub - cb.length)(Seq.fill(dsub)(0.0)))
     val cbLit = typedLit(padded)
-    // per-query dot table: lut[m·ksub + c] = ⟨q_m, cb[m][c]⟩ — one array
-    // column of mSub·ksub doubles per routed query row
+    // per-query dot table: lut[m·ksub + c] = ⟨q_m, cb[m][c]⟩. Computed on
+    // the DISTINCT queries — not on `routed`, which has |queries|·nprobe
+    // rows and would evaluate this mSub·ksub·dsub interpreted-HOF
+    // expression once per probed cell — then broadcast-joined back by qid.
     val qLut = flatten(zip_with(cbLit, sequence(lit(0), lit(mSub - 1)),
       (cbm, m) => transform(cbm, c =>
         aggregate(
           zip_with(c, slice(col("qv"), m * dsub + 1, lit(dsub)), (x, y) => x * y),
           lit(0.0), (acc, x) => acc + x))))
+    val qTables = routed.select("qid", "qv").dropDuplicates("qid")
+      .withColumn("lutq", qLut)
+      .withColumn("nq2", graft.functions.VecExprs.norm2(col("qv")))
+      .select("qid", "lutq", "nq2")
     // query-independent norm table: ‖cb[m][c]‖² as a plain literal
     val ndLut = typedLit(padded.flatten.map(c => c.map(x => x * x).sum))
     clusteredCodes
-      .join(routed
-        .withColumn("lutq", qLut)
-        .withColumn("nq2", graft.functions.VecExprs.norm2(col("qv"))),
-        "centroid_id")
+      .join(routed.select("qid", "centroid_id"), "centroid_id")
+      .join(broadcast(qTables), "qid")
       .withColumn("dotp", graft.functions.VecExprs.pqAdc(col("pqcodes"), col("lutq")))
       .withColumn("nd2", graft.functions.VecExprs.pqAdc(col("pqcodes"), ndLut))
       .withColumn("rawScore", Knn.rawScore(metric))
       .select("qid", "doc_id", "rawScore")
   }
 
-  /** Approximate top-k: queries (qid, qv) → (qid, rank, doc_id, score). */
-  def probe(index: Index, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val np = math.min(nprobe, 256) // reference cap, vector_store.py:495
-    // Route: rank centroids per query by the index metric (cells searched).
-    // Ties break on centroid_id so routing is deterministic/oracle-exact.
-    val centScore = Vec.score(index.metric, col("qv"), col("center"))
+  /** THE routing rule, shared by every probe variant and the facade: rank
+    * centroids per query by the index metric, ties break on centroid_id
+    * (deterministic/oracle-exact), keep the top min(nprobe, 256) cells
+    * (reference cap, vector_store.py:495). One definition so tie-breaking
+    * can never diverge between the decode/ADC/persisted paths.
+    */
+  private[graft] def route(queries: DataFrame, centroids: DataFrame,
+      metric: String, nprobe: Int): DataFrame = {
+    val np = math.min(nprobe, 256)
+    val centScore = Vec.score(metric, col("qv"), col("center"))
     val cw = Window.partitionBy("qid").orderBy(
-      (if (Vec.higherIsBetter(index.metric)) centScore.desc else centScore.asc),
+      (if (Vec.higherIsBetter(metric)) centScore.desc else centScore.asc),
       col("centroid_id").asc)
-    val routed = queries.crossJoin(broadcast(index.centroids))
+    queries.crossJoin(broadcast(centroids))
       .withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= np)
       .select("qid", "qv", "centroid_id")
+  }
+
+  /** Approximate top-k: queries (qid, qv) → (qid, rank, doc_id, score). */
+  def probe(index: Index, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val routed = route(queries, index.centroids, index.metric, nprobe)
     // Scan only the probed cells: codegen dot kernel + partial top-k.
     val scored = index.clustered
       .withColumn("nd2", graft.functions.VecExprs.norm2(col("dv")))
@@ -357,15 +362,7 @@ object Ivf {
     * nprobe/nlist of the data.
     */
   def probePersisted(index: Index, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val np = math.min(nprobe, 256)
-    val centScore = Vec.score(index.metric, col("qv"), col("center"))
-    val cw = Window.partitionBy("qid").orderBy(
-      (if (Vec.higherIsBetter(index.metric)) centScore.desc else centScore.asc),
-      col("centroid_id").asc)
-    val routed = queries.crossJoin(broadcast(index.centroids))
-      .withColumn("crank", row_number().over(cw))
-      .filter(col("crank") <= np)
-      .select("qid", "qv", "centroid_id")
+    val routed = route(queries, index.centroids, index.metric, nprobe)
     // tiny by construction: nprobe * |queries| ids
     val cells = routed.select("centroid_id").distinct().collect().map(_.getInt(0))
     val pruned = index.clustered.filter(col("centroid_id").isin(cells.toIndexedSeq: _*))

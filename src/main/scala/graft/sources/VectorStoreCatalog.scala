@@ -550,15 +550,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   private def indexedScored(req: SearchRequest, idx: Ivf.Index,
       queries: DataFrame, partDocIds: Option[DataFrame]): DataFrame = {
-    val np = math.min(req.nprobe, 256)
-    val centScore = Vec.score(idx.metric, col("qv"), col("center"))
-    val cw = org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy(
-      (if (Vec.higherIsBetter(idx.metric)) centScore.desc else centScore.asc),
-      col("centroid_id").asc)
-    val routed = queries.crossJoin(broadcast(idx.centroids))
-      .withColumn("crank", row_number().over(cw))
-      .filter(col("crank") <= np)
-      .select("qid", "qv", "centroid_id")
+    val routed = Ivf.route(queries, idx.centroids, idx.metric, req.nprobe)
     val cells = routed.select("centroid_id").distinct().collect().map(_.getInt(0))
 
     // A PQ index scores by ADC: mSub table reads per candidate (per-query
@@ -778,6 +770,41 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     spark.read.schema("src LONG, dst LONG, _bucket LONG")
       .parquet(hnswDir(tenant, model).resolve("edges").toString)
 
+  /** One-time migration for graphs persisted before the bucketed layout:
+    * a flat table read with the bucketed schema yields NULL `_bucket`, so
+    * the absorb's bucket filters would silently drop every existing row
+    * and the per-bucket swaps would leave a mixed (flat + partitioned)
+    * directory Spark cannot list. Detect the flat layout (no `_bucket=`
+    * dirs but parquet files present) and rewrite it bucketed first.
+    */
+  private def migrateHnswLayout(tenant: String, model: String): Unit = {
+    val d = hnswDir(tenant, model)
+    val nB = nBuckets(tenant, model).toLong
+    def isFlat(table: Path): Boolean =
+      Files.exists(table) &&
+        !listDirs(table).exists(_.getFileName.toString.startsWith("_bucket=")) &&
+        Files.list(table).iterator().asScala.exists(_.toString.endsWith(".parquet"))
+    if (isFlat(d.resolve("nodes"))) {
+      val tmp = d.resolve("_tmp_mig_nodes_" + System.nanoTime())
+      spark.read.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+        .parquet(d.resolve("nodes").toString)
+        .withColumn("_bucket", pmod(col("doc_id"), lit(nB)))
+        .repartition(col("_bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp.toString)
+      swapDir(tmp, d.resolve("nodes"))
+    }
+    if (isFlat(d.resolve("edges"))) {
+      val tmp = d.resolve("_tmp_mig_edges_" + System.nanoTime())
+      spark.read.schema("src LONG, dst LONG")
+        .parquet(d.resolve("edges").toString)
+        .withColumn("_bucket", pmod(col("src"), lit(nB)))
+        .repartition(col("_bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp.toString)
+      swapDir(tmp, d.resolve("edges"))
+    }
+    spark.catalog.refreshByPath(d.toString)
+  }
+
   def loadHnsw(tenant: String, model: String): Hnsw.Graph = {
     val d = hnswDir(tenant, model)
     Hnsw.Graph(
@@ -797,6 +824,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   private def absorbIntoHnsw(tenant: String, model: String,
       batchVecs: DataFrame): Unit = {
+    migrateHnswLayout(tenant, model)
     val g = loadHnsw(tenant, model)
     if (g.entries.isEmpty) { persistHnsw(tenant, model); return }
     val batchIds = batchVecs.select("doc_id")

@@ -44,6 +44,42 @@ class HnswSpec extends SparkSpec {
     assert(rows.forall(r => ok(r._2)), "filtered result outside the allowed set")
   }
 
+  test("pre-bucketing flat graph layout is migrated on first absorb") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_hnsw_mig").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW"))
+    cat.insert("t", "m", (0 until 60).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
+    cat.persistIndex("t", "m")
+    // simulate the legacy layout: rewrite nodes/edges as FLAT parquet
+    val d = java.nio.file.Paths.get(cat.hnswDirOf("t", "m"))
+    for ((table, schema) <- Seq("nodes" -> "doc_id LONG, dv ARRAY<DOUBLE>",
+        "edges" -> "src LONG, dst LONG")) {
+      val flat = spark.read.schema(schema + ", _bucket LONG")
+        .parquet(d.resolve(table).toString).drop("_bucket").collect()
+      VectorStoreCatalog.deleteRec(d.resolve(table))
+      spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(flat: _*)),
+          org.apache.spark.sql.types.StructType.fromDDL(schema))
+        .write.parquet(d.resolve(table).toString)
+      spark.catalog.refreshByPath(d.resolve(table).toString)
+    }
+    // an insert must migrate the layout (not silently drop the old graph)
+    // and keep the collection searchable
+    cat.insert("t", "m",
+      Seq(EmbeddedVector("fresh", "fresh doc", "m", Map(), vec(70))))
+    import scala.jdk.CollectionConverters._
+    assert(Files.list(d.resolve("nodes")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_bucket=")), "nodes not migrated")
+    val hit = cat.search(SearchRequest("t", "m", vec(17), limit = 3))
+    assert(hit.success && hit.data.head.content == "chunk 17",
+      "pre-migration graph content lost")
+    val fresh = cat.search(SearchRequest("t", "m", vec(70), limit = 3))
+    assert(fresh.success && fresh.data.head.content == "fresh doc")
+  }
+
   test("graph edges are symmetric (reverse links kept)") {
     val corpus = Tables.docsCorpus(spark, Sf).limit(300)
       .select(col("doc_id"), col("qv").as("dv"))
@@ -136,7 +172,8 @@ class HnswSpec extends SparkSpec {
       val after = snapshot()
       val bkt = spark.range(1)
         .select(pmod(xxhash64(lit("bkt-probe")), lit(16L))).head.getLong(0)
-      val untouched = before.keySet.filterNot(_.contains(s"_bucket=$bkt"))
+      // exact path segment: "_bucket=1" must not also exclude _bucket=10..15
+      val untouched = before.keySet.filterNot(_.startsWith(s"_bucket=$bkt/"))
       assert(untouched.nonEmpty, "need untouched buckets for the assertion")
       untouched.foreach { p =>
         assert(after.get(p) == before.get(p), s"untouched node bucket rewritten: $p")
