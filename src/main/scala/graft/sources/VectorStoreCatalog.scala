@@ -529,10 +529,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // bucket-pruned point lookups — never a full base scan, and never
       // probe-restricted (sparse-only hits keep their chunk/meta and their
       // dense 1..limit ranks).
-      val rows = fused.collect()
-      val ids = rows.map(_.getAs[Long]("doc_id")).toIndexedSeq.distinct
-      val fusedDf = spark.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), fused.schema)
+      val fusedDf = fused.localCheckpoint() // distributed materialization
+      val ids = fusedDf.select("doc_id").distinct().collect()
+        .map(_.getLong(0)).toIndexedSeq // only the lookup keys hit the driver
       fusedDf
         .join(lookupByDocIds(req.tenant, req.model, ids, parts)
           .select(col("doc_id"), col("chunk"), col("meta")), "doc_id")
