@@ -309,9 +309,12 @@ object Ivf {
       .select("qid", "lutq", "nq2")
     // query-independent norm table: ‖cb[m][c]‖² as a plain literal
     val ndLut = typedLit(padded.flatten.map(c => c.map(x => x * x).sum))
+    // no broadcast hint: request-serving qTables is tiny (AQE broadcasts it
+    // on its own); a bulk query set's LUTs must stay distributed — a forced
+    // broadcast would put a hard |queries|·mSub·ksub·8B ceiling on the path
     clusteredCodes
       .join(routed.select("qid", "centroid_id"), "centroid_id")
-      .join(broadcast(qTables), "qid")
+      .join(qTables, "qid")
       .withColumn("dotp", graft.functions.VecExprs.pqAdc(col("pqcodes"), col("lutq")))
       .withColumn("nd2", graft.functions.VecExprs.pqAdc(col("pqcodes"), ndLut))
       .withColumn("rawScore", Knn.rawScore(metric))

@@ -773,34 +773,43 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * a flat table read with the bucketed schema yields NULL `_bucket`, so
     * the absorb's bucket filters would silently drop every existing row
     * and the per-bucket swaps would leave a mixed (flat + partitioned)
-    * directory Spark cannot list. Detect the flat layout (no `_bucket=`
-    * dirs but parquet files present) and rewrite it bucketed first.
+    * directory Spark cannot list. Any top-level parquet file marks a
+    * table as needing migration — covering BOTH the pure-flat legacy
+    * layout and a mixed one: every file is read explicitly (leaf-file
+    * reads skip partition discovery, so mixing cannot break the read),
+    * `_bucket` is recomputed from the id (it is a pure function of it),
+    * rows/edges are deduped, and the whole table dir is swapped bucketed.
     */
   private def migrateHnswLayout(tenant: String, model: String): Unit = {
     val d = hnswDir(tenant, model)
     val nB = nBuckets(tenant, model).toLong
-    def isFlat(table: Path): Boolean =
-      Files.exists(table) &&
-        !listDirs(table).exists(_.getFileName.toString.startsWith("_bucket=")) &&
-        Files.list(table).iterator().asScala.exists(_.toString.endsWith(".parquet"))
-    if (isFlat(d.resolve("nodes"))) {
-      val tmp = d.resolve("_tmp_mig_nodes_" + System.nanoTime())
-      spark.read.schema("doc_id LONG, dv ARRAY<DOUBLE>")
-        .parquet(d.resolve("nodes").toString)
-        .withColumn("_bucket", pmod(col("doc_id"), lit(nB)))
+    def parquetFilesUnder(table: Path): Seq[String] = {
+      val s = Files.walk(table)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq
+      finally s.close()
+    }
+    def topLevelParquet(table: Path): Boolean = {
+      if (!Files.exists(table)) return false
+      val s = Files.list(table)
+      try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    def migrate(table: String, schema: String, idCol: String,
+        dedup: DataFrame => DataFrame): Unit = {
+      val t = d.resolve(table)
+      if (!topLevelParquet(t)) return
+      val tmp = d.resolve(s"_tmp_mig_${table}_" + System.nanoTime())
+      dedup(spark.read.schema(schema).parquet(parquetFilesUnder(t): _*))
+        .withColumn("_bucket", pmod(col(idCol), lit(nB)))
         .repartition(col("_bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp.toString)
-      swapDir(tmp, d.resolve("nodes"))
+      swapDir(tmp, t)
     }
-    if (isFlat(d.resolve("edges"))) {
-      val tmp = d.resolve("_tmp_mig_edges_" + System.nanoTime())
-      spark.read.schema("src LONG, dst LONG")
-        .parquet(d.resolve("edges").toString)
-        .withColumn("_bucket", pmod(col("src"), lit(nB)))
-        .repartition(col("_bucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp.toString)
-      swapDir(tmp, d.resolve("edges"))
-    }
+    migrate("nodes", "doc_id LONG, dv ARRAY<DOUBLE>", "doc_id",
+      _.dropDuplicates("doc_id"))
+    migrate("edges", "src LONG, dst LONG", "src", _.distinct())
     spark.catalog.refreshByPath(d.toString)
   }
 
