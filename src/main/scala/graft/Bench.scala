@@ -138,12 +138,16 @@ object Bench {
       }),
     )
 
-    val results = benches.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn().count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=b15_pq_probe_decode,b15b_pq_probe_adc
+    // times just those benches (prep still runs; the driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = benches.filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn().count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

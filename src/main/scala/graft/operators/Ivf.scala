@@ -285,9 +285,22 @@ object Ivf {
   /** The ADC scoring core, shared with the facade's PQ serving path:
     * clusteredCodes (centroid_id, doc_id, pqcodes) ⋈ routed
     * (qid, qv, centroid_id) → (qid, doc_id, rawScore) under `metric`.
+    *
+    * Plan shape (this is the serving hot path, so the shape is the point):
+    * ONE join. The probe side is (centroid_id, qid, lutq, nq2) — one row per
+    * (query, probed cell), |queries|·nprobe rows each carrying that query's
+    * LUT — broadcast for request-sized query sets, so the candidate stream
+    * (centroid_id, doc_id, pqcodes, nd2) never shuffles and never widens:
+    * the score is computed inside the post-join projection and only
+    * (qid, doc_id, rawScore) rows come out. The query-independent ‖decoded‖²
+    * (`nd2`) is computed ONCE per candidate row BEFORE pair formation, not
+    * per (query, doc) pair. `broadcastQueries = false` is the bulk-path
+    * form (a million-query LUT set must stay distributed; the join then
+    * shuffles by centroid_id, still never by pair).
     */
   def adcScores(clusteredCodes: DataFrame, routed: DataFrame,
-      codebooks: Seq[Seq[Seq[Double]]], metric: String): DataFrame = {
+      codebooks: Seq[Seq[Seq[Double]]], metric: String,
+      broadcastQueries: Boolean = true): DataFrame = {
     val mSub = codebooks.length
     val dsub = codebooks.head.head.length
     val ksub = codebooks.map(_.length).max
@@ -297,7 +310,8 @@ object Ivf {
     // per-query dot table: lut[m·ksub + c] = ⟨q_m, cb[m][c]⟩. Computed on
     // the DISTINCT queries — not on `routed`, which has |queries|·nprobe
     // rows and would evaluate this mSub·ksub·dsub interpreted-HOF
-    // expression once per probed cell — then broadcast-joined back by qid.
+    // expression once per probed cell — then joined back to the probed
+    // cells (tiny ⋈ tiny).
     val qLut = flatten(zip_with(cbLit, sequence(lit(0), lit(mSub - 1)),
       (cbm, m) => transform(cbm, c =>
         aggregate(
@@ -307,16 +321,14 @@ object Ivf {
       .withColumn("lutq", qLut)
       .withColumn("nq2", graft.functions.VecExprs.norm2(col("qv")))
       .select("qid", "lutq", "nq2")
+    val probes0 = routed.select("qid", "centroid_id").join(qTables, "qid")
+    val probes = if (broadcastQueries) broadcast(probes0) else probes0
     // query-independent norm table: ‖cb[m][c]‖² as a plain literal
     val ndLut = typedLit(padded.flatten.map(c => c.map(x => x * x).sum))
-    // no broadcast hint: request-serving qTables is tiny (AQE broadcasts it
-    // on its own); a bulk query set's LUTs must stay distributed — a forced
-    // broadcast would put a hard |queries|·mSub·ksub·8B ceiling on the path
     clusteredCodes
-      .join(routed.select("qid", "centroid_id"), "centroid_id")
-      .join(qTables, "qid")
-      .withColumn("dotp", graft.functions.VecExprs.pqAdc(col("pqcodes"), col("lutq")))
       .withColumn("nd2", graft.functions.VecExprs.pqAdc(col("pqcodes"), ndLut))
+      .join(probes, "centroid_id")
+      .withColumn("dotp", graft.functions.VecExprs.pqAdc(col("pqcodes"), col("lutq")))
       .withColumn("rawScore", Knn.rawScore(metric))
       .select("qid", "doc_id", "rawScore")
   }

@@ -122,6 +122,30 @@ class PlanShapeSpec extends SparkSpec {
       s"got ${hits.toSeq}")
   }
 
+  test("PQ ADC serving plan: broadcast probe join, nd2 below the join, narrow pairs") {
+    val corpus  = Tables.ordersCorpus(spark, Sf).select("doc_id", "dv")
+    val queries = Tables.queryBatch(spark, 4)
+    val pq = Ivf.buildPq(corpus, nlist = 8, mSub = 8, ksub = 16, maxIter = 2)
+    val df = Ivf.probePqAdc(pq, queries, nprobe = 4, k = 5)
+    val p = plan(df)
+    // the candidate ⋈ probe join must broadcast the probe side: the wide
+    // per-query LUT rows live only inside the broadcast and the candidate
+    // code stream is never shuffled for the pairing
+    assert(p.contains("BroadcastHashJoin"), "probe join must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"candidate codes sort-merge-joined:\n$p")
+    // query-independent ‖decoded‖² is computed BELOW the pair join (once per
+    // candidate row): the streamed side of the centroid_id join carries a
+    // pqadc over the constant norm LUT
+    val probeJoin = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.references.exists(_.name == "centroid_id")) => j
+    }
+    assert(probeJoin.nonEmpty, "centroid_id probe join missing from plan")
+    assert(probeJoin.exists(j => j.left.toString.toLowerCase.contains("pqadc") ||
+        j.right.toString.toLowerCase.contains("pqadc")),
+      "per-doc nd2 (pqadc over the norm LUT) not computed below the pair join")
+  }
+
   test("persisted IVF probe prunes partitions (centroid_id IN pushed to scan)") {
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_prune").toString)
