@@ -34,9 +34,15 @@ object Bm25 {
     * docLen:  (doc_id, dl BIGINT)
     * termDf:  (term, df BIGINT)
     * global:  single row (n BIGINT, sumdl BIGINT)
+    *
+    * `storedStats`: true when the tables are PERSISTED reads
+    * ([[graft.sources.SparseIndex.read]]) rather than derivations of a
+    * refit — it selects the serving plan for `df` (see
+    * [[Bm25.scoredCandidates]]): a stored dictionary is a tiny scan worth a
+    * broadcast join; a refit dictionary would re-aggregate the corpus.
     */
   final case class Model(tf: DataFrame, docLen: DataFrame, termDf: DataFrame,
-      global: DataFrame)
+      global: DataFrame, storedStats: Boolean = false)
 
   /** Fit corpus stats over (idCol, textCol). Every table derives from the
     * ONE tokenized aggregation `tf` (dl = Σ tf per doc, bit-identical to
@@ -109,13 +115,20 @@ object Bm25 {
     * weights for the whole corpus first — Catalyst does not reorder inner
     * joins through the projection, so the order here IS the plan.)
     *
-    * `df` is derived from the SAME candidate rows (tf holds one row per
-    * (doc, term), so the per-term candidate count IS the corpus document
-    * frequency) — the serving path needs no termDf derivation/read and no
-    * second broadcast join. The window shuffles only the candidate postings,
-    * keyed by term; a pathological hot query term concentrates its postings
-    * in one partition, but such a term's idf ≈ 0 so real queries rarely
-    * carry one (and the later (qid, doc_id) aggregation re-spreads rows).
+    * `df` comes from whichever source is cheap for the model at hand:
+    *  - REFIT model (`storedStats = false`): derived from the SAME candidate
+    *    rows (tf holds one row per (doc, term), so the per-term candidate
+    *    count IS the corpus document frequency) — the serving path needs no
+    *    termDf derivation (which would re-aggregate the corpus). The window
+    *    shuffles only the candidate postings, keyed by term; a pathological
+    *    hot query term concentrates its postings in one partition, but such
+    *    a term's idf ≈ 0 so real queries rarely carry one.
+    *  - PERSISTED model (`storedStats = true`): the stored dictionary
+    *    restricted to the query terms (≤ |query terms| rows) broadcast-joins
+    *    onto the candidates — same values by the delta-maintenance invariant
+    *    (IncrementalSparseSpec), and the candidate postings are never
+    *    exchanged or sorted by term (the window plan cost an extra exchange
+    *    + sort on the serving hot path — the r3 b4b regression).
     * docLen attaches after the filter; at 100 TB tf and docLen share the
     * doc_id bucketing so that join co-locates.
     *
@@ -127,8 +140,13 @@ object Bm25 {
     */
   private def scoredCandidates(m: Model, qTerms: DataFrame,
       candidates: Option[DataFrame]): DataFrame = {
-    val withDf = m.tf.join(broadcast(qTerms.select("term").distinct()), "term")
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val qT = broadcast(qTerms.select("term").distinct())
+    val withDf =
+      if (m.storedStats)
+        m.tf.join(qT, "term").join(broadcast(m.termDf.join(qT, "term")), "term")
+      else
+        m.tf.join(qT, "term")
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     candidates.fold(withDf)(c => withDf.join(c, Seq("doc_id"), "left_semi"))
       .join(broadcast(qTerms), "term")
       .join(m.docLen, "doc_id")

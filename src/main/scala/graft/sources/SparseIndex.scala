@@ -62,7 +62,8 @@ object SparseIndex {
     spark.read.schema("doc_id LONG, dl LONG")
       .parquet(s"$dir/doclen").select("doc_id", "dl"),
     spark.read.schema("term STRING, df LONG").parquet(s"$dir/termdf"),
-    spark.read.schema("n LONG, sumdl LONG").parquet(s"$dir/global"))
+    spark.read.schema("n LONG, sumdl LONG").parquet(s"$dir/global"),
+    storedStats = true)
 
   /** Incremental upsert: replace the stats of `batchDocs` (doc_id, text) —
     * tokenizes ONLY the batch, rewrites ONLY the touched tf/doclen buckets,

@@ -122,6 +122,26 @@ class PlanShapeSpec extends SparkSpec {
       s"got ${hits.toSeq}")
   }
 
+  test("BM25 df source follows the model: stored dictionary broadcasts, refit windows") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"alpha beta doc$i word${i % 7}"))
+      .toDF("doc_id", "text")
+    // persisted model: df comes from the stored term dictionary via broadcast
+    // joins — the candidate postings are NEVER exchanged/sorted by term
+    // (the r3 b4b_hybrid_persisted regression shape)
+    val dir = Files.createTempDirectory("graft_bm25plan").toString
+    graft.sources.SparseIndex.write(Bm25.fit(docs), dir, nBuckets = 4)
+    val m = graft.sources.SparseIndex.read(spark, dir)
+    val pStored = plan(Bm25.searchTopK(m, Seq(0L -> "alpha word3"), 5))
+    assert(!pStored.contains("windowspecdefinition(term"),
+      s"stored-stats serving plan windows candidates by term:\n$pStored")
+    // refit model: candidate-derived df (single scan, window over candidates)
+    // — no corpus-wide termDf re-aggregation in the plan
+    val pRefit = plan(Bm25.searchTopK(Bm25.fit(docs), Seq(0L -> "alpha word3"), 5))
+    assert(pRefit.contains("windowspecdefinition(term"),
+      "refit serving plan should derive df from the candidate window")
+  }
+
   test("PQ ADC serving plan: broadcast probe join, nd2 below the join, narrow pairs") {
     val corpus  = Tables.ordersCorpus(spark, Sf).select("doc_id", "dv")
     val queries = Tables.queryBatch(spark, 4)
