@@ -37,6 +37,17 @@ object Hnsw {
   final case class Graph(nodes: DataFrame, edges: DataFrame, entries: DataFrame,
       metric: String)
 
+  /** The bridge skew guard: drop over-cap (table, bucket) groups before the
+    * self-join — keyed count + semi-join, the [[Dedup.lshCandidatePairs]]
+    * shape. Package-private so the spec can assert the cap mechanics.
+    */
+  private[graft] def bridgeBuckets(bucketed: DataFrame, cap: Int): DataFrame = {
+    val keep = bucketed.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cap)
+      .select("table", "bucket")
+    bucketed.join(keep, Seq("table", "bucket"), "left_semi")
+  }
+
   private def scorePairs(pairs: DataFrame, metric: String): DataFrame =
     pairs
       .withColumn("nd2", VecExprs.norm2(col("a_dv")))
@@ -46,9 +57,21 @@ object Hnsw {
 
   /** Build the graph. `corpus`: (doc_id, dv). `m` = max neighbours per node
     * before symmetrization (HNSW's M).
+    *
+    * `maxBridgeBucket`: skew guard for the bridge self-join — the same cap
+    * [[Dedup.lshCandidatePairs]] threads through its band buckets. A bucket
+    * with B rows emits B² bridge pairs, so ONE degenerate LSH bucket
+    * (near-constant vectors, zero vectors — every hyperplane sign agrees)
+    * would make the build quadratic in that bucket's size. Buckets over the
+    * cap are dropped from the BRIDGE source only: their members are so
+    * mutually similar that the cell-local kNN already links them, and
+    * connectivity never depends on bridges (hub edges reach every node from
+    * its medoid — see below). Bounded: ≤ nTables·2^nPlanes·cap² scored
+    * bridge pairs regardless of skew.
     */
   def build(corpus: DataFrame, m: Int = 8, metric: String = "COSINE",
-      seed: Long = 42L, nTables: Int = 4, nPlanes: Int = 6): Graph = {
+      seed: Long = 42L, nTables: Int = 4, nPlanes: Int = 6,
+      maxBridgeBucket: Int = 4096): Graph = {
     val spark = corpus.sparkSession
     val n = corpus.count()
     val emptyEdges = spark.createDataFrame(
@@ -77,8 +100,9 @@ object Hnsw {
     // Long-range bridges: multi-table hyperplane-LSH bucket pairs (keyed on
     // (table, bucket)) — connects near-duplicate regions across cells.
     val dim = corpus.select(size(col("dv"))).head.getInt(0)
-    val b = AnnLsh.withBuckets(corpus.select(col("doc_id"), col("dv").as("qv")),
+    val b0 = AnnLsh.withBuckets(corpus.select(col("doc_id"), col("dv").as("qv")),
       "doc_id", nTables, nPlanes, dim)
+    val b = bridgeBuckets(b0, maxBridgeBucket)
     val bridgePairs = b.select(col("table"), col("bucket"),
         col("doc_id").as("a_id"), col("qv").as("a_dv"))
       .join(b.select(col("table"), col("bucket"),

@@ -80,6 +80,36 @@ class HnswSpec extends SparkSpec {
     assert(fresh.success && fresh.data.head.content == "fresh doc")
   }
 
+  test("bridge skew guard: over-cap buckets dropped, degenerate graph stays connected") {
+    import spark.implicits._
+    // the guard mechanics on a hand-built bucket table: an oversize bucket's
+    // rows vanish from the bridge source, normal buckets pass through
+    val bucketed = ((0L until 40L).map(i => (0L, 7L, i, Seq(1.0, 2.0))) ++
+      (100L until 105L).map(i => (0L, 9L, i, Seq(3.0, 4.0))))
+      .toDF("table", "bucket", "doc_id", "qv")
+    val kept = Hnsw.bridgeBuckets(bucketed, cap = 16)
+      .select("bucket").collect().map(_.getLong(0))
+    assert(kept.forall(_ == 9L) && kept.length == 5,
+      s"cap should drop the 40-row bucket, keep the 5-row one; kept ${kept.toSeq}")
+
+    // end-to-end: 200 IDENTICAL vectors land in ONE LSH bucket per table
+    // (every hyperplane sign agrees) — the exact degenerate shape the cap
+    // bounds. The build must stay sub-quadratic AND the graph connected:
+    // cell kNN + hub edges carry connectivity without any bridges.
+    val n = 250L
+    val corpus = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") < 200, array(lit(5.0), lit(-3.0), lit(2.0), lit(1.0)))
+        .otherwise(array(col("id") % 13 - 6.0, col("id") % 7 - 3.0,
+          col("id") % 11 - 5.0, col("id") % 5 - 2.0)).as("dv"))
+    val g = Hnsw.build(corpus, m = 4, maxBridgeBucket = 16)
+    val comp = graft.operators.Dedup.components(
+      g.edges.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+    assert(comp.select("doc_id").distinct().count() == n,
+      "some node has no edge at all")
+    assert(comp.select("root").distinct().count() == 1L,
+      "degenerate-bucket graph fragmented into islands")
+  }
+
   test("graph edges are symmetric (reverse links kept)") {
     val corpus = Tables.docsCorpus(spark, Sf).limit(300)
       .select(col("doc_id"), col("qv").as("dv"))
