@@ -85,6 +85,15 @@ final case class SearchRequest(
       * `extra` map (enable_dynamic_field parity, base_milvus.py:996,1071).
       */
     extraFilter: Map[String, String] = Map.empty,
+    /** HNSW search beam width (efSearch). The reference forwards index
+      * search params to Milvus, whose HNSW takes `ef` per request
+      * (generate_schema_request.py:113-132) — this is that dial for HNSW
+      * collections (ignored by IVF/flat ones, as Milvus ignores `ef` on an
+      * IVF index). None => the engine default `max(64, 2k)`; the effective
+      * value is clamped to at least the fetch width (beam narrower than k
+      * cannot return k results) and echoed in the response envelope.
+      */
+    ef: Option[Int] = None,
     consistencyLevel: String = "Bounded") {
   // Accepted and recorded for parity; Delta/parquet snapshot reads are
   // effectively Strong (SURVEY 4.1 "consistency levels": accept & ignore).
@@ -100,6 +109,7 @@ final case class SearchRequest(
   require(minimumWordsMatch >= 1 && minimumWordsMatch <= 10, "minimum_words_match 1-10")
   require(increaseLimitForTextSearch >= 0 && increaseLimitForTextSearch <= 100,
     "increase_limit_for_text_search 0-100")
+  require(ef.forall(e => e >= 1 && e <= 32768), "ef 1-32768")
 }
 
 /** Base response envelope (base_response.py:12-38): `success=false` when no
@@ -110,7 +120,13 @@ final case class SearchResponse(
     message: String,
     tenantCode: String,
     timeTaken: Double,
-    data: Seq[EmbeddedMeta])
+    data: Seq[EmbeddedMeta],
+    /** Effective search knobs, echoed back like the reference echoes its
+      * request params in the response model (search_base.py:12-95) — e.g.
+      * the clamped `ef` actually used on an HNSW collection, `nprobe` on an
+      * IVF one.
+      */
+    params: Map[String, String] = Map.empty)
 
 object Validation {
   private val ModelRe  = "[a-z0-9_.\\-]{1,100}".r

@@ -200,7 +200,6 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       val keys = rows.map(_.key)
       require(keys.distinct.size == keys.size, "duplicate keys in batch")
     }
-    val nB = nBuckets(tenant, model)
 
     import spark.implicits._
     // INT64 collections generate their PK (auto_id, reference parity):
@@ -215,6 +214,83 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       } else rows.toDF()
         .select(col("key").as("flouds_vector_id"), col("chunk"), col("model"),
           col("vector"), col("metadata"), col("dynamicFields").as("extra"))
+    commitKeyed(tenant, model, keyed, partition, rows.size.toLong)
+  }
+
+  /** §2.8 large-stream ingest: the same validated, bucket-restricted,
+    * index-maintaining commit as [[insert]], but the batch stays a
+    * DataFrame end-to-end — validation is one distributed aggregate,
+    * within-batch duplicate keys keep the last arrival, and NO row payload
+    * ever crosses the driver. This is the path for micro-batches beyond
+    * the reference's request-sized insert contract (vector_store.py:292-404
+    * caps a request at 1000 rows; a Spark stream has no such bound).
+    *
+    * `df` columns: key STRING, chunk STRING, metadata MAP<STRING,STRING>,
+    * vector ARRAY<DOUBLE> (+ optional extra MAP<STRING,STRING>). Keyed
+    * (VARCHAR-PK) collections only: at-least-once replay of an auto_id
+    * batch would mint duplicate rows, and a distributed batch has no
+    * driver-side order for id reservation.
+    */
+  def insertDf(tenant: String, model: String, df: DataFrame,
+      partition: Option[String] = None): Long = lockFor(tenant, model).synchronized {
+    require(collectionExists(tenant, model), s"collection missing for $tenant/$model")
+    require(!autoId(tenant, model),
+      s"distributed ingest into auto_id collection $tenant/$model is not " +
+        "supported; use a keyed (VARCHAR-PK) collection")
+    val dim = dimension(tenant, model)
+    val maxMeta = properties(tenant, model).get("metadata_length").map(_.toInt)
+
+    val withExtra =
+      if (df.columns.contains("extra")) df
+      else df.withColumn("extra", typedLit(Map.empty[String, String]))
+    // last occurrence of a key wins (stream order wins, as a later upsert
+    // would) — arrival order proxied by a monotonic per-partition ordinal,
+    // exact within any source that preserves partition order
+    val deduped = withExtra
+      .withColumn("_ord", monotonically_increasing_id())
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("_ord").desc)))
+      .filter(col("_rn") === 1).drop("_ord", "_rn")
+      // one eager materialization: the commit protocol walks the batch
+      // several times (bucket set, sparse delta, merge, index absorb) and a
+      // streaming source must not be recomputed per walk
+      .localCheckpoint()
+
+    // the reference's per-row validations, as ONE distributed aggregate
+    val v = deduped.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("key").isNull || length(col("key")) === 0 ||
+        length(col("key")) > 256, 1L).otherwise(0L)).as("bad_key"),
+      sum(when(col("chunk").isNull || length(col("chunk")) > 60000, 1L)
+        .otherwise(0L)).as("bad_chunk"),
+      sum(when(col("vector").isNull || size(col("vector")) =!= dim ||
+        exists(col("vector"), x => isnan(x) || abs(x) > 1e6), 1L)
+        .otherwise(0L)).as("bad_vec"),
+      sum(when(length(coalesce(to_json(col("metadata")), lit("{}"))) >
+        lit(maxMeta.getOrElse(Int.MaxValue)), 1L).otherwise(0L)).as("bad_meta")
+    ).head
+    require(v.getAs[Long]("bad_key") == 0, s"${v.getAs[Long]("bad_key")} rows with invalid keys")
+    require(v.getAs[Long]("bad_chunk") == 0, s"${v.getAs[Long]("bad_chunk")} rows with oversize/null chunks")
+    require(v.getAs[Long]("bad_vec") == 0, s"${v.getAs[Long]("bad_vec")} rows with invalid vectors (dim $dim)")
+    require(v.getAs[Long]("bad_meta") == 0,
+      s"${v.getAs[Long]("bad_meta")} rows exceed metadata_length ${maxMeta.getOrElse(-1)}")
+    val n = v.getAs[Long]("n")
+    if (n == 0) return 0L
+
+    val keyed = deduped.select(col("key").as("flouds_vector_id"), col("chunk"),
+      lit(model).as("model"), col("vector"), col("metadata"), col("extra"))
+    commitKeyed(tenant, model, keyed, partition, n)
+  }
+
+  /** The shared commit tail of [[insert]] / [[insertDf]]: bucket-restricted
+    * data merge + incremental sparse delta + IVF cell rewrite / HNSW absorb
+    * + auto-flush. Caller holds the collection lock and has validated
+    * `keyed` (flouds_vector_id, chunk, model, vector, metadata, extra).
+    */
+  private def commitKeyed(tenant: String, model: String, keyed: DataFrame,
+      partition: Option[String], batchSize: Long): Long = {
+    val nB = nBuckets(tenant, model)
     val batch = keyed
       .withColumn("meta", to_json(col("metadata"))).drop("metadata")
       .withColumn("part", lit(partition.getOrElse("_default")))
@@ -314,9 +390,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           col("vector").as("dv")))
 
     // S3 auto-flush decision (batch >= threshold; 0 always, <0 never)
-    if (AutoFlushMinBatch == 0 || (AutoFlushMinBatch > 0 && rows.size >= AutoFlushMinBatch))
+    if (AutoFlushMinBatch == 0 || (AutoFlushMinBatch > 0 && batchSize >= AutoFlushMinBatch))
       flush(tenant, model)
-    rows.size.toLong
+    batchSize
   }
 
   /** S3: flush/OPTIMIZE hook — parquet writes are already atomic commits
@@ -352,6 +428,32 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   }
 
   // ---- search facade (milvus_helper.search_embedded_data analogue) ----
+
+  /** The beam width an HNSW search actually runs with: the request's `ef`
+    * when given, clamped up to the fetch width `k` (a beam narrower than k
+    * cannot hold k results — Milvus likewise requires topk ≤ ef); otherwise
+    * the engine default `max(64, 2k)`.
+    */
+  private def effectiveEf(req: SearchRequest, k: Int): Int =
+    req.ef.map(e => math.max(e, k)).getOrElse(math.max(64, 2 * k))
+
+  /** Effective knobs echoed in the response envelope, as the reference
+    * echoes its request params back (search_base.py:12-95): the clamped
+    * `ef` on an HNSW collection, `nprobe` on an IVF one.
+    */
+  private def echoParams(req: SearchRequest): Map[String, String] = {
+    val base = Map("metric_type" -> req.metricType,
+      "limit" -> req.limit.toString, "offset" -> req.offset.toString,
+      "consistency_level" -> req.consistencyLevel)
+    if (hnswExists(req.tenant, req.model)) {
+      val fetchK = req.offset + req.limit +
+        (if (req.textFilter.exists(_.trim.nonEmpty)) req.increaseLimitForTextSearch else 0)
+      base + ("ef" -> effectiveEf(req, fetchK * 2 + 16).toString)
+    } else if (indexExists(req.tenant, req.model))
+      base + ("nprobe" -> req.nprobe.toString)
+    else base
+  }
+
   def search(req: SearchRequest): SearchResponse = {
     val t0 = System.nanoTime()
     require(collectionExists(req.tenant, req.model), "collection missing")
@@ -366,8 +468,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val dt = (System.nanoTime() - t0) / 1e9
     if (rows.isEmpty)
       SearchResponse(success = false, "No vectors found for the given query.",
-        req.tenant, dt, Nil)
-    else SearchResponse(success = true, "ok", req.tenant, dt, rows)
+        req.tenant, dt, Nil, echoParams(req))
+    else SearchResponse(success = true, "ok", req.tenant, dt, rows, echoParams(req))
   }
 
   /** The search plan (public so tests can assert its physical shape).
@@ -409,13 +511,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       .select(col("qid"), col("chunk"), col("meta"))
       .collect().groupBy(_.getLong(0))
     val dt = (System.nanoTime() - t0) / 1e9
+    val echoed = echoParams(req)
     vectors.indices.map { q =>
       val rows = byQ.getOrElse(q.toLong, Array.empty).toSeq
         .map(r => EmbeddedMeta(r.getString(1), parseMeta(r.getString(2))))
       if (rows.isEmpty)
         SearchResponse(success = false, "No vectors found for the given query.",
-          req.tenant, dt, Nil)
-      else SearchResponse(success = true, "ok", req.tenant, dt, rows)
+          req.tenant, dt, Nil, echoed)
+      else SearchResponse(success = true, "ok", req.tenant, dt, rows, echoed)
     }
   }
 
@@ -466,12 +569,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
     // Shared tail of every indexed path: per-query (qid, doc_id) winners →
     // bucket-pruned point lookups → exact per-pair re-score → the reference
-    // post-filter pipeline.
+    // post-filter pipeline. The winner PAIRS stay distributed (one eager
+    // localCheckpoint materializes them so the winner computation runs once);
+    // only the distinct doc_ids — needed driver-side to derive the static
+    // `_bucket` / IN pruning filters — are collected (≤ fetchK·|queries|).
     def pipelineOverWinners(winners: DataFrame): DataFrame = {
-      val pairRows = winners.select("qid", "doc_id").collect()
-      val ids = pairRows.map(_.getLong(1)).toIndexedSeq.distinct
-      val pairs = pairRows.map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
-        .toDF("qid", "doc_id")
+      val pairs = winners.select("qid", "doc_id").localCheckpoint()
+      val ids = pairs.select("doc_id").distinct().collect()
+        .map(_.getLong(0)).toIndexedSeq
       val corpusPairs = lookupByDocIds(req.tenant, req.model, ids, parts)
         .join(pairs, Seq("doc_id"))
       Knn.pipeline(Knn.scoredPairs(corpusPairs, queries, req.metricType), params)
@@ -482,9 +587,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // Partition targeting goes INTO the search as a result filter (filtered
     // beam search: unrestricted walk, allowed-only result pool, allowed
     // seeds) — a post-hoc semi-join over the global top-k would starve a
-    // small targeted partition entirely.
+    // small targeted partition entirely. `ef` comes from the request when
+    // given (the reference forwards HNSW search params per request).
     def hnswWinners(k: Int): DataFrame =
-      Hnsw.search(hnsw, queries, k = k, ef = math.max(64, 2 * k),
+      Hnsw.search(hnsw, queries, k = k, ef = effectiveEf(req, k),
           allowed = partOpt)
         .select("qid", "doc_id")
 

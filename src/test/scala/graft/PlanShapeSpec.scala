@@ -114,6 +114,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(pfs.nonEmpty, "no file scans found in indexed search plan")
     assert(pfs.forall(f => f.contains("_bucket") || f.contains("part")),
       s"un-pruned base scan in indexed search plan: $pfs")
+    // the winner PAIRS stay distributed: the plan holds them as a
+    // checkpointed RDD scan, never as a driver-collected LocalRelation
+    // (only the queries themselves may be local)
+    val opt = df.queryExecution.optimizedPlan
+    val localPairs = opt.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        if l.output.exists(_.name == "doc_id") => l
+    }
+    assert(localPairs.isEmpty,
+      "winner pairs were collected to the driver and re-localized")
+    val ckptPairs = opt.collect {
+      case p if p.getClass.getSimpleName == "LogicalRDD" &&
+        p.output.exists(_.name == "doc_id") &&
+        p.output.exists(_.name == "qid") => p
+    }
+    assert(ckptPairs.nonEmpty,
+      "no distributed (qid, doc_id) winner materialization in the plan")
+
     // and the result is still the exact answer: the synthetic vectors repeat
     // with period 97, so chunks 5/102/199 are exact cosine-1 ties at the top
     // (ordered among themselves by doc_id hash)

@@ -161,6 +161,49 @@ class SearchKnobsSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[String]("chunk") != null))
   }
 
+  test("HNSW ef is a request knob: recall rises with the beam, echoed in the envelope") {
+    val cat = mkCat
+    cat.generateSchema(SchemaSpec("t", "hm", dimension = 8, indexType = "HNSW"))
+    val n = 400
+    cat.insert("t", "hm", (0 until n).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "hm", Map(), vec(i))))
+    cat.persistIndex("t", "hm")
+    assert(cat.hnswExists("t", "hm"))
+
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def exactTop10(q: Int): Set[String] =
+      (0 until n).sortBy(i => -cosine(vec(q), vec(i))).take(10)
+        .map(i => s"chunk $i").toSet
+
+    val queryIds = (0 until 12).map(_ * 31 + 5)
+    def recallAt(ef: Option[Int]): (Double, Map[String, String]) = {
+      var hits = 0
+      var last = Map.empty[String, String]
+      queryIds.foreach { q =>
+        val r = cat.search(SearchRequest("t", "hm", vec(q), limit = 10, ef = ef))
+        last = r.params
+        hits += r.data.map(_.content).toSet.intersect(exactTop10(q)).size
+      }
+      (hits.toDouble / (10 * queryIds.size), last)
+    }
+
+    // ef=1 clamps UP to the fetch width (a beam narrower than k cannot
+    // return k hits): fetchK*2+16 = 36 for limit=10
+    val (rLow, pLow) = recallAt(Some(1))
+    assert(pLow("ef") == "36", s"clamped ef not echoed: $pLow")
+    // a beam wider than the graph is exhaustive over the connected component
+    val (rHigh, pHigh) = recallAt(Some(1024))
+    assert(pHigh("ef") == "1024", s"requested ef not echoed: $pHigh")
+    assert(rHigh >= rLow, s"recall fell as ef grew: $rLow -> $rHigh")
+    assert(rHigh >= 0.9, s"full-beam recall $rHigh")
+    // the default path (no ef) still echoes its effective beam
+    val dflt = cat.search(SearchRequest("t", "hm", vec(5), limit = 10))
+    assert(dflt.params("ef") == "72", s"default ef not echoed: ${dflt.params}")
+  }
+
   test("dynamic-field extra filter is a CI substring conjunction (P5 over extra)") {
     val cat = mkCat
     cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
