@@ -51,6 +51,26 @@ object Bench {
       spark.read.parquet(s"$prepDir/ivf/clustered"), "COSINE")
     def persistedBm25 = graft.sources.SparseIndex.read(spark, s"$prepDir/bm25")
 
+    // facade-insert fixtures (b6b/b6c): one collection data-only, one with a
+    // persisted IVF index, both seeded with the same 1000 rows (untimed)
+    val benchCat = new graft.sources.VectorStoreCatalog(spark, s"$prepDir/cat")
+    def benchVec(seed: Int): Seq[Double] =
+      (0 until 64).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    def upsertBatch(gen: Int, m: String): Seq[graft.api.EmbeddedVector] =
+      (0 until 500).map { i =>
+        // i<250 replaces a seed key (old-cell rewrite), i>=250 is fresh
+        val key = if (i < 250) s"seed$i" else s"g${gen}_n$i"
+        graft.api.EmbeddedVector(key, s"bench doc $gen $i lorem ipsum", m,
+          Map("g" -> gen.toString), benchVec(gen * 1000 + i))
+      }
+    for (m <- Seq("plain", "indexed")) {
+      benchCat.generateSchema(graft.api.SchemaSpec("bench", m, dimension = 64))
+      benchCat.insert("bench", m, (0 until 1000).map(i =>
+        graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", m,
+          Map("g" -> "0"), benchVec(i))))
+    }
+    benchCat.persistIndex("bench", "indexed")
+
     val benches: Seq[(String, () => DataFrame)] = Seq(
       "b1_knn_cos_64q" -> (() => Knn.search(ordersCorpus, q64,
         SearchParams(limit = 10, outputFields = Nil))),
@@ -93,6 +113,19 @@ object Bench {
           .withColumn("price", col("price") + 100)
         Upsert.merge(cur, batch, "key")
           .groupBy("status").agg(count(lit(1)).as("n"), sum("price").as("p"))
+      }),
+      // facade insert, attributable: the same 500-row batch (250 replaced
+      // keys + 250 fresh) into a data-only collection vs one carrying an
+      // IVF index — the delta IS the index-maintenance cost (cell rewrites
+      // for old+new assignments). Prep (collection + 1000 seed rows +
+      // index build) is untimed.
+      "b6b_upsert_data" -> (() => {
+        benchCat.insert("bench", "plain", upsertBatch(1, "plain"))
+        spark.range(1).toDF("ok")
+      }),
+      "b6c_upsert_indexed" -> (() => {
+        benchCat.insert("bench", "indexed", upsertBatch(1, "indexed"))
+        spark.range(1).toDF("ok")
       }),
       "b7_dedup_minhash_lsh" -> (() =>
         Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))),

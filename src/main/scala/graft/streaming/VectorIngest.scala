@@ -14,11 +14,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * IVF cell rewrite / HNSW beam-search connect all run per trigger, each
   * O(batch), never O(table).
   *
-  * The facade insert contract is request-sized (≤1000 validated rows with a
-  * driver-side batch — the reference's own insert shape,
-  * vector_store.py:292-404), so each micro-batch is collected and chunked to
-  * the insert limit; duplicate keys inside one micro-batch keep the LAST
-  * occurrence (stream order wins, as a later upsert would).
+  * Request-sized micro-batches (≤1000 rows, the reference's own insert
+  * shape, vector_store.py:292-404) go through the facade insert — collected
+  * and validated row-by-row on the driver. A micro-batch BEYOND that bound
+  * takes [[VectorStoreCatalog.insertDf]]: the same commit protocol run
+  * directly on the batch DataFrame (distributed validation, last-arrival
+  * key dedup, bucket-restricted merge), one commit per trigger, no driver
+  * collect of row payloads — the large-stream shape. In both paths
+  * duplicate keys inside one micro-batch keep the LAST occurrence (stream
+  * order wins, as a later upsert would).
   */
 object VectorIngest {
 
@@ -41,20 +45,28 @@ object VectorIngest {
       .outputMode("update")
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val rows = batch
+        val b = batch
           .select(col("key"), col("chunk"), col("metadata"), col("vector"))
-          .collect()
-          .map { r =>
-            EmbeddedVector(r.getString(0), r.getString(1), model,
-              Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty),
-              r.getSeq[Double](3))
+          .persist()
+        try {
+          val n = b.count()
+          if (n > graft.operators.Upsert.MaxBatch) {
+            // large-stream: one distributed commit, payloads never collected
+            cat.insertDf(tenant, model, b, partition): Unit
+          } else if (n > 0) {
+            val rows = b.collect().map { r =>
+              EmbeddedVector(r.getString(0), r.getString(1), model,
+                Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty),
+                r.getSeq[Double](3))
+            }
+            // last occurrence of a key wins within the micro-batch
+            val deduped = rows.zipWithIndex.groupBy(_._1.key)
+              .map { case (_, occ) => occ.maxBy(_._2) }.toSeq
+              .sortBy(_._2).map(_._1)
+            deduped.grouped(graft.operators.Upsert.MaxBatch)
+              .foreach(g => cat.insert(tenant, model, g.toSeq, partition))
           }
-        // last occurrence of a key wins within the micro-batch
-        val deduped = rows.zipWithIndex.groupBy(_._1.key)
-          .map { case (_, occ) => occ.maxBy(_._2) }.toSeq
-          .sortBy(_._2).map(_._1)
-        deduped.grouped(graft.operators.Upsert.MaxBatch)
-          .foreach(b => cat.insert(tenant, model, b.toSeq, partition))
+        } finally b.unpersist()
       }
     checkpoint.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
   }

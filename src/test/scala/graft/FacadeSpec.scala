@@ -287,6 +287,73 @@ class VectorIngestStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a beyond-request-size micro-batch commits through the distributed path") {
+    implicit val sqlCtx = spark.sqlContext
+    // period-104729 (> batch size) so all 10k vectors are DISTINCT — the
+    // usual period-97 fixture would make the self-match an arbitrary tie
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 104729 - 52364).toDouble)
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_vstream_big").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
+    val mem = MemoryStream[(String, String, Seq[Double])]
+    val stream = mem.toDF().toDF("key", "chunk", "vector")
+      .withColumn("metadata", map(lit("src"), lit("bigstream")))
+    val q = graft.streaming.VectorIngest.start(cat, "t", "m", stream)
+    try {
+      // 10k rows ≫ the 1000-row facade insert contract: the micro-batch
+      // must take insertDf (one distributed commit), not driver chunking
+      mem.addData((0 until 10000).map(i => (s"k$i", s"big chunk $i", vec(i))): _*)
+      q.processAllAvailable()
+      assert(cat.load("t", "m").count() == 10000)
+      val hit = cat.search(SearchRequest("t", "m", vec(7777), limit = 3))
+      assert(hit.success && hit.data.head.content == "big chunk 7777")
+      assert(hit.data.head.meta.get("src").contains("bigstream"))
+      // ONE commit per trigger: the sparse stats moved to exactly n=10000
+      val m = graft.sources.SparseIndex.read(spark,
+        java.nio.file.Paths.get(cat.sparseDirOf("t", "m")).toString)
+      assert(m.global.head.getLong(0) == 10000)
+    } finally q.stop()
+  }
+
+  test("insertDf validates distributed, dedups last-arrival, rejects bad rows") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_insertdf").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, metadataLength = 256))
+    // dup key k1: single partition makes arrival order exact — last wins
+    val df = Seq(
+      ("k1", "first arrival", vec(1)),
+      ("k2", "doc two", vec(2)),
+      ("k1", "last arrival", vec(1))
+    ).toDF("key", "chunk", "vector")
+      .withColumn("metadata", map(lit("a"), lit("b"))).coalesce(1)
+    assert(cat.insertDf("t", "m", df) == 2L)
+    assert(cat.load("t", "m").count() == 2)
+    val got = cat.search(SearchRequest("t", "m", vec(1), limit = 1))
+    assert(got.data.head.content == "last arrival")
+
+    // a wrong-dim vector anywhere in the batch fails the whole commit
+    val badDim = Seq(("k9", "bad", Seq(1.0, 2.0)))
+      .toDF("key", "chunk", "vector")
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+    val e = intercept[IllegalArgumentException](cat.insertDf("t", "m", badDim))
+    assert(e.getMessage.contains("invalid vectors"))
+    // metadata_length is enforced against the stored serialization
+    val badMeta = Seq(("k9", "doc", vec(9)))
+      .toDF("key", "chunk", "vector")
+      .withColumn("metadata", map(lit("k"), lit("x" * 300)))
+    val e2 = intercept[IllegalArgumentException](cat.insertDf("t", "m", badMeta))
+    assert(e2.getMessage.contains("metadata_length"))
+    // auto_id collections are rejected (no distributed id reservation)
+    cat.generateSchema(SchemaSpec("t", "auto", dimension = 8,
+      primaryKeyDataType = "INT64"))
+    val e3 = intercept[IllegalArgumentException](
+      cat.insertDf("t", "auto", df))
+    assert(e3.getMessage.contains("auto_id"))
+  }
+
   test("streaming ingest rejects auto_id collections (replay would duplicate rows)") {
     implicit val sqlCtx = spark.sqlContext
     val cat = new VectorStoreCatalog(spark,
