@@ -118,14 +118,27 @@ object SparseIndex {
         (col("sumdl") - col("rs") + col("as")).as("sumdl"))
 
     // Commit: tmp-write (materializes before the swap invalidates sources),
-    // then swap only the touched bucket dirs + the two small tables.
+    // then swap only the touched bucket dirs + the two small tables. The
+    // four tmp writes are independent of each other and only read PRE-swap
+    // state, so they run as CONCURRENT Spark jobs — on a request-sized
+    // batch each is a small fixed-overhead job, and overlapping them takes
+    // the sparse commit from 4 sequential job latencies to ~1.
     val base = Paths.get(dir)
-    val tfTmp = writeTmp(tfOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
-      base, "tf", partitioned = true)
-    val dlTmp = writeTmp(dlOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
-      base, "doclen", partitioned = true)
-    val tdTmp = writeTmp(termDfOut, base, "termdf", partitioned = false)
-    val gTmp  = writeTmp(globalOut, base, "global", partitioned = false)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fTf = Future(writeTmp(
+      tfOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
+      base, "tf", partitioned = true))
+    val fDl = Future(writeTmp(
+      dlOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
+      base, "doclen", partitioned = true))
+    val fTd = Future(writeTmp(termDfOut, base, "termdf", partitioned = false))
+    val fG  = Future(writeTmp(globalOut, base, "global", partitioned = false))
+    val tfTmp = Await.result(fTf, Duration.Inf)
+    val dlTmp = Await.result(fDl, Duration.Inf)
+    val tdTmp = Await.result(fTd, Duration.Inf)
+    val gTmp  = Await.result(fG, Duration.Inf)
     touched.foreach { b =>
       swapDir(tfTmp.resolve(s"_bucket=$b"), base.resolve("tf").resolve(s"_bucket=$b"))
       swapDir(dlTmp.resolve(s"_bucket=$b"), base.resolve("doclen").resolve(s"_bucket=$b"))

@@ -291,10 +291,17 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private def commitKeyed(tenant: String, model: String, keyed: DataFrame,
       partition: Option[String], batchSize: Long): Long = {
     val nB = nBuckets(tenant, model)
+    // ONE eager materialization of the prepared batch. Two reasons: the
+    // commit protocol walks the batch many times (bucket set, sparse delta,
+    // merge, index absorb) and must not re-evaluate the projection per
+    // walk; and the sparse commit runs its tmp writes as concurrent jobs —
+    // a shared LIVE local-relation projection (interpreted to_json) is not
+    // thread-safe across those jobs, an RDD-backed batch is.
     val batch = keyed
       .withColumn("meta", to_json(col("metadata"))).drop("metadata")
       .withColumn("part", lit(partition.getOrElse("_default")))
       .withColumn("_bucket", bucketExpr(col("flouds_vector_id"), nB))
+      .localCheckpoint()
 
     val touched = batch.select("_bucket").distinct().collect()
       .map(_.getLong(0)).toIndexedSeq
@@ -337,7 +344,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         .select("centroid_id").distinct().collect().map(_.getInt(0)).toIndexedSeq
     }
 
-    replaceBuckets(tenant, model, out, touched)
+    // The data-table commit and the index absorbs below write DISJOINT
+    // directory families (data buckets vs index cells / graph buckets), and
+    // every cross-input they share (batch, oldCells) is materialized above —
+    // so the data commit runs as a concurrent job while the index rewrites
+    // proceed. Readers were never promised cross-table atomicity: each
+    // directory swap is atomic on its own, same as the sequential order.
+    val dataCommit = scala.concurrent.Future(replaceBuckets(tenant, model, out, touched))(
+      scala.concurrent.ExecutionContext.global)
 
     // Keep a persisted IVF index searchable across inserts WITHOUT a rebuild
     // and WITHOUT stale rows: the batch is assigned to its nearest existing
@@ -382,6 +396,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       deleteRec(tmp)
       spark.catalog.refreshByPath(target.toString)
     }
+
+    // The HNSW absorb's empty-graph path rebuilds FROM the data table, so
+    // the data commit must be visible before it runs (the IVF rewrite above
+    // never reads the data table — only clustered/ + the materialized batch).
+    scala.concurrent.Await.result(dataCommit,
+      scala.concurrent.duration.Duration.Inf)
 
     // An HNSW graph absorbs the batch by CONNECT (see [[absorbIntoHnsw]]).
     if (hnswExists(tenant, model))
