@@ -316,6 +316,39 @@ class VectorIngestStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("insertDf stores exactly what the request-path insert stores") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    val catA = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_eqA").toString)
+    val catB = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_eqB").toString)
+    for (c <- Seq(catA, catB)) c.generateSchema(SchemaSpec("t", "m", dimension = 8))
+    val rows = (0 until 120).map(i =>
+      EmbeddedVector(s"k$i", s"parity doc $i alpha beta", "m",
+        Map("i" -> i.toString), vec(i), dynamicFields = Map("src" -> "eq")))
+    catA.insert("t", "m", rows)
+    val df = rows.map(r => (r.key, r.chunk, r.metadata, r.vector, r.dynamicFields))
+      .toDF("key", "chunk", "metadata", "vector", "extra")
+    assert(catB.insertDf("t", "m", df) == 120L)
+
+    def dump(c: VectorStoreCatalog) = c.load("t", "m")
+      .select(col("flouds_vector_id"), col("chunk"), col("meta"), col("extra"),
+        col("vector"),
+        expr("array_sort(map_entries(sparse_vector))").as("sv"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(dump(catA) == dump(catB),
+      "distributed and request-path inserts diverge in stored rows")
+    // and the incremental sparse stats agree exactly
+    def stats(c: VectorStoreCatalog) = {
+      val m = graft.sources.SparseIndex.read(spark,
+        java.nio.file.Paths.get(c.sparseDirOf("t", "m")).toString)
+      (m.global.head.toSeq, m.termDf.collect().map(_.toString).sorted.toSeq,
+        m.tf.collect().map(_.toString).sorted.toSeq)
+    }
+    assert(stats(catA) == stats(catB), "sparse index state diverges")
+  }
+
   test("insertDf validates distributed, dedups last-arrival, rejects bad rows") {
     def vec(seed: Int): Seq[Double] =
       (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
