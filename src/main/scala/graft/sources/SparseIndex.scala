@@ -72,13 +72,16 @@ object SparseIndex {
     * batch-only model so callers can encode the batch without re-tokenizing.
     */
   def upsert(spark: SparkSession, dir: String, batchDocs: DataFrame,
-      nBuckets: Int = 16): Bm25.Model = {
+      nBuckets: Int = 16, knownTouched: Option[Seq[Long]] = None): Bm25.Model = {
     val add = Bm25.fit(batchDocs) // batch-only tokenization
     if (!exists(dir)) { write(add, dir, nBuckets); return add }
     val batchIds = batchDocs.select("doc_id")
-    val touched  = batchIds
+    // the catalog buckets data and sparse tables by the SAME hash
+    // (pmod(xxhash64(pk), n) = pmod(doc_id, n)), so a caller that already
+    // collected its touched buckets passes them instead of a second job
+    val touched = knownTouched.map(_.toIndexedSeq).getOrElse(batchIds
       .select(bucketOf(col("doc_id"), nBuckets).as("_bucket"))
-      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq)
 
     // Touched-bucket slices of the stored per-doc tables (partition-pruned;
     // explicit schemas so an empty index still reads)

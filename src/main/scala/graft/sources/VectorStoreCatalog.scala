@@ -310,7 +310,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val batchDocs = batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
       col("chunk").as("text"))
     val addModel = SparseIndex.upsert(spark, sparseDir(tenant, model).toString,
-      batchDocs, nB)
+      batchDocs, nB, knownTouched = Some(touched))
     val encModel = Bm25.Model(addModel.tf, addModel.docLen,
       spark.read.schema("term STRING, df LONG")
         .parquet(sparseDir(tenant, model).resolve("termdf").toString),
