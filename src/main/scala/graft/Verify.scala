@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 54 sequential queries build catalog fixtures that localCheckpoint;
+      // without periodic driver GC their dead blocks accumulate across the
+      // whole run (see Bench/SCALE.md "long-lived driver hygiene")
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
