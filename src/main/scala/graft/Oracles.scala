@@ -678,6 +678,16 @@ object Oracles {
       |       o_orderpriority AS priority
       |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)""".stripMargin
 
+  /** S1 distributed ingest (insertDf): 150 keyed docs, doc_id<10 re-keyed
+    * in the same batch with a "v2 " chunk — last arrival wins, meta JSON
+    * round-trips through the stored table.
+    */
+  val insertDfRoundtrip: String =
+    """SELECT 'k' || CAST(doc_id AS VARCHAR) AS key,
+      |       CASE WHEN doc_id < 10 THEN 'v2 ' || text ELSE text END AS chunk,
+      |       lang
+      |FROM documents WHERE doc_id < 150""".stripMargin
+
   /** Brute-force cosine top-k over the real embedding column (quantized) —
     * the exact-ANN baseline of the similarity-search suite.
     */

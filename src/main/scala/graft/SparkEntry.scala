@@ -286,6 +286,30 @@ object SparkEntry {
         get_json_object(col("meta"), "$.priority").as("priority"))
     }),
 
+    // ---- S1 distributed variant: the large-stream insertDf commit — the
+    //      whole DataFrame-in path (distributed validation, last-arrival
+    //      key dedup on a single partition = exact arrival order, bucketed
+    //      storage, meta JSON round-trip) checked against DuckDB.
+    "q_insert_df" -> ((s, dir) => {
+      val cat = new graft.sources.VectorStoreCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_insdf").toString)
+      cat.generateSchema(graft.api.SchemaSpec("oracle", "ins-df", dimension = 8))
+      def asRows(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(lit("k"), col("doc_id")).as("key"),
+        col("text").as("chunk"),
+        map(lit("lang"), col("lang")).as("metadata"),
+        Tables.synthVec(col("doc_id"), 8).as("vector"))
+      val src = asRows(Tables.load(s, dir, "documents").filter(col("doc_id") < 150))
+      // a second wave re-keys doc_id < 10 with an updated chunk; last
+      // arrival must win within the batch
+      val upd = asRows(Tables.load(s, dir, "documents").filter(col("doc_id") < 10))
+        .withColumn("chunk", concat(lit("v2 "), col("chunk")))
+      cat.insertDf("oracle", "ins-df", src.unionByName(upd).coalesce(1))
+      cat.load("oracle", "ins-df").select(
+        col("flouds_vector_id").as("key"), col("chunk"),
+        get_json_object(col("meta"), "$.lang").as("lang"))
+    }),
+
     // ---- D3/A1-approx: IVF index build + nprobe-routed search. The codebook
     //      is a DETERMINISTIC seeded one (Ivf.seededCentroids) so assignment,
     //      routing, and the cell-pruned scan are all DuckDB-replicable —
@@ -462,6 +486,7 @@ object SparkEntry {
     "q_fingerprint"   -> Oracles.fingerprint,
     "q_upsert"        -> Oracles.upsert,
     "q_int64_pk"      -> Oracles.int64Pk,
+    "q_insert_df"     -> Oracles.insertDfRoundtrip,
     "q_ivf_knn"       -> Oracles.ivfKnn(8, 16, 4, 10),
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),
     // full-width beam (ef ≥ corpus) over a connected graph == exact KNN
