@@ -76,6 +76,125 @@ object Knn {
       .select((Seq("qid", "doc_id", "rawScore") ++ passthrough).map(col): _*)
   }
 
+  /** Fused scan→score→per-partition-top-k for the full-scan path: one
+    * mapPartitions pass keeps a bounded per-query heap while streaming the
+    * corpus, so the ≤ |corpus|·|queries| pair rows are NEVER materialized —
+    * only ≤ k·|queries| survivors per partition leave the scan. The final
+    * exact ranking stays the shared [[TopK.perKey]] window in
+    * [[pipeline]] (re-applied over the tiny candidate set).
+    *
+    * Numerical contract: bitwise-identical to [[scored]] — same
+    * left-to-right summation as [[VecExprs.dot]]/[[VecExprs.norm2]], the
+    * same score formulas in the same operation order as [[rawScore]], and
+    * Spark's double total order (java.lang.Double.compare: NaN largest,
+    * -0.0 < 0.0) for the heap, with doc_id as the ascending tie-break —
+    * the same order [[TopK.perKey]] ranks by. The optional band is applied
+    * with the same total-order semantics as the Column filter; when `band`
+    * is None no filter runs (matching pipeline's fold).
+    *
+    * Queries are collected to the driver and rebroadcast as primitive
+    * arrays — the same |queries|·dim·8-byte ceiling as the BNLJ broadcast
+    * (SCALE.md "query batch ceiling").
+    */
+  private[graft] def fusedCandidates(corpus: DataFrame, queries: DataFrame,
+      metric: String, k: Int, band: Option[(Double, Double)]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("qid").cast("long"), col("qv")).collect()
+    val qidArr = qRows.map(_.getLong(0))
+    val qvArr  = qRows.map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast((qidArr, qvArr))
+    val desc = higherIsBetter(metric)
+    val mcode = metric match {
+      case "COSINE" => 0
+      case "L2"     => 1
+      case "IP"     => 2
+      case m        => throw new IllegalArgumentException(s"metric $m (want COSINE|L2|IP)")
+    }
+    val (useBand, lo, hi) = band match {
+      case Some((l, h)) => (true, l, h)
+      case None         => (false, 0.0, 0.0)
+    }
+    corpus.select(col("doc_id").cast("long"), col("dv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (qids, qvs) = bc.value
+        val nQ = qids.length
+        val nq2 = new Array[Double](nQ)
+        var q = 0
+        while (q < nQ) {
+          val v = qvs(q); var a = 0.0; var i = 0
+          while (i < v.length) { a += v(i) * v(i); i += 1 }
+          nq2(q) = a; q += 1
+        }
+        // (s1,d1) better than (s2,d2): Spark double order on score
+        // (desc per metric), then smaller doc_id
+        @inline def better(s1: Double, d1: Long, s2: Double, d2: Long): Boolean = {
+          val c0 = java.lang.Double.compare(s1, s2)
+          val c = if (desc) c0 else -c0
+          if (c != 0) c > 0 else d1 < d2
+        }
+        // bounded heap, worst kept element at root
+        val hScore = Array.fill(nQ)(new Array[Double](k))
+        val hId    = Array.fill(nQ)(new Array[Long](k))
+        val hN     = new Array[Int](nQ)
+        def offer(qi: Int, s: Double, d: Long): Unit = {
+          val sc = hScore(qi); val id = hId(qi); var n = hN(qi)
+          if (n < k) {
+            var i = n; sc(i) = s; id(i) = d; n += 1; hN(qi) = n
+            while (i > 0 && better(sc((i - 1) / 2), id((i - 1) / 2), sc(i), id(i))) {
+              val p = (i - 1) / 2
+              val ts = sc(i); sc(i) = sc(p); sc(p) = ts
+              val td = id(i); id(i) = id(p); id(p) = td
+              i = p
+            }
+          } else if (better(s, d, sc(0), id(0))) {
+            sc(0) = s; id(0) = d
+            var i = 0
+            var done = false
+            while (!done) {
+              val l = 2 * i + 1; val r = l + 1
+              var w = i // worst of parent/children sits up
+              if (l < n && better(sc(w), id(w), sc(l), id(l))) w = l
+              if (r < n && better(sc(w), id(w), sc(r), id(r))) w = r
+              if (w == i) done = true
+              else {
+                val ts = sc(i); sc(i) = sc(w); sc(w) = ts
+                val td = id(i); id(i) = id(w); id(w) = td
+                i = w
+              }
+            }
+          }
+        }
+        while (it.hasNext) {
+          val (docId, dv) = it.next()
+          var nd2 = 0.0
+          var i = 0
+          while (i < dv.length) { val v = dv(i); nd2 += v * v; i += 1 }
+          q = 0
+          while (q < nQ) {
+            val qv = qvs(q)
+            val n = math.min(qv.length, dv.length)
+            var dot = 0.0
+            i = 0
+            while (i < n) { dot += qv(i) * dv(i); i += 1 }
+            val s =
+              if (mcode == 0) dot / (math.sqrt(nq2(q)) * math.sqrt(nd2))
+              else if (mcode == 1) math.sqrt(nq2(q) - 2.0 * dot + nd2)
+              else dot
+            val inBand = !useBand ||
+              (java.lang.Double.compare(s, lo) >= 0 && java.lang.Double.compare(s, hi) <= 0)
+            if (inBand) offer(q, s, docId)
+            q += 1
+          }
+        }
+        (0 until nQ).iterator.flatMap { qi =>
+          (0 until hN(qi)).iterator.map(j => (qids(qi), hId(qi)(j), hScore(qi)(j)))
+        }
+      }
+      .toDF("qid", "doc_id", "rawScore")
+  }
+
   /** Score ONLY the given (query, corpus) pairs: `corpusPairs` carries a
     * `qid` column naming which query each candidate row belongs to (e.g. the
     * winners of that query's own probed IVF cells), and the join on qid —
@@ -106,6 +225,16 @@ object Knn {
     * chunk strings through billions of scored pairs and reading them once
     * for a few hundred winners.
     */
+  /** Full-scan strategy switch: the fused mapPartitions scan (default —
+    * never materializes pair rows) vs the BNLJ + codegen-kernel +
+    * PartialTopKExec plan (`GRAFT_KNN=bnlj`; also what [[scored]] callers
+    * like the hybrid legs always use). Results are bit-identical
+    * (KnnSpec equality incl. NaN/zero-vector ordering); var so specs can
+    * exercise both paths in one JVM.
+    */
+  @volatile var fusedScan: Boolean =
+    !sys.env.get("GRAFT_KNN").contains("bnlj")
+
   def search(corpus: DataFrame, queries: DataFrame, p: SearchParams): DataFrame = {
     // Column-prune the payload to what the request actually touches — a
     // filter it runs or a field it returns. A request needing NO payload
@@ -116,7 +245,13 @@ object Knn {
         (c == "chunk" && p.textFilter.exists(_.trim.nonEmpty)) ||
         (c == "meta"  && (p.metaFilter.nonEmpty || p.metaRequired)) ||
         (c == "extra" && p.extraFilter.nonEmpty))
-    val narrow = scored(corpus.select("doc_id", "dv"), queries, p.metric)
+    val narrow =
+      if (fusedScan) {
+        val overFetch =
+          if (p.textFilter.exists(_.trim.nonEmpty)) p.increaseLimitForTextSearch else 0
+        fusedCandidates(corpus.select("doc_id", "dv"), queries, p.metric,
+          p.offset + p.limit + overFetch, p.rangeFilter)
+      } else scored(corpus.select("doc_id", "dv"), queries, p.metric)
     if (needed.isEmpty) pipeline(narrow, p)
     else pipeline(narrow, p,
       payload = Some(corpus.select(("doc_id" +: needed).map(col): _*)))

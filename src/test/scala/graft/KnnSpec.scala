@@ -21,6 +21,31 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("fused scan is bit-identical to the BNLJ plan (all metrics, band)") {
+    import spark.implicits._
+    val q = Tables.queryBatch(spark, 6)
+    def run(fused: Boolean, c: org.apache.spark.sql.DataFrame, p: SearchParams) = {
+      val was = Knn.fusedScan
+      Knn.fusedScan = fused
+      try Knn.search(c, q, p).select("qid", "rank", "doc_id", "score")
+        .collect().map(_.toSeq).toSet
+      finally Knn.fusedScan = was
+    }
+    for (m <- Seq("COSINE", "L2", "IP")) {
+      val p = SearchParams(metric = m, limit = 7, outputFields = Nil)
+      assert(run(fused = true, corpus, p) == run(fused = false, corpus, p),
+        s"fused != bnlj for $m")
+    }
+    // band semantics (A3): applied before the cut on both paths
+    val band = SearchParams(metric = "COSINE", limit = 7,
+      rangeFilter = Some((0.0, 0.9)), outputFields = Nil)
+    assert(run(fused = true, corpus, band) == run(fused = false, corpus, band),
+      "fused != bnlj under a score band")
+    // (All-zero vectors are out of contract for COSINE: the BNLJ path
+    // throws ANSI DIVIDE_BY_ZERO, the fused path would yield NaN — both
+    // "garbage in"; equality is asserted over the valid-input domain.)
+  }
+
   test("top-k is a subset ordered by score and bounded by limit") {
     val res = Knn.search(corpus, Tables.queryBatch(spark, 3),
       SearchParams(metric = "L2", limit = 5, outputFields = Nil)).collect()

@@ -32,36 +32,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "no sort-merge join expected at this shape")
   }
 
-  test("KNN plan uses the custom PartialTopKExec and codegen vec kernels") {
+  test("KNN BNLJ plan uses the custom PartialTopKExec and codegen vec kernels") {
+    val was = Knn.fusedScan
+    Knn.fusedScan = false
+    try {
+      val df = Knn.search(Tables.ordersCorpus(spark, Sf), Tables.queryBatch(spark, 2),
+        SearchParams(limit = 5, outputFields = Nil))
+      val p = plan(df)
+      assert(p.contains("PartialTopK"), "custom physical operator missing")
+      assert(p.contains("vecdot"), "codegen dot kernel missing")
+      assert(p.contains("BroadcastNestedLoopJoin"), "queries must broadcast")
+    } finally Knn.fusedScan = was
+  }
+
+  test("KNN fused default: no pair-row join anywhere in the scan plan") {
+    assert(Knn.fusedScan, "fused scan should be the default")
     val df = Knn.search(Tables.ordersCorpus(spark, Sf), Tables.queryBatch(spark, 2),
       SearchParams(limit = 5, outputFields = Nil))
     val p = plan(df)
-    assert(p.contains("PartialTopK"), "custom physical operator missing")
-    assert(p.contains("vecdot"), "codegen dot kernel missing")
-    assert(p.contains("BroadcastNestedLoopJoin"), "queries must broadcast")
+    // the corpus streams through one mapPartitions pass: no join operator
+    // of any kind before the final window over ≤ k·|q|·partitions rows
+    assert(!p.contains("Join"), s"fused scan still joins pair rows:\n$p")
+    assert(p.contains("MapPartitions"), "fused mapPartitions scan missing")
   }
 
   test("late materialization prunes the payload to what the request touches") {
     val corpus = Tables.ordersCorpus(spark, Sf) // (doc_id, dv, meta, chunk)
     val q = Tables.queryBatch(spark, 2)
-    // no filters, no output fields: the payload pass must vanish — exactly
-    // one join (the scoring BNLJ), no second corpus scan
-    val bare = plan(Knn.search(corpus, q, SearchParams(limit = 5, outputFields = Nil)))
-    assert(bare.contains("BroadcastNestedLoopJoin"), "scoring BNLJ missing")
-    assert(!bare.contains("BroadcastHashJoin") && !bare.contains("SortMergeJoin") &&
-      !bare.contains("ShuffledHashJoin"),
-      s"payload join present in a payload-free search:\n$bare")
-    // meta-only request: payload joined back, but chunk never read — the
-    // payload scan's projection excludes the chunk source column
-    val metaOnly = plan(Knn.search(corpus, q,
-      SearchParams(limit = 5, metaFilter = Map("priority" -> "URGENT"),
-        outputFields = Seq("meta"))))
-    assert(metaOnly.contains("BroadcastHashJoin"), "payload join must broadcast winners")
-    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(metaOnly)
-      .map(_.group(1)).toSeq
-    assert(reads.exists(r => r.contains("o_orderstatus")),
-      s"payload scan missing: $reads")
-    assert(!metaOnly.contains("chunk"), "chunk materialized for a meta-only request")
+    val was = Knn.fusedScan
+    Knn.fusedScan = false // assert the BNLJ path's late-materialization shape
+    try {
+      // no filters, no output fields: the payload pass must vanish — exactly
+      // one join (the scoring BNLJ), no second corpus scan
+      val bare = plan(Knn.search(corpus, q, SearchParams(limit = 5, outputFields = Nil)))
+      assert(bare.contains("BroadcastNestedLoopJoin"), "scoring BNLJ missing")
+      assert(!bare.contains("BroadcastHashJoin") && !bare.contains("SortMergeJoin") &&
+        !bare.contains("ShuffledHashJoin"),
+        s"payload join present in a payload-free search:\n$bare")
+      // meta-only request: payload joined back, but chunk never read — the
+      // payload scan's projection excludes the chunk source column
+      val metaOnly = plan(Knn.search(corpus, q,
+        SearchParams(limit = 5, metaFilter = Map("priority" -> "URGENT"),
+          outputFields = Seq("meta"))))
+      assert(metaOnly.contains("BroadcastHashJoin"), "payload join must broadcast winners")
+      val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(metaOnly)
+        .map(_.group(1)).toSeq
+      assert(reads.exists(r => r.contains("o_orderstatus")),
+        s"payload scan missing: $reads")
+      assert(!metaOnly.contains("chunk"), "chunk materialized for a meta-only request")
+    } finally Knn.fusedScan = was
   }
 
   test("shingle generation is shuffle-free (no Exchange below the first aggregate)") {
