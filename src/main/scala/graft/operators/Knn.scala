@@ -62,6 +62,38 @@ object Knn {
 
   def higherIsBetter(metric: String): Boolean = metric != "L2"
 
+  /** Query broadcasts created by [[fusedCandidates]] on the current thread,
+    * held WEAKLY (a strong ref here would pin them against the
+    * ContextCleaner's GC-driven reaping, the fallback path for callers that
+    * never release). The eager facade entry points
+    * (`VectorStoreCatalog.search`/`searchBatch`) call
+    * [[releaseFusedBroadcasts]] right after collecting their result, so a
+    * long-lived serving driver does not accumulate one broadcast per search
+    * until a driver GC happens to run. Callers that keep the returned
+    * DataFrame LAZY (e.g. `searchDf` library users) must either collect +
+    * release themselves or run with `spark.cleaner.periodicGC.interval` set
+    * low (as Bench/Verify do — see SCALE.md).
+    */
+  private val pendingBroadcasts =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[
+        java.lang.ref.WeakReference[org.apache.spark.broadcast.Broadcast[_]]]] {
+      override def initialValue() = scala.collection.mutable.ArrayBuffer.empty
+    }
+
+  /** Destroy the fused-scan query broadcasts created on THIS thread. Safe
+    * only once their consuming action has run (the facade collects first);
+    * destroying a broadcast a still-lazy plan references would fail that
+    * plan's later evaluation.
+    */
+  def releaseFusedBroadcasts(): Unit = {
+    val buf = pendingBroadcasts.get()
+    buf.foreach { ref =>
+      val bc = ref.get()
+      if (bc != null) bc.destroy()
+    }
+    buf.clear()
+  }
+
   /** Score every (query, corpus) pair: broadcast-nested-loop join with a
     * codegen'd dot kernel. Arrays and norms are dropped from the output —
     * rows entering the top-k prune are narrow.
@@ -104,6 +136,7 @@ object Knn {
     val qidArr = qRows.map(_.getLong(0))
     val qvArr  = qRows.map(_.getSeq[Double](1).toArray)
     val bc = spark.sparkContext.broadcast((qidArr, qvArr))
+    pendingBroadcasts.get() += new java.lang.ref.WeakReference(bc)
     val desc = higherIsBetter(metric)
     val mcode = metric match {
       case "COSINE" => 0

@@ -264,8 +264,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         length(col("key")) > 256, 1L).otherwise(0L)).as("bad_key"),
       sum(when(col("chunk").isNull || length(col("chunk")) > 60000, 1L)
         .otherwise(0L)).as("bad_chunk"),
+      // element-level predicate wrapped so a NULL element FAILS (x.isNull
+      // first — isnan/abs of NULL are NULL and exists() would return NULL,
+      // silently counting the row valid; Validation.requireValidVector
+      // rejects nulls on the request path)
       sum(when(col("vector").isNull || size(col("vector")) =!= dim ||
-        exists(col("vector"), x => isnan(x) || abs(x) > 1e6), 1L)
+        exists(col("vector"), x => x.isNull || isnan(x) || abs(x) > 1e6), 1L)
         .otherwise(0L)).as("bad_vec"),
       sum(when(length(coalesce(to_json(col("metadata")), lit("{}"))) >
         lit(maxMeta.getOrElse(Int.MaxValue)), 1L).otherwise(0L)).as("bad_meta")
@@ -298,7 +302,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // a shared LIVE local-relation projection (interpreted to_json) is not
     // thread-safe across those jobs, an RDD-backed batch is.
     val batch = keyed
-      .withColumn("meta", to_json(col("metadata"))).drop("metadata")
+      // a NULL metadata map stores "{}" (the request path always stores a
+      // JSON object — json.dumps(meta or {}) — and the metaRequired /
+      // meta-filter pipeline treats NULL differently from "{}")
+      .withColumn("meta", coalesce(to_json(col("metadata")), lit("{}")))
+      .drop("metadata")
       .withColumn("part", lit(partition.getOrElse("_default")))
       .withColumn("_bucket", bucketExpr(col("flouds_vector_id"), nB))
       .localCheckpoint()
@@ -389,6 +397,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       val tmp = target.resolveSibling("clustered_tmp_" + System.nanoTime())
       outIdx.repartition(col("centroid_id"))
         .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(tmp.toString)
+      // Observe the data-table commit BEFORE the index swap becomes visible:
+      // if the bucket merge failed, swapping the cells anyway would advance
+      // the index past the table (fresh keys point-look-up to nothing,
+      // replaced keys re-score stale vectors). Only the tmp WRITE above runs
+      // concurrently with the data commit; the swap is gated on its success.
+      scala.concurrent.Await.result(dataCommit,
+        scala.concurrent.duration.Duration.Inf)
       Files.createDirectories(target)
       cells.foreach { c =>
         swapDir(tmp.resolve(s"centroid_id=$c"), target.resolve(s"centroid_id=$c"))
@@ -399,7 +414,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
     // The HNSW absorb's empty-graph path rebuilds FROM the data table, so
     // the data commit must be visible before it runs (the IVF rewrite above
-    // never reads the data table — only clustered/ + the materialized batch).
+    // already awaited it before its swap; a second Await on a completed
+    // Future is a no-op — this one covers the no-IVF-index path).
     scala.concurrent.Await.result(dataCommit,
       scala.concurrent.duration.Duration.Inf)
 
@@ -466,9 +482,18 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       "limit" -> req.limit.toString, "offset" -> req.offset.toString,
       "consistency_level" -> req.consistencyLevel)
     if (hnswExists(req.tenant, req.model)) {
-      val fetchK = req.offset + req.limit +
-        (if (req.textFilter.exists(_.trim.nonEmpty)) req.increaseLimitForTextSearch else 0)
-      base + ("ef" -> effectiveEf(req, fetchK * 2 + 16).toString)
+      // echo the ef the EXECUTING path uses: the hybrid dense leg searches
+      // with k = min(limit,50)*2 (H5 per-leg cap), the dense-only path with
+      // k = fetchK*2+16 — same expressions as searchDfBatch
+      val k =
+        if (req.hybridSearch && req.textFilter.exists(_.nonEmpty))
+          math.min(req.limit, 50) * 2
+        else {
+          val fetchK = req.offset + req.limit +
+            (if (req.textFilter.exists(_.trim.nonEmpty)) req.increaseLimitForTextSearch else 0)
+          fetchK * 2 + 16
+        }
+      base + ("ef" -> effectiveEf(req, k).toString)
     } else if (indexExists(req.tenant, req.model))
       base + ("nprobe" -> req.nprobe.toString)
     else base
@@ -481,10 +506,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val res = searchDf(req)
     // Reference returns hits in rank order (vector_store.py:579-592) — keep
     // the rank through the plan and sort before collecting.
-    val rows = res.orderBy(col("rank")).select(col("chunk"), col("meta"))
-      .collect().map { r =>
-        EmbeddedMeta(r.getAs[String]("chunk"), parseMeta(r.getAs[String]("meta")))
-      }.toSeq
+    val rows =
+      try res.orderBy(col("rank")).select(col("chunk"), col("meta"))
+        .collect().map { r =>
+          EmbeddedMeta(r.getAs[String]("chunk"), parseMeta(r.getAs[String]("meta")))
+        }.toSeq
+      // the result is collected — the fused scan's query broadcast (if the
+      // unindexed path ran) is no longer referenced by anything live
+      finally Knn.releaseFusedBroadcasts()
     val dt = (System.nanoTime() - t0) / 1e9
     if (rows.isEmpty)
       SearchResponse(success = false, "No vectors found for the given query.",
@@ -526,10 +555,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     require(vectors.nonEmpty && vectors.size <= 1000, "batch 1-1000 vectors")
     val dim = dimension(req.tenant, req.model)
     vectors.foreach(Validation.requireValidVector(_, dim))
-    val byQ = searchDfBatch(req, vectors)
-      .orderBy(col("qid"), col("rank"))
-      .select(col("qid"), col("chunk"), col("meta"))
-      .collect().groupBy(_.getLong(0))
+    val byQ =
+      try searchDfBatch(req, vectors)
+        .orderBy(col("qid"), col("rank"))
+        .select(col("qid"), col("chunk"), col("meta"))
+        .collect().groupBy(_.getLong(0))
+      finally Knn.releaseFusedBroadcasts()
     val dt = (System.nanoTime() - t0) / 1e9
     val echoed = echoParams(req)
     vectors.indices.map { q =>

@@ -385,6 +385,25 @@ class VectorIngestStreamSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       cat.insertDf("t", "auto", df))
     assert(e3.getMessage.contains("auto_id"))
+
+    // a NULL metadata map stores "{}" (request-path parity: json.dumps of
+    // meta-or-{} — NULL would diverge under metaRequired / meta filters)
+    val nullMeta = Seq(("kn", "null meta doc", vec(3)))
+      .toDF("key", "chunk", "vector")
+      .withColumn("metadata", lit(null).cast("map<string,string>"))
+    assert(cat.insertDf("t", "m", nullMeta) == 1L)
+    val storedMeta = cat.load("t", "m")
+      .filter(col("flouds_vector_id") === "kn").select("meta").head.getString(0)
+    assert(storedMeta == "{}", s"NULL metadata stored as '$storedMeta'")
+
+    // a NULL vector ELEMENT fails validation (the exists() predicate must
+    // not three-valued-logic its way to "valid")
+    val nullElem = Seq(("kz", "bad elem",
+        Seq[java.lang.Double](1.0, null, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)))
+      .toDF("key", "chunk", "vector")
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+    val e4 = intercept[IllegalArgumentException](cat.insertDf("t", "m", nullElem))
+    assert(e4.getMessage.contains("invalid vectors"))
   }
 
   test("streaming ingest rejects auto_id collections (replay would duplicate rows)") {

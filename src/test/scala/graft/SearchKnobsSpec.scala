@@ -202,6 +202,17 @@ class SearchKnobsSpec extends SparkSpec {
     // the default path (no ef) still echoes its effective beam
     val dflt = cat.search(SearchRequest("t", "hm", vec(5), limit = 10))
     assert(dflt.params("ef") == "72", s"default ef not echoed: ${dflt.params}")
+    // a HYBRID request's dense leg searches with k = min(limit,50)*2 = 20,
+    // so the echoed ef must be effectiveEf(req, 20) = max(64, 40) = 64 —
+    // NOT the dense-only fetchK*2+16 width (the envelope must echo the ef
+    // that actually ran)
+    val hyb = cat.search(SearchRequest("t", "hm", vec(5), limit = 10,
+      hybridSearch = true, textFilter = Some("chunk 5")))
+    assert(hyb.params("ef") == "64", s"hybrid ef echo: ${hyb.params}")
+    // and an explicit ef on the hybrid path clamps to the leg's k, not fetchK
+    val hyb2 = cat.search(SearchRequest("t", "hm", vec(5), limit = 10,
+      hybridSearch = true, textFilter = Some("chunk 5"), ef = Some(7)))
+    assert(hyb2.params("ef") == "20", s"hybrid clamped ef echo: ${hyb2.params}")
   }
 
   test("dynamic-field extra filter is a CI substring conjunction (P5 over extra)") {
