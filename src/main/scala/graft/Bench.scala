@@ -75,6 +75,9 @@ object Bench {
           Map("g" -> "0"), benchVec(i))))
     }
     benchCat.persistIndex("bench", "indexed")
+    // per-iteration generation counters for the insert benches (see b6b/b6c)
+    var b6bGen = 0
+    var b6cGen = 0
 
     val benches: Seq[(String, () => DataFrame)] = Seq(
       "b1_knn_cos_64q" -> (() => Knn.search(ordersCorpus, q64,
@@ -119,17 +122,22 @@ object Bench {
         Upsert.merge(cur, batch, "key")
           .groupBy("status").agg(count(lit(1)).as("n"), sum("price").as("p"))
       }),
-      // facade insert, attributable: the same 500-row batch (250 replaced
-      // keys + 250 fresh) into a data-only collection vs one carrying an
-      // IVF index — the delta IS the index-maintenance cost (cell rewrites
-      // for old+new assignments). Prep (collection + 1000 seed rows +
-      // index build) is untimed.
+      // facade insert, attributable: a 500-row batch with the SAME mix
+      // every iteration — 250 replaced seed keys + 250 gen-FRESH keys (gen
+      // increments per call, so iteration N never re-inserts iteration
+      // N-1's fresh keys as replacements; min-of-N measures one stable
+      // workload) — into a data-only collection vs one carrying an IVF
+      // index: the delta IS the index-maintenance cost (cell rewrites for
+      // old+new assignments). Prep (collection + 1000 seed rows + index
+      // build) is untimed.
       "b6b_upsert_data" -> (() => {
-        benchCat.insert("bench", "plain", upsertBatch(1, "plain"))
+        b6bGen += 1
+        benchCat.insert("bench", "plain", upsertBatch(b6bGen, "plain"))
         spark.range(1).toDF("ok")
       }),
       "b6c_upsert_indexed" -> (() => {
-        benchCat.insert("bench", "indexed", upsertBatch(1, "indexed"))
+        b6cGen += 1
+        benchCat.insert("bench", "indexed", upsertBatch(b6cGen, "indexed"))
         spark.range(1).toDF("ok")
       }),
       "b7_dedup_minhash_lsh" -> (() =>

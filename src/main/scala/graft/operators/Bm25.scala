@@ -100,13 +100,20 @@ object Bm25 {
   /** Per-(doc,term) BM25 weights for the whole corpus — the posting-list
     * table backing the sparse index (D4). `wScaled` is the fixed-point value.
     */
-  def postings(m: Model): DataFrame =
-    m.tf.join(m.docLen, "doc_id")
-      .join(m.termDf, "term")
+  def postings(m: Model, smallTf: Boolean = false): DataFrame = {
+    // smallTf: the tf/docLen side is a bounded batch (e.g. a request-sized
+    // insert being encoded against its collection's dictionary) — broadcast
+    // it so neither the vocabulary nor the batch is exchanged. A
+    // checkpointed batch has no catalog stats, so without the hint these
+    // degenerate to sort-merge joins (two shuffles + sorts per join).
+    val td0 = m.tf.join(if (smallTf) broadcast(m.docLen) else m.docLen, "doc_id")
+    val td  = if (smallTf) broadcast(td0) else td0
+    td.join(m.termDf, "term")
       .crossJoin(broadcast(m.global))
       .withColumn("w", weight)
       .withColumn("wScaled", round(col("w") * Scale, 0).cast("long"))
       .select("doc_id", "term", "w", "wScaled")
+  }
 
   /** Candidate scoring shared by the search entry points: the broadcast
     * query-term join runs FIRST, against the raw tf table, so the BM25
@@ -192,8 +199,9 @@ object Bm25 {
     * Term index = 32-bit token hash; `dropRatioBuild` drops the lowest-weight
     * fraction of postings (D4's drop_ratio_build, base_milvus.py:1301-1310).
     */
-  def encodeDocuments(m: Model, dropRatioBuild: Double = 0.0): DataFrame = {
-    var p = postings(m)
+  def encodeDocuments(m: Model, dropRatioBuild: Double = 0.0,
+      smallTf: Boolean = false): DataFrame = {
+    var p = postings(m, smallTf)
       .withColumn("termIdx",
         (Text.tokenHash32(Text.tokenCode(col("term"))) % Int.MaxValue).cast("int"))
     if (dropRatioBuild > 0) {

@@ -65,6 +65,17 @@ object SparseIndex {
     spark.read.schema("n LONG, sumdl LONG").parquet(s"$dir/global"),
     storedStats = true)
 
+  /** A computed-but-not-yet-committed incremental upsert: `add` is the
+    * batch-only model; `termDf`/`global` are the UPDATED (post-delta)
+    * dictionary and globals, MATERIALIZED (localCheckpoint) so consumers —
+    * the batch's sparse encoding on the data path, and [[commit]]'s own
+    * tmp write — share one evaluation that cannot race the directory swap.
+    * [[commit]] runs the tmp writes + swaps; callers overlap it with their
+    * data-table commit (the two write disjoint directory families).
+    */
+  final case class Pending(add: Bm25.Model, termDf: DataFrame,
+      global: DataFrame, commit: () => Unit)
+
   /** Incremental upsert: replace the stats of `batchDocs` (doc_id, text) —
     * tokenizes ONLY the batch, rewrites ONLY the touched tf/doclen buckets,
     * and applies count deltas to termdf/global. Equal to
@@ -72,9 +83,30 @@ object SparseIndex {
     * batch-only model so callers can encode the batch without re-tokenizing.
     */
   def upsert(spark: SparkSession, dir: String, batchDocs: DataFrame,
-      nBuckets: Int = 16, knownTouched: Option[Seq[Long]] = None): Bm25.Model = {
+      nBuckets: Int = 16, knownTouched: Option[Seq[Long]] = None,
+      broadcastBatch: Boolean = false): Bm25.Model = {
+    val p = prepareUpsert(spark, dir, batchDocs, nBuckets, knownTouched,
+      broadcastBatch)
+    p.commit()
+    p.add
+  }
+
+  /** The compute phase of [[upsert]]: everything up to (but excluding) the
+    * tmp writes and swaps. The returned updated stats let the caller encode
+    * the batch WITHOUT waiting for the bucket rewrites, so the sparse commit
+    * can run concurrently with the caller's data-table commit instead of
+    * serializing ~2 job latencies ahead of it.
+    */
+  def prepareUpsert(spark: SparkSession, dir: String, batchDocs: DataFrame,
+      nBuckets: Int = 16, knownTouched: Option[Seq[Long]] = None,
+      broadcastBatch: Boolean = false): Pending = {
     val add = Bm25.fit(batchDocs) // batch-only tokenization
-    if (!exists(dir)) { write(add, dir, nBuckets); return add }
+    if (!exists(dir))
+      return Pending(add, add.termDf, add.global, () => write(add, dir, nBuckets))
+    // request-sized batches broadcast their id set into every slice join (a
+    // checkpointed batch has no stats — without the hint these are
+    // sort-merge); unbounded insertDf batches keep the shuffle plans
+    def bb(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
     val batchIds = batchDocs.select("doc_id")
     // the catalog buckets data and sparse tables by the SAME hash
     // (pmod(xxhash64(pk), n) = pmod(doc_id, n)), so a caller that already
@@ -94,63 +126,79 @@ object SparseIndex {
 
     // removeDocs ∪ mergeStats on the slice: drop replaced docs' rows, union
     // the batch's (Bm25.removeDocs/mergeStats semantics, applied bucket-local).
-    val removedTf = tfSlice.join(batchIds, Seq("doc_id"), "left_semi")
-    val removedDl = dlSlice.join(batchIds, Seq("doc_id"), "left_semi")
-    val tfOut = tfSlice.join(batchIds, Seq("doc_id"), "left_anti").unionByName(add.tf)
-    val dlOut = dlSlice.join(batchIds, Seq("doc_id"), "left_anti").unionByName(add.docLen)
+    val removedTf = tfSlice.join(bb(batchIds), Seq("doc_id"), "left_semi")
+    val removedDl = dlSlice.join(bb(batchIds), Seq("doc_id"), "left_semi")
+    val tfOut = tfSlice.join(bb(batchIds), Seq("doc_id"), "left_anti").unionByName(add.tf)
+    val dlOut = dlSlice.join(bb(batchIds), Seq("doc_id"), "left_anti").unionByName(add.docLen)
 
     // termdf by delta: df' = df - df(removed) + df(added); drop zeros.
-    val minus = removedTf.groupBy("term").agg(count(lit(1)).as("minus"))
-    val plus  = add.tf.groupBy("term").agg(count(lit(1)).as("plus"))
+    // Formulated as UNION + one keyed aggregate (±1 per posting row folds
+    // map-side) — a full-outer-join formulation costs two sort-merge joins
+    // (4 extra shuffle/sort stages of fixed latency on the insert path) for
+    // the same arithmetic.
     val termDfOut = spark.read.schema("term STRING, df LONG").parquet(s"$dir/termdf")
-      .join(minus, Seq("term"), "full_outer")
-      .join(plus, Seq("term"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("df"), lit(0L)) - coalesce(col("minus"), lit(0L)) +
-          coalesce(col("plus"), lit(0L))).as("df"))
+      .unionByName(removedTf.select(col("term"), lit(-1L).as("df")))
+      .unionByName(add.tf.select(col("term"), lit(1L).as("df")))
+      .groupBy("term").agg(sum("df").as("df"))
       .filter(col("df") > 0)
 
-    // global by delta: n' = n - removed + added; sumdl likewise.
-    val remG = removedDl.agg(count(lit(1)).as("rn"),
-      coalesce(sum("dl"), lit(0L)).as("rs"))
-    val addG = add.docLen.agg(count(lit(1)).as("an"),
-      coalesce(sum("dl"), lit(0L)).as("as"))
+    // global by delta, same union-aggregate shape: n' = n - removed + added;
+    // sumdl likewise.
     val globalOut = spark.read.schema("n LONG, sumdl LONG").parquet(s"$dir/global")
-      .crossJoin(remG).crossJoin(addG)
-      .select((col("n") - col("rn") + col("an")).as("n"),
-        (col("sumdl") - col("rs") + col("as")).as("sumdl"))
+      .unionByName(removedDl.select(lit(-1L).as("n"), (-col("dl")).as("sumdl")))
+      .unionByName(add.docLen.select(lit(1L).as("n"), col("dl").as("sumdl")))
+      .agg(coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum("sumdl"), lit(0L)).as("sumdl"))
 
-    // Commit: tmp-write (materializes before the swap invalidates sources),
-    // then swap only the touched bucket dirs + the two small tables. The
-    // four tmp writes are independent of each other and only read PRE-swap
-    // state, so they run as CONCURRENT Spark jobs — on a request-sized
-    // batch each is a small fixed-overhead job, and overlapping them takes
-    // the sparse commit from 4 sequential job latencies to ~1.
-    val base = Paths.get(dir)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fTf = Future(writeTmp(
-      tfOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
-      base, "tf", partitioned = true))
-    val fDl = Future(writeTmp(
-      dlOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
-      base, "doclen", partitioned = true))
-    val fTd = Future(writeTmp(termDfOut, base, "termdf", partitioned = false))
-    val fG  = Future(writeTmp(globalOut, base, "global", partitioned = false))
-    val tfTmp = Await.result(fTf, Duration.Inf)
-    val dlTmp = Await.result(fDl, Duration.Inf)
-    val tdTmp = Await.result(fTd, Duration.Inf)
-    val gTmp  = Await.result(fG, Duration.Inf)
-    touched.foreach { b =>
-      swapDir(tfTmp.resolve(s"_bucket=$b"), base.resolve("tf").resolve(s"_bucket=$b"))
-      swapDir(dlTmp.resolve(s"_bucket=$b"), base.resolve("doclen").resolve(s"_bucket=$b"))
+    // Materialize the updated small tables ONCE: both the commit's tmp write
+    // and the caller's batch encoding consume them, and a lazy plan reading
+    // $dir/termdf could otherwise be re-evaluated mid-swap (double-applying
+    // the delta). Vocabulary-sized + single-row — cheap to pin; the two
+    // checkpoint jobs are independent, so run them concurrently (each is
+    // mostly fixed job latency at request-batch sizes).
+    val (termDfM, globalM) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fT = Future(termDfOut.localCheckpoint())
+      val fG = Future(globalOut.localCheckpoint())
+      (Await.result(fT, Duration.Inf), Await.result(fG, Duration.Inf))
     }
-    VectorStoreCatalog.deleteRec(tfTmp); VectorStoreCatalog.deleteRec(dlTmp)
-    swapDir(tdTmp, base.resolve("termdf"))
-    swapDir(gTmp, base.resolve("global"))
-    refresh(spark, dir)
-    add
+
+    val commit = () => {
+      // Commit: tmp-write (materializes before the swap invalidates
+      // sources), then swap only the touched bucket dirs + the two small
+      // tables. The four tmp writes are independent of each other and only
+      // read PRE-swap state, so they run as CONCURRENT Spark jobs — on a
+      // request-sized batch each is a small fixed-overhead job, and
+      // overlapping them takes the sparse commit from 4 sequential job
+      // latencies to ~1.
+      val base = Paths.get(dir)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fTf = Future(writeTmp(
+        tfOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
+        base, "tf", partitioned = true))
+      val fDl = Future(writeTmp(
+        dlOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
+        base, "doclen", partitioned = true))
+      val fTd = Future(writeTmp(termDfM, base, "termdf", partitioned = false))
+      val fG  = Future(writeTmp(globalM, base, "global", partitioned = false))
+      val tfTmp = Await.result(fTf, Duration.Inf)
+      val dlTmp = Await.result(fDl, Duration.Inf)
+      val tdTmp = Await.result(fTd, Duration.Inf)
+      val gTmp  = Await.result(fG, Duration.Inf)
+      touched.foreach { b =>
+        swapDir(tfTmp.resolve(s"_bucket=$b"), base.resolve("tf").resolve(s"_bucket=$b"))
+        swapDir(dlTmp.resolve(s"_bucket=$b"), base.resolve("doclen").resolve(s"_bucket=$b"))
+      }
+      VectorStoreCatalog.deleteRec(tfTmp); VectorStoreCatalog.deleteRec(dlTmp)
+      swapDir(tdTmp, base.resolve("termdf"))
+      swapDir(gTmp, base.resolve("global"))
+      refresh(spark, dir)
+    }
+    Pending(add, termDfM, globalM, commit)
   }
 
   private def writeTmp(df: DataFrame, base: Path, name: String,

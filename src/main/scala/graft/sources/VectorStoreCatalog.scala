@@ -122,6 +122,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private def bucketExpr(keyCol: org.apache.spark.sql.Column, n: Int) =
     pmod(xxhash64(keyCol), lit(n.toLong))
 
+  /** Driver-side twin of [[bucketExpr]] for keys the caller already holds
+    * (every request-path insert): same XxHash64(seed=42) the `xxhash64`
+    * function evaluates, so the request path can hand [[commitKeyed]] its
+    * touched-bucket set without a collect job. Parity is spec-pinned
+    * (CatalogSpec "driver-side bucket twin").
+    */
+  private[graft] def bucketOfKey(key: Any, n: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val h = key match {
+      case s: String => XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType, 42L)
+      case l: Long   => XxHash64Function.hash(l, LongType, 42L)
+      case other     => throw new IllegalArgumentException(s"key type ${other.getClass}")
+    }
+    ((h % n) + n) % n
+  }
+
   /** S4: load = read (+ optional cache, the Milvus load_collection analogue). */
   def load(tenant: String, model: String): DataFrame =
     loadRaw(tenant, model).drop("_bucket")
@@ -153,6 +170,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   val AutoFlushMinBatch: Int =
     sys.env.getOrElse("GRAFT_AUTO_FLUSH_MIN_BATCH", "100").toInt
+
+  /** Batches at or below this row count are broadcast into the commit's
+    * slice joins (request-path inserts are ≤1000 rows by contract; a
+    * 100k-row narrow batch is ~MBs — well under the broadcast ceiling).
+    * Larger insertDf batches keep fully distributed shuffle plans.
+    */
+  val SmallBatchRows: Long = 100000L
 
   /** Insert/upsert a batch (≤1000 rows, unique keys, dim-checked — the
     * reference's insert_data path, vector_store.py:292-404).
@@ -205,16 +229,22 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // INT64 collections generate their PK (auto_id, reference parity):
     // a reserved consecutive id block replaces the caller's keys; fresh ids
     // can never collide, so auto_id inserts are append-only by construction.
-    val keyed: DataFrame =
+    val nB = nBuckets(tenant, model)
+    val (keyed: DataFrame, touched: Seq[Long]) =
       if (auto) {
         val start = reserveAutoIds(tenant, model, rows.size)
-        rows.zipWithIndex.map { case (r, i) =>
+        (rows.zipWithIndex.map { case (r, i) =>
           (start + i, r.chunk, r.model, r.vector, r.metadata, r.dynamicFields)
-        }.toDF("flouds_vector_id", "chunk", "model", "vector", "metadata", "extra")
-      } else rows.toDF()
+        }.toDF("flouds_vector_id", "chunk", "model", "vector", "metadata", "extra"),
+          rows.indices.map(i => bucketOfKey(start + i.toLong, nB)).distinct)
+      } else (rows.toDF()
         .select(col("key").as("flouds_vector_id"), col("chunk"), col("model"),
-          col("vector"), col("metadata"), col("dynamicFields").as("extra"))
-    commitKeyed(tenant, model, keyed, partition, rows.size.toLong)
+          col("vector"), col("metadata"), col("dynamicFields").as("extra")),
+        rows.map(r => bucketOfKey(r.key, nB)).distinct)
+    // the keys are driver-resident on this path — the touched-bucket set
+    // comes for free instead of costing the commit a collect job
+    commitKeyed(tenant, model, keyed, partition, rows.size.toLong,
+      knownTouched = Some(touched))
   }
 
   /** §2.8 large-stream ingest: the same validated, bucket-restricted,
@@ -292,8 +322,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * + auto-flush. Caller holds the collection lock and has validated
     * `keyed` (flouds_vector_id, chunk, model, vector, metadata, extra).
     */
+  /** Per-stage wall-clock for [[commitKeyed]], printed to stderr when
+    * enabled (tools/ProfileInsert) — the commit is a fixed sequence of
+    * driver actions and the budget must be attributable job by job.
+    */
+  @volatile var profileStages: Boolean = false
+  private def stage[T](name: String)(f: => T): T =
+    if (!profileStages) f
+    else {
+      val t0 = System.nanoTime()
+      try f
+      finally System.err.println(
+        f"[stage] $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+
   private def commitKeyed(tenant: String, model: String, keyed: DataFrame,
-      partition: Option[String], batchSize: Long): Long = {
+      partition: Option[String], batchSize: Long,
+      knownTouched: Option[Seq[Long]] = None): Long = {
     val nB = nBuckets(tenant, model)
     // ONE eager materialization of the prepared batch. Two reasons: the
     // commit protocol walks the batch many times (bucket set, sparse delta,
@@ -301,7 +346,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // walk; and the sparse commit runs its tmp writes as concurrent jobs —
     // a shared LIVE local-relation projection (interpreted to_json) is not
     // thread-safe across those jobs, an RDD-backed batch is.
-    val batch = keyed
+    val batch = stage("batch checkpoint")(keyed
       // a NULL metadata map stores "{}" (the request path always stores a
       // JSON object — json.dumps(meta or {}) — and the metaRequired /
       // meta-filter pipeline treats NULL differently from "{}")
@@ -309,32 +354,48 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       .drop("metadata")
       .withColumn("part", lit(partition.getOrElse("_default")))
       .withColumn("_bucket", bucketExpr(col("flouds_vector_id"), nB))
-      .localCheckpoint()
+      .localCheckpoint())
 
-    val touched = batch.select("_bucket").distinct().collect()
-      .map(_.getLong(0)).toIndexedSeq
+    val touched = knownTouched.map(_.toIndexedSeq).getOrElse(
+      stage("touched collect")(
+        batch.select("_bucket").distinct().collect()
+          .map(_.getLong(0)).toIndexedSeq))
 
-    // H1/D4: incremental sparse-index commit + batch-only sparse encoding.
+    // H1/D4: incremental sparse-index stats + batch-only sparse encoding.
+    // PREPARE only — the updated termdf/global come back as materialized
+    // DataFrames, so the batch's encodings (the data path's only sparse
+    // dependency) never wait on the tf/doclen bucket rewrites; the sparse
+    // COMMIT itself runs as a concurrent job alongside the data commit
+    // below (disjoint directory families).
+    // A bounded batch (every request-path insert; insertDf below the
+    // threshold) is BROADCAST into each commit join: the checkpointed batch
+    // has no catalog stats, so without the hint every batch-vs-slice join
+    // plans as sort-merge — for a 500-row request that is ~6 needless
+    // shuffle stages of fixed latency on the serving insert path. Unbounded
+    // insertDf batches keep the distributed shuffle plans.
+    val small = batchSize <= SmallBatchRows
+    def bb(df: DataFrame) = if (small) broadcast(df) else df
+
     val batchDocs = batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
       col("chunk").as("text"))
-    val addModel = SparseIndex.upsert(spark, sparseDir(tenant, model).toString,
-      batchDocs, nB, knownTouched = Some(touched))
+    val pendingSparse = stage("sparse prepare")(
+      SparseIndex.prepareUpsert(spark, sparseDir(tenant, model).toString,
+        batchDocs, nB, knownTouched = Some(touched), broadcastBatch = small))
+    val addModel = pendingSparse.add
     val encModel = Bm25.Model(addModel.tf, addModel.docLen,
-      spark.read.schema("term STRING, df LONG")
-        .parquet(sparseDir(tenant, model).resolve("termdf").toString),
-      spark.read.schema("n LONG, sumdl LONG")
-        .parquet(sparseDir(tenant, model).resolve("global").toString))
+      pendingSparse.termDf, pendingSparse.global)
     val sparse = Bm25.encodeDocuments(encModel,
-      properties(tenant, model).getOrElse("drop_ratio_build", "0.0").toDouble)
+      properties(tenant, model).getOrElse("drop_ratio_build", "0.0").toDouble,
+      smallTf = small)
 
     val batchOut = batch
-      .join(sparse, xxhash64(col("flouds_vector_id")) === sparse("doc_id"), "left")
+      .join(bb(sparse), xxhash64(col("flouds_vector_id")) === sparse("doc_id"), "left")
       .drop("doc_id")
 
     // Bucket-restricted MERGE: read only the touched buckets, anti-join ∪
     // batch, rewrite only those bucket directories.
     val slice = loadRaw(tenant, model).filter(col("_bucket").isin(touched: _*))
-    val out = slice.join(batch.select("flouds_vector_id"),
+    val out = slice.join(bb(batch.select("flouds_vector_id")),
         Seq("flouds_vector_id"), "left_anti")
       .unionByName(batchOut.select(slice.columns.map(col).toSeq: _*))
 
@@ -345,19 +406,24 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // vectors away. ≤ |batch| cell ids.
     val idxOpt = if (indexExists(tenant, model)) Some(loadIndex(tenant, model)) else None
     val oldCells = idxOpt.map { idx =>
-      Ivf.assign(
-        slice.join(batch.select("flouds_vector_id"), Seq("flouds_vector_id"), "left_semi")
+      stage("old-cells collect")(Ivf.assign(
+        slice.join(bb(batch.select("flouds_vector_id")), Seq("flouds_vector_id"), "left_semi")
           .select(xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv")),
         idx.centroids, idx.metric)
-        .select("centroid_id").distinct().collect().map(_.getInt(0)).toIndexedSeq
+        .select("centroid_id").distinct().collect().map(_.getInt(0)).toIndexedSeq)
     }
 
-    // The data-table commit and the index absorbs below write DISJOINT
-    // directory families (data buckets vs index cells / graph buckets), and
-    // every cross-input they share (batch, oldCells) is materialized above —
-    // so the data commit runs as a concurrent job while the index rewrites
-    // proceed. Readers were never promised cross-table atomicity: each
-    // directory swap is atomic on its own, same as the sequential order.
+    // The sparse commit, the data-table commit, and the index absorbs below
+    // write DISJOINT directory families (sparse buckets vs data buckets vs
+    // index cells / graph buckets), and every cross-input they share
+    // (batch, updated termdf/global, oldCells) is materialized above — so
+    // all three run as concurrent jobs. Readers were never promised
+    // cross-table atomicity: each directory swap is atomic on its own, same
+    // as the sequential order. Failure of any commit aborts the insert with
+    // the OTHERS possibly applied — the commit is an idempotent keyed
+    // upsert, so replaying the same batch converges every table.
+    val sparseCommit = scala.concurrent.Future(pendingSparse.commit())(
+      scala.concurrent.ExecutionContext.global)
     val dataCommit = scala.concurrent.Future(replaceBuckets(tenant, model, out, touched))(
       scala.concurrent.ExecutionContext.global)
 
@@ -369,7 +435,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // therefore never sees a replaced key's old vector or a duplicate
     // doc_id, and the table does not grow without bound under upsert churn.
     // Cost: O(batch + affected cell partitions), independent of corpus size.
-    idxOpt.foreach { idx =>
+    idxOpt.foreach { idx => stage("ivf rewrite") {
       val assigned = Ivf.assign(
         batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv")),
@@ -391,7 +457,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       val batchIds = batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"))
       val kept = clusteredRaw(tenant, model)
         .filter(col("centroid_id").isin(cells: _*))
-        .join(batchIds, Seq("doc_id"), "left_anti")
+        .join(bb(batchIds), Seq("doc_id"), "left_anti")
       val outIdx = kept.unionByName(toAppend.select(kept.columns.map(col).toSeq: _*))
       val target = indexDir(tenant, model).resolve("clustered")
       val tmp = target.resolveSibling("clustered_tmp_" + System.nanoTime())
@@ -410,24 +476,26 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       }
       deleteRec(tmp)
       spark.catalog.refreshByPath(target.toString)
-    }
+    } }
 
     // The HNSW absorb's empty-graph path rebuilds FROM the data table, so
     // the data commit must be visible before it runs (the IVF rewrite above
     // already awaited it before its swap; a second Await on a completed
     // Future is a no-op — this one covers the no-IVF-index path).
-    scala.concurrent.Await.result(dataCommit,
-      scala.concurrent.duration.Duration.Inf)
+    stage("data commit await")(scala.concurrent.Await.result(dataCommit,
+      scala.concurrent.duration.Duration.Inf))
+    stage("sparse commit await")(scala.concurrent.Await.result(sparseCommit,
+      scala.concurrent.duration.Duration.Inf))
 
     // An HNSW graph absorbs the batch by CONNECT (see [[absorbIntoHnsw]]).
     if (hnswExists(tenant, model))
-      absorbIntoHnsw(tenant, model,
+      stage("hnsw absorb")(absorbIntoHnsw(tenant, model,
         batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
-          col("vector").as("dv")))
+          col("vector").as("dv"))))
 
     // S3 auto-flush decision (batch >= threshold; 0 always, <0 never)
     if (AutoFlushMinBatch == 0 || (AutoFlushMinBatch > 0 && batchSize >= AutoFlushMinBatch))
-      flush(tenant, model)
+      stage("auto-flush")(flush(tenant, model))
     batchSize
   }
 
@@ -1270,8 +1338,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val tmp = target.resolveSibling("data_tmp_" + System.nanoTime())
     // one file per (part, bucket) dir: keeps bucket dirs compact by
     // construction, so flush-compaction is normally a no-op
-    df.repartition(col("part"), col("_bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("part", "_bucket").parquet(tmp.toString)
+    stage("data tmp write")(df.repartition(col("part"), col("_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part", "_bucket").parquet(tmp.toString))
     if (!Files.exists(target)) {
       Files.move(tmp, target)
     } else {

@@ -30,12 +30,12 @@ object ProfileInsert {
     cat.insert("t", "m", (0 until 500).map(i =>
       EmbeddedVector(if (i < 250) s"seed$i" else s"w$i", s"warm doc $i", "m",
         Map(), vec(1000 + i))))
-    spark.sparkContext.setLogLevel("INFO")
+    cat.profileStages = true
     val t0 = System.nanoTime()
     cat.insert("t", "m", (0 until 500).map(i =>
       EmbeddedVector(if (i < 250) s"seed$i" else s"n$i", s"new doc $i", "m",
         Map(), vec(2000 + i))))
-    spark.sparkContext.setLogLevel("WARN")
+    cat.profileStages = false
     println(f"[profile] insert(500) took ${(System.nanoTime() - t0) / 1e9}%.2f s (indexed=$indexed)")
     spark.stop()
   }

@@ -51,6 +51,23 @@ class CatalogSpec extends SparkSpec {
     assert(!none.success)
   }
 
+  test("driver-side bucket twin matches pmod(xxhash64(key), n) exactly") {
+    import spark.implicits._
+    val cat = mkCatalog
+    val stringKeys = Seq("k0", "seed17", "", "Ünïcôdé-键", "a" * 256)
+    val longKeys   = Seq(1L, 42L, -7L, Long.MaxValue, Long.MinValue + 1)
+    for (n <- Seq(8, 16, 64)) {
+      val sparkStr = stringKeys.toDF("k")
+        .select(pmod(xxhash64(col("k")), lit(n.toLong))).as[Long].collect().toSeq
+      assert(sparkStr == stringKeys.map(cat.bucketOfKey(_, n)),
+        s"string bucket twin diverges at n=$n")
+      val sparkLong = longKeys.toDF("k")
+        .select(pmod(xxhash64(col("k")), lit(n.toLong))).as[Long].collect().toSeq
+      assert(sparkLong == longKeys.map(cat.bucketOfKey(_, n)),
+        s"long bucket twin diverges at n=$n")
+    }
+  }
+
   test("dimension mismatch and invalid rows are rejected (input_validator parity)") {
     val cat = mkCatalog
     cat.generateSchema(SchemaSpec("t1", "m1", dimension = 8))
