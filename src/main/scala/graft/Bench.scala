@@ -182,6 +182,18 @@ object Bench {
           .select(col("doc_id").as("qid"), col("qv"))
         Hnsw.search(g, queries, k = 10, ef = 64)
       }),
+      // bulk graph search: 512 queries through the shuffle-join query
+      // attach — hops amortize across the whole query set (per-query cost
+      // must fall ~an order of magnitude vs b14's 8-query request shape)
+      "b14b_hnsw_search_bulk" -> (() => {
+        val g = Hnsw.Graph(
+          spark.read.parquet(s"$prepDir/hnsw/nodes"),
+          spark.read.parquet(s"$prepDir/hnsw/edges"),
+          spark.read.parquet(s"$prepDir/hnsw/entries"), "COSINE")
+        val queries = docsCorpus.filter(col("doc_id") < 512)
+          .select(col("doc_id").as("qid"), col("qv"))
+        Hnsw.searchBulk(g, queries, k = 10, ef = 64)
+      }),
     )
 
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=b15_pq_probe_decode,b15b_pq_probe_adc

@@ -41,8 +41,15 @@ object Bm25 {
     * [[Bm25.scoredCandidates]]): a stored dictionary is a tiny scan worth a
     * broadcast join; a refit dictionary would re-aggregate the corpus.
     */
+  /** `termDfPruned`: when the backing dictionary is stored bucketed by term
+    * hash ([[graft.sources.SparseIndex]] `_tbucket=` layout), a function
+    * returning the dictionary PRUNED to the given query terms' buckets — a
+    * partition-filtered scan of ≤ |terms| dirs instead of the whole
+    * vocabulary. Serving uses it when the query terms are driver-known.
+    */
   final case class Model(tf: DataFrame, docLen: DataFrame, termDf: DataFrame,
-      global: DataFrame, storedStats: Boolean = false)
+      global: DataFrame, storedStats: Boolean = false,
+      termDfPruned: Option[Seq[String] => DataFrame] = None)
 
   /** Fit corpus stats over (idCol, textCol). Every table derives from the
     * ONE tokenized aggregation `tf` (dl = Σ tf per doc, bit-identical to
@@ -146,11 +153,19 @@ object Bm25 {
     * sparse index stats are always index-wide, candidates or not).
     */
   private def scoredCandidates(m: Model, qTerms: DataFrame,
-      candidates: Option[DataFrame]): DataFrame = {
+      candidates: Option[DataFrame],
+      driverTerms: Option[Seq[String]] = None): DataFrame = {
     val qT = broadcast(qTerms.select("term").distinct())
+    // Stored dictionary: prune to the query terms' hash buckets when the
+    // terms are driver-known (request path) — the lookup reads ≤ |terms|
+    // partition dirs instead of scanning the vocabulary (PlanShapeSpec pins
+    // the partition filter). Distributed-query callers (searchTopKDf) keep
+    // the full-dictionary join.
+    val dict = driverTerms.flatMap(ts => m.termDfPruned.map(f => f(ts)))
+      .getOrElse(m.termDf)
     val withDf =
       if (m.storedStats)
-        m.tf.join(qT, "term").join(broadcast(m.termDf.join(qT, "term")), "term")
+        m.tf.join(qT, "term").join(broadcast(dict.join(qT, "term")), "term")
       else
         m.tf.join(qT, "term")
           .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
@@ -172,12 +187,14 @@ object Bm25 {
       candidates: Option[DataFrame] = None): DataFrame = {
     val spark = m.tf.sparkSession
     import spark.implicits._
-    val qTerms = queries
+    val pairs = queries
       .flatMap { case (qid, text) =>
         text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.map(qid -> _)
       }
-      .toDF("qid", "term")
-    TopK.perKey(scoredCandidates(m, qTerms, candidates), "qid", "score", "doc_id", k)
+    val qTerms = pairs.toDF("qid", "term")
+    TopK.perKey(scoredCandidates(m, qTerms, candidates,
+        driverTerms = Some(pairs.map(_._2).distinct)),
+      "qid", "score", "doc_id", k)
       .select("qid", "rank", "doc_id", "score")
   }
 

@@ -182,16 +182,36 @@ object Hnsw {
     * top-ef, which is what a post-hoc filter over the unfiltered top-k does).
     */
   def search(g: Graph, queries: DataFrame, k: Int, ef: Int = 64,
-      maxHops: Int = 8, allowed: Option[DataFrame] = None): DataFrame = {
+      maxHops: Int = 8, allowed: Option[DataFrame] = None): DataFrame =
+    searchImpl(g, queries, k, ef, maxHops, allowed, broadcastQueries = true)
+
+  /** Bulk graph search: identical algorithm and results to [[search]]
+    * (BulkHnswSpec: row-identical at full and partial beam), but the query
+    * table attaches to each hop's candidates by a SHUFFLE join keyed on qid
+    * instead of a broadcast — a million-query batch is not broadcastable,
+    * and the hop amortization is already built in (each hop's joins serve
+    * EVERY query; the hop count is bounded by the graph diameter, not the
+    * query count). The query prep is materialized once so the source is
+    * not re-scanned every hop.
+    */
+  def searchBulk(g: Graph, queries: DataFrame, k: Int, ef: Int = 64,
+      maxHops: Int = 8, allowed: Option[DataFrame] = None): DataFrame =
+    searchImpl(g, queries, k, ef, maxHops, allowed, broadcastQueries = false)
+
+  private def searchImpl(g: Graph, queries: DataFrame, k: Int, ef: Int,
+      maxHops: Int, allowed: Option[DataFrame],
+      broadcastQueries: Boolean): DataFrame = {
     val desc = Knn.higherIsBetter(g.metric)
-    val qPrep = queries.select(col("qid"), col("qv"),
+    val qPrep0 = queries.select(col("qid"), col("qv"),
       VecExprs.norm2(col("qv")).as("nq2"))
+    val qPrep = if (broadcastQueries) qPrep0 else qPrep0.localCheckpoint()
 
     // (qid, doc_id, dv) → (qid, doc_id, s): per-pair scoring, queries
-    // broadcast (same kernel chain as Knn.scoredPairs).
+    // broadcast on the request path / qid-shuffled on the bulk path (same
+    // kernel chain as Knn.scoredPairs either way).
     def score(cand: DataFrame): DataFrame = cand
       .withColumn("nd2", VecExprs.norm2(col("dv")))
-      .join(broadcast(qPrep), "qid")
+      .join(if (broadcastQueries) broadcast(qPrep) else qPrep, "qid")
       .withColumn("dotp", VecExprs.dot(col("qv"), col("dv")))
       .withColumn("s", Knn.rawScore(g.metric))
       .select("qid", "doc_id", "s")

@@ -32,13 +32,37 @@ object Hybrid {
     searchScored(Knn.scored(corpus, queries.select("qid", "qv"), p.metric),
       bm25, queryTexts, p)
 
+  /** Bulk variant of [[search]]: the queries arrive as ONE DataFrame
+    * (qid BIGINT, qv ARRAY<DOUBLE>, text STRING) — both legs run their
+    * distributed-query forms ([[Knn.scored]] with the queries broadcast;
+    * [[Bm25.searchTopKDf]] tokenizes the query text inside the plan), so a
+    * million-query hybrid batch never routes query text through a
+    * driver-side Seq. Row-identical to [[search]] on the same queries
+    * (HybridSpec: bulk ≡ Seq path; same tokenizer, same fusion).
+    */
+  def searchDf(corpus: DataFrame, queries: DataFrame, bm25: Bm25.Model,
+      p: SearchParams, sparseCandidates: Option[DataFrame] = None): DataFrame =
+    fuse(Knn.scored(corpus, queries.select("qid", "qv"), p.metric),
+      Bm25.searchTopKDf(bm25, queries.select("qid", "text"),
+        math.min(p.limit, 50), sparseCandidates), p)
+
   /** [[search]] over a PRE-SCORED dense leg (qid, doc_id, rawScore) — the
     * facade's index-bounded path supplies per-query cell-pruned scores here
     * instead of a full-corpus cross join.
     */
   def searchScored(denseScored: DataFrame, bm25: Bm25.Model,
       queryTexts: Seq[(Long, String)], p: SearchParams,
-      sparseCandidates: Option[DataFrame] = None): DataFrame = {
+      sparseCandidates: Option[DataFrame] = None): DataFrame =
+    fuse(denseScored,
+      Bm25.searchTopK(bm25, queryTexts, math.min(p.limit, 50), sparseCandidates), p)
+
+  /** The shared fusion tail: top-legK both legs, full-outer RRF join,
+    * dense-only threshold, final rank. `sparseTopK` is (qid, rank, doc_id,
+    * score) from whichever sparse entry (driver Seq or distributed DF)
+    * produced it.
+    */
+  private def fuse(denseScored: DataFrame, sparseTopK: DataFrame,
+      p: SearchParams): DataFrame = {
     val legK = math.min(p.limit, 50)
 
     // Dense leg: metric top-legK per qid (codegen dot + partial top-k).
@@ -47,10 +71,10 @@ object Hybrid {
       .select(col("qid"), col("doc_id"), col("rawScore").as("dense_score"),
         col("rank").as("dense_rank"))
 
-    // Sparse leg (gated: only when query text present — H4). The candidate
-    // restriction (partition targeting) limits which docs score, never the
-    // df statistics (see Bm25.scoredCandidates).
-    val sparse = Bm25.searchTopK(bm25, queryTexts, legK, sparseCandidates)
+    // Sparse leg (gated by callers: only when query text present — H4). The
+    // candidate restriction (partition targeting) limits which docs score,
+    // never the df statistics (see Bm25.scoredCandidates).
+    val sparse = sparseTopK
       .select(col("qid"), col("doc_id"), col("score").as("sparse_score"),
         col("rank").as("sparse_rank"))
 

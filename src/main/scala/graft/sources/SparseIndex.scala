@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Durable form of the BM25 sparse index (D4) — the reference always searches
   * through its built sparse index (`/root/reference/app/milvus/base_milvus
@@ -34,6 +35,46 @@ object SparseIndex {
   private def bucketOf(docId: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(docId, lit(nBuckets.toLong))
 
+  /** The dictionary's own bucketing: `termdf/_tbucket=pmod(xxhash64(term),
+    * 64)`. 64 buckets so a ≤10-term query prunes to ≲15% of the vocabulary
+    * dirs; the dictionary is small, so 64 dirs cost nothing on write.
+    */
+  val TermBuckets = 64
+
+  private def termBucketCol =
+    pmod(xxhash64(col("term")), lit(TermBuckets.toLong))
+
+  /** Driver-side twin of [[termBucketCol]] (same XxHash64(seed=42) as the
+    * `xxhash64` function — parity spec-pinned with the catalog's key twin).
+    */
+  private[graft] def termBucketOf(term: String): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType, 42L)
+    ((h % TermBuckets) + TermBuckets) % TermBuckets
+  }
+
+  /** Bucketed vs legacy-flat dictionary layout (pre-r5 indexes wrote one
+    * flat parquet). Legacy reads stay correct (bucket column synthesized);
+    * the next upsert rewrites the dictionary bucketed.
+    */
+  private def termDfBucketed(dir: String): Boolean = {
+    val p = Paths.get(dir, "termdf")
+    Files.isDirectory(p) && Files.list(p).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_tbucket="))
+  }
+
+  /** The dictionary with its `_tbucket` partition column attached, whatever
+    * the on-disk layout.
+    */
+  private def termDfRaw(spark: SparkSession, dir: String): DataFrame =
+    if (termDfBucketed(dir))
+      spark.read.schema("term STRING, df LONG, _tbucket LONG")
+        .parquet(s"$dir/termdf")
+    else
+      spark.read.schema("term STRING, df LONG").parquet(s"$dir/termdf")
+        .withColumn("_tbucket", termBucketCol)
+
   /** Write a full model (initial build / rebuild). One file per bucket
     * (repartition on the bucket key before the partitioned write), so reads
     * are not dominated by per-file overhead.
@@ -45,7 +86,9 @@ object SparseIndex {
     m.docLen.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets))
       .repartition(col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(s"$dir/doclen")
-    m.termDf.write.mode(SaveMode.Overwrite).parquet(s"$dir/termdf")
+    m.termDf.withColumn("_tbucket", termBucketCol)
+      .repartition(col("_tbucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_tbucket").parquet(s"$dir/termdf")
     m.global.write.mode(SaveMode.Overwrite).parquet(s"$dir/global")
     refresh(m.tf.sparkSession, dir)
   }
@@ -61,9 +104,14 @@ object SparseIndex {
       .parquet(s"$dir/tf").select("doc_id", "term", "tf"),
     spark.read.schema("doc_id LONG, dl LONG")
       .parquet(s"$dir/doclen").select("doc_id", "dl"),
-    spark.read.schema("term STRING, df LONG").parquet(s"$dir/termdf"),
+    termDfRaw(spark, dir).select("term", "df"),
     spark.read.schema("n LONG, sumdl LONG").parquet(s"$dir/global"),
-    storedStats = true)
+    storedStats = true,
+    // per-request dictionary lookups prune to the query terms' hash
+    // buckets — a static partition filter over the `_tbucket=` dirs
+    termDfPruned = Some(terms => termDfRaw(spark, dir)
+      .filter(col("_tbucket").isin(terms.map(termBucketOf).distinct: _*))
+      .select("term", "df")))
 
   /** A computed-but-not-yet-committed incremental upsert: `add` is the
     * batch-only model; `termDf`/`global` are the UPDATED (post-delta)
@@ -136,7 +184,7 @@ object SparseIndex {
     // map-side) — a full-outer-join formulation costs two sort-merge joins
     // (4 extra shuffle/sort stages of fixed latency on the insert path) for
     // the same arithmetic.
-    val termDfOut = spark.read.schema("term STRING, df LONG").parquet(s"$dir/termdf")
+    val termDfOut = termDfRaw(spark, dir).select("term", "df")
       .unionByName(removedTf.select(col("term"), lit(-1L).as("df")))
       .unionByName(add.tf.select(col("term"), lit(1L).as("df")))
       .groupBy("term").agg(sum("df").as("df"))
@@ -179,12 +227,15 @@ object SparseIndex {
       import scala.concurrent.duration.Duration
       val fTf = Future(writeTmp(
         tfOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
-        base, "tf", partitioned = true))
+        base, "tf", partitionCol = Some("_bucket")))
       val fDl = Future(writeTmp(
         dlOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
-        base, "doclen", partitioned = true))
-      val fTd = Future(writeTmp(termDfM, base, "termdf", partitioned = false))
-      val fG  = Future(writeTmp(globalM, base, "global", partitioned = false))
+        base, "doclen", partitionCol = Some("_bucket")))
+      // the dictionary rewrite re-buckets by term hash — this is also the
+      // migration step for legacy flat dictionaries
+      val fTd = Future(writeTmp(termDfM.withColumn("_tbucket", termBucketCol),
+        base, "termdf", partitionCol = Some("_tbucket")))
+      val fG  = Future(writeTmp(globalM, base, "global", partitionCol = None))
       val tfTmp = Await.result(fTf, Duration.Inf)
       val dlTmp = Await.result(fDl, Duration.Inf)
       val tdTmp = Await.result(fTd, Duration.Inf)
@@ -202,11 +253,11 @@ object SparseIndex {
   }
 
   private def writeTmp(df: DataFrame, base: Path, name: String,
-      partitioned: Boolean): Path = {
+      partitionCol: Option[String]): Path = {
     val tmp = base.resolve(s"${name}_tmp_" + System.nanoTime())
-    val d = if (partitioned) df.repartition(col("_bucket")) else df
+    val d = partitionCol.fold(df)(c => df.repartition(col(c)))
     val w = d.write.mode(SaveMode.Overwrite)
-    (if (partitioned) w.partitionBy("_bucket") else w).parquet(tmp.toString)
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
     tmp
   }
 

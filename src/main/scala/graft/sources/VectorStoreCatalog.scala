@@ -260,9 +260,18 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * (VARCHAR-PK) collections only: at-least-once replay of an auto_id
     * batch would mint duplicate rows, and a distributed batch has no
     * driver-side order for id reservation.
+    *
+    * `ordinalCol`: name of a caller-supplied LONG column that defines the
+    * exact arrival order for within-batch last-wins dedup (largest ordinal
+    * wins per key; ties broken by partition order). Without it the order is
+    * proxied by `monotonically_increasing_id` — exact within any source
+    * that preserves partition order, but NOT a total arrival order across
+    * shuffled multi-partition sources; callers that re-key upstream should
+    * pass an explicit ordinal (e.g. a source offset or event timestamp).
     */
   def insertDf(tenant: String, model: String, df: DataFrame,
-      partition: Option[String] = None): Long = lockFor(tenant, model).synchronized {
+      partition: Option[String] = None,
+      ordinalCol: Option[String] = None): Long = lockFor(tenant, model).synchronized {
     require(collectionExists(tenant, model), s"collection missing for $tenant/$model")
     require(!autoId(tenant, model),
       s"distributed ingest into auto_id collection $tenant/$model is not " +
@@ -270,18 +279,27 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val dim = dimension(tenant, model)
     val maxMeta = properties(tenant, model).get("metadata_length").map(_.toInt)
 
+    ordinalCol.foreach { c =>
+      require(df.columns.contains(c), s"ordinal column '$c' missing from batch")
+    }
     val withExtra =
       if (df.columns.contains("extra")) df
       else df.withColumn("extra", typedLit(Map.empty[String, String]))
     // last occurrence of a key wins (stream order wins, as a later upsert
-    // would) — arrival order proxied by a monotonic per-partition ordinal,
-    // exact within any source that preserves partition order
-    val deduped = withExtra
-      .withColumn("_ord", monotonically_increasing_id())
+    // would): by the caller's explicit ordinal when given (deterministic
+    // across any partitioning — InsertDfOrdinalSpec), else proxied by a
+    // monotonic per-partition ordinal, exact within any source that
+    // preserves partition order. The monotonic id is always the tiebreak.
+    val ordered = withExtra.withColumn("_mono", monotonically_increasing_id())
+    val orderCols = ordinalCol
+      .map(c => Seq(col(c).cast("long").desc, col("_mono").desc))
+      .getOrElse(Seq(col("_mono").desc))
+    val deduped = ordered
       .withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("key").orderBy(col("_ord").desc)))
-      .filter(col("_rn") === 1).drop("_ord", "_rn")
+          .partitionBy("key").orderBy(orderCols: _*)))
+      .filter(col("_rn") === 1)
+      .drop((Seq("_mono", "_rn") ++ ordinalCol).distinct: _*)
       // one eager materialization: the commit protocol walks the batch
       // several times (bucket set, sparse delta, merge, index absorb) and a
       // streaming source must not be recomputed per walk

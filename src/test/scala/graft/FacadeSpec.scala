@@ -66,6 +66,13 @@ class CatalogSpec extends SparkSpec {
       assert(sparkLong == longKeys.map(cat.bucketOfKey(_, n)),
         s"long bucket twin diverges at n=$n")
     }
+    // and the dictionary's term-bucket twin (SparseIndex._tbucket pruning)
+    val terms = Seq("alpha", "word3", "spark", "Ünïcôdé", "")
+    val sparkT = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")),
+        lit(graft.sources.SparseIndex.TermBuckets.toLong))).as[Long].collect().toSeq
+    assert(sparkT == terms.map(graft.sources.SparseIndex.termBucketOf),
+      "term bucket twin diverges")
   }
 
   test("dimension mismatch and invalid rows are rejected (input_validator parity)") {
@@ -421,6 +428,31 @@ class VectorIngestStreamSpec extends SparkSpec {
       .withColumn("metadata", typedLit(Map.empty[String, String]))
     val e4 = intercept[IllegalArgumentException](cat.insertDf("t", "m", nullElem))
     assert(e4.getMessage.contains("invalid vectors"))
+  }
+
+  test("insertDf explicit ordinal: deterministic last-wins across shuffled partitions") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_insertdf_ord").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
+    // 10 versions of each of 4 keys, scattered over 8 partitions by a
+    // shuffle — monotonically_increasing_id order is partition-dependent
+    // here, so only the caller ordinal makes the winner deterministic
+    val rows = (0 until 40).map(i => (s"k${i % 4}", s"v$i", vec(i % 4), i.toLong))
+    val df = rows.toDF("key", "chunk", "vector", "seq")
+      .repartition(8, col("chunk"))
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+    assert(cat.insertDf("t", "m", df, ordinalCol = Some("seq")) == 4L)
+    val got = cat.load("t", "m").select("flouds_vector_id", "chunk").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // the max-seq row for key kj is i = 36 + j
+    (0 until 4).foreach { j =>
+      assert(got(s"k$j") == s"v${36 + j}",
+        s"key k$j kept ${got(s"k$j")}, want v${36 + j}")
+    }
+    // the ordinal column is consumed by dedup, not stored
+    assert(!cat.load("t", "m").columns.contains("seq"))
   }
 
   test("streaming ingest rejects auto_id collections (replay would duplicate rows)") {

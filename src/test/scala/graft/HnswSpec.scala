@@ -26,6 +26,26 @@ class HnswSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("searchBulk is row-identical to search at full and partial beam") {
+    val corpus = Tables.docsCorpus(spark, Sf).limit(300)
+      .select(col("doc_id"), col("qv").as("dv"))
+    val g = Hnsw.build(corpus, m = 6)
+    val queries = Tables.docsCorpus(spark, Sf).filter(col("doc_id") < 6)
+      .select(col("doc_id").as("qid"), col("qv"))
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    // full beam (ef >= |corpus|): the walk is exhaustive over the connected
+    // component — the strongest equality point
+    assert(dump(Hnsw.search(g, queries, k = 10, ef = 512)) ==
+      dump(Hnsw.searchBulk(g, queries, k = 10, ef = 512)),
+      "bulk full-beam results diverge")
+    // partial beam: same hops, same evictions, just a different join
+    // strategy for the query attach
+    assert(dump(Hnsw.search(g, queries, k = 10, ef = 16)) ==
+      dump(Hnsw.searchBulk(g, queries, k = 10, ef = 16)),
+      "bulk partial-beam results diverge")
+  }
+
   test("filtered search never returns a doc_id twice (evicted seeds stay visited)") {
     val corpus = Tables.docsCorpus(spark, Sf).limit(200)
       .select(col("doc_id"), col("qv").as("dv"))

@@ -71,6 +71,35 @@ class HybridSpec extends SparkSpec {
     val sparseOnly = rows.count(r => r.isNullAt(r.fieldIndex("dense_score")))
     assert(sparseOnly > 0, "sparse-only hits must survive the dense threshold")
   }
+
+  test("bulk searchDf is row-identical to the Seq path and keeps query text out of the driver plan") {
+    import spark.implicits._
+    val corpus = Tables.docsCorpus(spark, Sf).select(col("doc_id"), col("qv").as("dv"))
+    val docs = Tables.load(spark, Sf, "documents")
+    val m = Bm25.fit(docs)
+    // the query text derives from the distributed source (NOT a driver
+    // toDF) so the plan-shape assert below sees only the bulk path's own
+    // driver artifacts
+    val queriesDf = Tables.docsCorpus(spark, Sf).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("qv"),
+        concat(lit("spark data merge doc"), col("doc_id")).as("text"))
+    val texts = queriesDf.select("qid", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val p = SearchParams(limit = 10, scoreThreshold = Some(0.2))
+
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    val seqRes  = Hybrid.search(corpus, queriesDf.select("qid", "qv"), m, texts, p)
+    val bulkRes = Hybrid.searchDf(corpus, queriesDf, m, p)
+    assert(dump(seqRes) == dump(bulkRes), "bulk hybrid diverges from Seq path")
+
+    // bulk shape: the sparse leg's query analysis must run inside the plan
+    // (a distributed project over the queries source), never as a
+    // driver-materialized local relation of (qid, term) rows
+    val sparkPlan = bulkRes.queryExecution.executedPlan.toString
+    assert(!sparkPlan.contains("LocalTableScan"),
+      s"driver-side local relation in bulk hybrid plan:\n$sparkPlan")
+  }
 }
 
 class DedupSpec extends SparkSpec {

@@ -179,6 +179,44 @@ class PlanShapeSpec extends SparkSpec {
       "refit serving plan should derive df from the candidate window")
   }
 
+  test("stored dictionary lookup prunes to the query terms' _tbucket dirs") {
+    import spark.implicits._
+    val docs = (0L until 80L).map(i => (i, s"alpha beta doc$i word${i % 9}"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_tdprune").toString
+    graft.sources.SparseIndex.write(Bm25.fit(docs), dir, nBuckets = 4)
+    val m = graft.sources.SparseIndex.read(spark, dir)
+    // AQE wraps subplans in query stages that TreeNode.collect does not
+    // descend into — plan-shape asserts need the static plan (the
+    // executedPlan is materialized lazily, so AQE must stay off until the
+    // scan collection below has run)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Bm25.searchTopK(m, Seq(0L -> "alpha word3"), 5)
+      // the dictionary scan in the executed plan must carry a _tbucket
+      // partition filter (the pruned read), not scan the whole vocabulary
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("termdf")) => s
+      }
+      assert(scans.nonEmpty, "no termdf scan in the serving plan")
+      scans.foreach { s =>
+        assert(s.partitionFilters.exists(_.references.exists(_.name == "_tbucket")),
+          s"termdf scan lacks a _tbucket partition filter: ${s.metadata}")
+        // and the filter actually prunes: ≤ 2 distinct buckets for 2 terms
+        assert(s.selectedPartitions.partitionCount <= 2,
+          s"dictionary read touched ${s.selectedPartitions.partitionCount} dirs for 2 terms")
+      }
+      // results identical to a full-dictionary (pruner-less) model
+      val mFull = m.copy(termDfPruned = None)
+      assert(df.orderBy("qid", "rank").collect().map(_.toString).toSeq ==
+        Bm25.searchTopK(mFull, Seq(0L -> "alpha word3"), 5)
+          .orderBy("qid", "rank").collect().map(_.toString).toSeq,
+        "pruned dictionary changes results")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("PQ ADC serving plan: broadcast probe join, nd2 below the join, narrow pairs") {
     val corpus  = Tables.ordersCorpus(spark, Sf).select("doc_id", "dv")
     val queries = Tables.queryBatch(spark, 4)
