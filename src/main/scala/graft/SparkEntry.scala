@@ -126,6 +126,20 @@ object SparkEntry {
       Hybrid.search(corpus, queries, Bm25.fit(docs), HybridQueryTexts,
         SearchParams(metric = "COSINE", limit = 10, scoreThreshold = Some(0.0)))
     }),
+    // Bulk hybrid: the SAME request through [[Hybrid.searchDf]] — query
+    // text rides the query DataFrame (distributed tokenization via
+    // Bm25.searchTopKDf) instead of a driver Seq. Same oracle as
+    // q_hybrid_rrf: the bulk plan must reproduce the Seq path bit-for-bit.
+    "q_hybrid_bulk" -> ((s, dir) => {
+      val corpus = Tables.docsCorpus(s, dir)
+        .select(col("doc_id"), col("qv").as("dv"))
+      val queries = Tables.docsCorpus(s, dir).filter(col("doc_id") < 2)
+        .select(col("doc_id").as("qid"), col("qv"),
+          lit("spark join window merge data").as("text"))
+      val docs = Tables.load(s, dir, "documents")
+      Hybrid.searchDf(corpus, queries, Bm25.fit(docs),
+        SearchParams(metric = "COSINE", limit = 10, scoreThreshold = Some(0.0)))
+    }),
 
     // ---- dedup family over documents (training-data pipeline ops) ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -259,6 +273,17 @@ object SparkEntry {
         .select(col("doc_id").as("qid"), col("qv"))
       val g = Hnsw.build(corpus, m = 8)
       Hnsw.search(g, queries, k = 10, ef = 8192)
+    }),
+    // Bulk graph search at full beam: [[Hnsw.searchBulk]] (shuffle-join
+    // query attach) walks the same connected graph exhaustively, so it too
+    // must equal exact brute-force KNN — same oracle as q_hnsw_knn.
+    "q_hnsw_bulk" -> ((s, dir) => {
+      val corpus = Tables.docsCorpus(s, dir)
+        .select(col("doc_id"), col("qv").as("dv"))
+      val queries = Tables.docsCorpus(s, dir).filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"), col("qv"))
+      val g = Hnsw.build(corpus, m = 8)
+      Hnsw.searchBulk(g, queries, k = 10, ef = 8192)
     }),
 
     // ---- D2 variant: INT64 / auto_id primary keys (base_milvus.py:895-917,
@@ -459,6 +484,7 @@ object SparkEntry {
     // exactly the answers of a from-scratch fit over the true corpus.
     "q_bm25_persisted" -> Oracles.bm25TopK(HybridQueryTexts, 10),
     "q_hybrid_rrf"    -> Oracles.hybridRrf(2, HybridQueryTexts, 10, 0.0),
+    "q_hybrid_bulk"   -> Oracles.hybridRrf(2, HybridQueryTexts, 10, 0.0),
     "q_dedup_exact"   -> Oracles.dedupExact,
     "q_dedup_minhash" -> Oracles.dedupMinhash,
     "q_dedup_lsh_pairs" -> Oracles.dedupLshPairs,
@@ -491,6 +517,7 @@ object SparkEntry {
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),
     // full-width beam (ef ≥ corpus) over a connected graph == exact KNN
     "q_hnsw_knn"      -> Oracles.annEmbedExact(8, 10),
+    "q_hnsw_bulk"     -> Oracles.annEmbedExact(8, 10),
     "q_ann_lsh"       -> Oracles.annLsh(4, 10),
     "q_sessionize"    -> Oracles.sessionize(30L * 60 * 1000000L), // us gap, matches query
     "q_events_hourly" -> Oracles.eventsHourly,
