@@ -68,16 +68,19 @@ object Bench {
         graft.api.EmbeddedVector(key, s"bench doc $gen $i lorem ipsum", m,
           Map("g" -> gen.toString), benchVec(gen * 1000 + i))
       }
-    for (m <- Seq("plain", "indexed")) {
-      benchCat.generateSchema(graft.api.SchemaSpec("bench", m, dimension = 64))
+    for (m <- Seq("plain", "indexed", "deltam")) {
+      benchCat.generateSchema(graft.api.SchemaSpec("bench", m, dimension = 64,
+        extraProps = if (m == "deltam") Map("ingest_mode" -> "delta") else Map.empty))
       benchCat.insert("bench", m, (0 until 1000).map(i =>
         graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", m,
           Map("g" -> "0"), benchVec(i))))
     }
     benchCat.persistIndex("bench", "indexed")
+    benchCat.flush("bench", "deltam") // fold the seed wave (untimed)
     // per-iteration generation counters for the insert benches (see b6b/b6c)
     var b6bGen = 0
     var b6cGen = 0
+    var b6dGen = 0
 
     val benches: Seq[(String, () => DataFrame)] = Seq(
       "b1_knn_cos_64q" -> (() => Knn.search(ordersCorpus, q64,
@@ -138,6 +141,15 @@ object Bench {
       "b6c_upsert_indexed" -> (() => {
         b6cGen += 1
         benchCat.insert("bench", "indexed", upsertBatch(b6cGen, "indexed"))
+        spark.range(1).toDF("ok")
+      }),
+      // the same 500-row mix into a merge-on-read (`ingest_mode = delta`)
+      // collection: the commit appends ONE delta file instead of rewriting
+      // the touched buckets — the b6b delta is the data-merge cost that
+      // append-only ingest avoids (deltas fold on flush, untimed here)
+      "b6d_upsert_delta" -> (() => {
+        b6dGen += 1
+        benchCat.insert("bench", "deltam", upsertBatch(b6dGen, "deltam"))
         spark.range(1).toDF("ok")
       }),
       "b7_dedup_minhash_lsh" -> (() =>

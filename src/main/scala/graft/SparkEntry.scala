@@ -335,6 +335,31 @@ object SparkEntry {
         get_json_object(col("meta"), "$.lang").as("lang"))
     }),
 
+    // ---- S1 merge-on-read variant: the SAME ingest against an
+    //      `ingest_mode = delta` collection, with the re-key wave in a
+    //      SEPARATE commit and no fold — the read must resolve last-wins
+    //      across two pending delta files (VectorStoreCatalog.loadRaw).
+    //      Same oracle as q_insert_df: the view is commit-structure-free.
+    "q_insert_delta" -> ((s, dir) => {
+      val cat = new graft.sources.VectorStoreCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_insdelta").toString)
+      cat.generateSchema(graft.api.SchemaSpec("oracle", "ins-delta", dimension = 8,
+        extraProps = Map("ingest_mode" -> "delta")))
+      def asRows(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(lit("k"), col("doc_id")).as("key"),
+        col("text").as("chunk"),
+        map(lit("lang"), col("lang")).as("metadata"),
+        Tables.synthVec(col("doc_id"), 8).as("vector"))
+      cat.insertDf("oracle", "ins-delta",
+        asRows(Tables.load(s, dir, "documents").filter(col("doc_id") < 150)))
+      cat.insertDf("oracle", "ins-delta",
+        asRows(Tables.load(s, dir, "documents").filter(col("doc_id") < 10))
+          .withColumn("chunk", concat(lit("v2 "), col("chunk"))))
+      cat.load("oracle", "ins-delta").select(
+        col("flouds_vector_id").as("key"), col("chunk"),
+        get_json_object(col("meta"), "$.lang").as("lang"))
+    }),
+
     // ---- D3/A1-approx: IVF index build + nprobe-routed search. The codebook
     //      is a DETERMINISTIC seeded one (Ivf.seededCentroids) so assignment,
     //      routing, and the cell-pruned scan are all DuckDB-replicable —
@@ -513,6 +538,7 @@ object SparkEntry {
     "q_upsert"        -> Oracles.upsert,
     "q_int64_pk"      -> Oracles.int64Pk,
     "q_insert_df"     -> Oracles.insertDfRoundtrip,
+    "q_insert_delta"  -> Oracles.insertDfRoundtrip,
     "q_ivf_knn"       -> Oracles.ivfKnn(8, 16, 4, 10),
     "q_ann_embed"     -> Oracles.annEmbedExact(4, 10),
     // full-width beam (ef ≥ corpus) over a connected graph == exact KNN

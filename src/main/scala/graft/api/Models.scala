@@ -32,7 +32,14 @@ final case class SchemaSpec(
       * `auto_id = dtype == INT64` in the reference). INT / STRING are the
       * reference's accepted aliases.
       */
-    primaryKeyDataType: String = "VARCHAR") {
+    primaryKeyDataType: String = "VARCHAR",
+    /** Engine-side layout/tuning properties with no reference analogue —
+      * `n_buckets` (hash-bucket count of the data layout), `ingest_mode`
+      * (`merge` = read-merge-swap commit, `delta` = merge-on-read append;
+      * see VectorStoreCatalog), `max_delta_files` (delta fold threshold).
+      * Core schema keys always win over entries here.
+      */
+    extraProps: Map[String, String] = Map.empty) {
   require(dimension >= 1 && dimension <= 4096, "dimension 1-4096")
   require(Set("COSINE", "L2", "IP")(metricType), "metric COSINE|L2|IP")
   require(Set("IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW")(indexType), "index type")
@@ -41,6 +48,8 @@ final case class SchemaSpec(
   require(dropRatioBuild >= 0.0 && dropRatioBuild <= 1.0, "drop_ratio_build 0-1")
   require(Set("VARCHAR", "STRING", "INT64", "INT")(primaryKeyDataType.toUpperCase),
     "primary_key_data_type VARCHAR|STRING|INT64|INT")
+  require(Set("merge", "delta")(extraProps.getOrElse("ingest_mode", "merge")),
+    "ingest_mode merge|delta")
 
   /** Normalized dtype, as the reference's dtype_map collapses aliases. */
   def pkType: String =

@@ -51,7 +51,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def tableName(tenant: String, model: String): String =
     s"vector_store_schema_for_${tenant}_${model.toLowerCase.replaceAll("[-.]", "_")}"
 
-  private def tableDir(tenant: String, model: String): Path =
+  private[graft] def tableDir(tenant: String, model: String): Path =
     Paths.get(basePath, dbName(tenant), tableName(tenant, model))
   private def dataDir(tenant: String, model: String): Path =
     tableDir(tenant, model).resolve("data")
@@ -89,7 +89,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     Validation.requireValidModel(spec.model)
     val dir = tableDir(spec.tenant, spec.model)
     Files.createDirectories(dir)
-    val props = Map(
+    val props = spec.extraProps ++ Map(
       "dimension" -> spec.dimension.toString,
       "metric_type" -> spec.metricType,
       "index_type" -> spec.indexType,
@@ -119,6 +119,43 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def nBuckets(tenant: String, model: String): Int =
     properties(tenant, model).getOrElse("n_buckets", "16").toInt
 
+  /** Data-commit strategy (`ingest_mode` property):
+    *  - `merge` (default): read-merge-swap — each commit rewrites the
+    *    touched `_bucket` dirs; reads stay a plain bucketed scan.
+    *  - `delta`: merge-on-read — each commit APPENDS one delta file and
+    *    reads NOTHING from the base table (write O(batch)); readers resolve
+    *    last-wins per key against the pending deltas and [[flush]] folds
+    *    them back into the bucket layout. The mode for high-churn
+    *    small-batch ingest at large corpus size: a 500-row batch hashes to
+    *    ~min(500, nB) distinct buckets, and once buckets are GBs each (100
+    *    TB / thousands of buckets) even a bucket-restricted merge reads
+    *    orders of magnitude more than it writes.
+    */
+  def ingestMode(tenant: String, model: String): String =
+    properties(tenant, model).getOrElse("ingest_mode", "merge")
+
+  private def deltaDir(tenant: String, model: String): Path =
+    tableDir(tenant, model).resolve("_delta")
+
+  /** Auto-flush folds pending deltas once MORE than this many commits are
+    * outstanding (`max_delta_files` property) — bounding the merge-on-read
+    * view at ≤N+1 broadcastable delta batches while amortizing the fold's
+    * bucket rewrite over N inserts (explicit [[flush]] always folds).
+    */
+  private def maxDeltaFiles(tenant: String, model: String): Int =
+    properties(tenant, model).getOrElse("max_delta_files", "8").toInt
+
+  /** Monotonic commit sequence for delta files, persisted so last-wins
+    * ordering survives driver restarts (`System.nanoTime` origin is
+    * arbitrary per JVM). Called under the collection lock.
+    */
+  private def nextDeltaSeq(tenant: String, model: String): Long = {
+    val p = tableDir(tenant, model).resolve("_delta_seq.json")
+    val next = if (Files.exists(p)) readJson(p)("next").toLong else 1L
+    writeJson(p, Map("next" -> (next + 1).toString))
+    next
+  }
+
   private def bucketExpr(keyCol: org.apache.spark.sql.Column, n: Int) =
     pmod(xxhash64(keyCol), lit(n.toLong))
 
@@ -143,14 +180,43 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def load(tenant: String, model: String): DataFrame =
     loadRaw(tenant, model).drop("_bucket")
 
-  /** Like [[load]] but keeps the `_bucket` layout column for pruned reads. */
+  /** Like [[load]] but keeps the `_bucket` layout column for pruned reads.
+    *
+    * When delta commits are pending (`ingest_mode = delta`), this is the
+    * MERGE-ON-READ view: the highest `_dseq` wins per key — deterministic,
+    * since `(key, _dseq)` is unique (each commit carries one deduped batch)
+    * — and shadowed base rows drop via a broadcast anti-join on the delta
+    * keys (each delta is one request/micro-batch; the fold threshold keeps
+    * the pending set at ≤ max_delta_files+1 of them, so the key list is
+    * always broadcastable). With no pending deltas the view is the plain
+    * bucketed scan — identical plan to merge mode.
+    */
   private def loadRaw(tenant: String, model: String): DataFrame = {
     val d = dataDir(tenant, model)
-    if (Files.exists(d) && Files.list(d).iterator().asScala.nonEmpty)
-      spark.read.schema(rawSchema(tenant, model)).parquet(d.toString)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      rawSchema(tenant, model))
+    val base =
+      if (Files.exists(d) && Files.list(d).iterator().asScala.nonEmpty)
+        spark.read.schema(rawSchema(tenant, model)).parquet(d.toString)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        rawSchema(tenant, model))
+    val pending = listDirs(deltaDir(tenant, model))
+    if (pending.isEmpty) base
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("flouds_vector_id").orderBy(col("_dseq").desc)
+      val winners = readDeltas(tenant, model, pending)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .drop("_rn", "_dseq")
+      base.join(broadcast(winners.select("flouds_vector_id")),
+          Seq("flouds_vector_id"), "left_anti")
+        .unionByName(winners)
+    }
   }
+
+  private def readDeltas(tenant: String, model: String,
+      pending: Seq[Path]): DataFrame =
+    spark.read
+      .schema(rawSchema(tenant, model).add(StructField("_dseq", LongType)))
+      .parquet(pending.map(_.toString): _*)
 
   /** Next auto_id block for an INT64 collection: reserves `n` consecutive
     * ids from the persisted counter (called under the collection lock, so
@@ -410,12 +476,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       .join(bb(sparse), xxhash64(col("flouds_vector_id")) === sparse("doc_id"), "left")
       .drop("doc_id")
 
-    // Bucket-restricted MERGE: read only the touched buckets, anti-join ∪
-    // batch, rewrite only those bucket directories.
+    // The merge-on-read slice of the touched buckets — the MERGE commit's
+    // read side, and (for IVF collections) where replaced keys' old vectors
+    // are found. In delta mode no commit ever executes it; only the
+    // old-cells lookup below does.
+    val deltaMode = ingestMode(tenant, model) == "delta"
     val slice = loadRaw(tenant, model).filter(col("_bucket").isin(touched: _*))
-    val out = slice.join(bb(batch.select("flouds_vector_id")),
-        Seq("flouds_vector_id"), "left_anti")
-      .unionByName(batchOut.select(slice.columns.map(col).toSeq: _*))
 
     // Cells where replaced keys' OLD rows live in the clustered table —
     // recomputed from their stored vectors ([[Ivf.assign]] is deterministic
@@ -442,8 +508,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // upsert, so replaying the same batch converges every table.
     val sparseCommit = scala.concurrent.Future(pendingSparse.commit())(
       scala.concurrent.ExecutionContext.global)
-    val dataCommit = scala.concurrent.Future(replaceBuckets(tenant, model, out, touched))(
-      scala.concurrent.ExecutionContext.global)
+    val dataCommit =
+      if (deltaMode) {
+        // merge-on-read commit: ONE appended delta file, no base-table read.
+        // The sequence is reserved here (driver, under the collection lock)
+        // so concurrent-collection commits can't interleave the counter.
+        val seq = nextDeltaSeq(tenant, model)
+        scala.concurrent.Future(appendDelta(tenant, model, batchOut, seq,
+          singleFile = small))(scala.concurrent.ExecutionContext.global)
+      } else {
+        // Bucket-restricted MERGE: read only the touched buckets, anti-join
+        // ∪ batch, rewrite only those bucket directories.
+        val out = slice.join(bb(batch.select("flouds_vector_id")),
+            Seq("flouds_vector_id"), "left_anti")
+          .unionByName(batchOut.select(slice.columns.map(col).toSeq: _*))
+        scala.concurrent.Future(replaceBuckets(tenant, model, out, touched))(
+          scala.concurrent.ExecutionContext.global)
+      }
 
     // Keep a persisted IVF index searchable across inserts WITHOUT a rebuild
     // and WITHOUT stale rows: the batch is assigned to its nearest existing
@@ -511,10 +592,32 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv"))))
 
-    // S3 auto-flush decision (batch >= threshold; 0 always, <0 never)
+    // S3 auto-flush decision (batch >= threshold; 0 always, <0 never).
+    // Delta mode folds only past the pending-commit threshold — folding
+    // every insert would re-pay the bucket rewrite the mode exists to
+    // avoid (an explicit flush() still always folds).
     if (AutoFlushMinBatch == 0 || (AutoFlushMinBatch > 0 && batchSize >= AutoFlushMinBatch))
-      stage("auto-flush")(flush(tenant, model))
+      if (!deltaMode ||
+          listDirs(deltaDir(tenant, model)).size > maxDeltaFiles(tenant, model))
+        stage("auto-flush")(flush(tenant, model))
     batchSize
+  }
+
+  /** Delta-mode data commit: write the prepared batch as ONE pending commit
+    * and atomically move it into `_delta/` — no base-table read, write
+    * O(batch). Request-sized batches coalesce to a single file; unbounded
+    * `insertDf` batches keep their write parallelism.
+    */
+  private def appendDelta(tenant: String, model: String, batchOut: DataFrame,
+      seq: Long, singleFile: Boolean): Unit = {
+    val cols = rawSchema(tenant, model).fields.map(f => col(f.name)).toSeq
+    val dd = deltaDir(tenant, model)
+    Files.createDirectories(dd)
+    val tmp = dd.resolveSibling("delta_tmp_" + System.nanoTime())
+    val rows = batchOut.select(cols: _*).withColumn("_dseq", lit(seq))
+    (if (singleFile) rows.coalesce(1) else rows)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.move(tmp, dd.resolve(f"d$seq%012d"))
   }
 
   /** S3: flush/OPTIMIZE hook — parquet writes are already atomic commits
@@ -527,6 +630,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   val FlushMaxFilesPerBucket = 4
 
   def flush(tenant: String, model: String): Unit = lockFor(tenant, model).synchronized {
+    foldDeltas(tenant, model)
     val d = dataDir(tenant, model)
     if (!Files.exists(d)) return
     // fragmentation is judged PER (part, bucket) DIRECTORY — a bucket whose
@@ -547,6 +651,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       val slice = loadRaw(tenant, model).filter(col("_bucket").isin(fragmented: _*))
       replaceBuckets(tenant, model, slice, fragmented)
     }
+  }
+
+  /** Fold pending delta commits into the bucket layout: rewrite exactly the
+    * buckets holding delta keys with the merge-on-read view (the fold
+    * observes the same last-wins winners readers already see), then drop
+    * the delta files. Idempotent — a crash between the bucket swap and the
+    * delta delete replays to the identical state, since re-applying a
+    * winner over its own folded row is a no-op keyed upsert.
+    */
+  private def foldDeltas(tenant: String, model: String): Unit = {
+    val pending = listDirs(deltaDir(tenant, model))
+    if (pending.isEmpty) return
+    val touched = readDeltas(tenant, model, pending)
+      .select("_bucket").distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val merged = loadRaw(tenant, model).filter(col("_bucket").isin(touched: _*))
+    replaceBuckets(tenant, model, merged, touched)
+    pending.foreach(deleteRec)
   }
 
   // ---- search facade (milvus_helper.search_embedded_data analogue) ----
