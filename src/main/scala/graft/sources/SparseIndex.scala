@@ -22,11 +22,15 @@ import scala.jdk.CollectionConverters._
   * Scale shape: an upsert batch touches only the bucket directories its
   * doc_ids hash to — tf/doclen updates are O(batch); `termdf` / `global` are
   * updated by DELTA (df ± per-term counts from the removed/added posting
-  * rows), so the whole commit is O(batch tokens + vocabulary), independent of
-  * corpus size. This is [[Bm25.removeDocs]] + [[Bm25.mergeStats]] (spec-proven
-  * equal to a refit) realized incrementally on storage. On a cluster the four
-  * tables would be Delta and the swap a MERGE; the operators above are
-  * storage-agnostic.
+  * rows), and the dictionary delta is APPENDED (`termdf_delta/`) rather than
+  * folded into a rewrite, so the steady-state commit is O(batch tokens) —
+  * independent of corpus size AND vocabulary size. Readers resolve the
+  * dictionary as base + pending deltas (commutative integer sums); every
+  * `maxTermDeltas` commits (or on [[foldTermDeltas]]) the view folds back
+  * into the bucketed base. This is [[Bm25.removeDocs]] + [[Bm25.mergeStats]]
+  * (spec-proven equal to a refit) realized incrementally on storage. On a
+  * cluster the four tables would be Delta and the swap a MERGE; the
+  * operators above are storage-agnostic.
   */
 object SparseIndex {
 
@@ -64,16 +68,47 @@ object SparseIndex {
       .exists(_.getFileName.toString.startsWith("_tbucket="))
   }
 
-  /** The dictionary with its `_tbucket` partition column attached, whatever
-    * the on-disk layout.
+  /** Pending dictionary-delta commits (`termdf_delta/d*` dirs): each upsert
+    * appends one batch-vocabulary-sized (term, ±df) file instead of
+    * rewriting the whole dictionary — the dictionary analogue of the data
+    * table's merge-on-read mode, and the removal of the last O(vocabulary)
+    * write from the steady-state insert. Deltas fold back into the bucketed
+    * base layout every `maxTermDeltas` commits (or on an explicit
+    * [[foldTermDeltas]]).
     */
-  private def termDfRaw(spark: SparkSession, dir: String): DataFrame =
-    if (termDfBucketed(dir))
-      spark.read.schema("term STRING, df LONG, _tbucket LONG")
-        .parquet(s"$dir/termdf")
-    else
-      spark.read.schema("term STRING, df LONG").parquet(s"$dir/termdf")
-        .withColumn("_tbucket", termBucketCol)
+  private def termDeltaDir(dir: String): Path = Paths.get(dir, "termdf_delta")
+
+  private def termDeltaFiles(dir: String): Seq[Path] = {
+    val p = termDeltaDir(dir)
+    if (!Files.isDirectory(p)) Nil
+    else Files.list(p).iterator().asScala
+      .filter(d => d.getFileName.toString.startsWith("d")).toSeq.sortBy(_.toString)
+  }
+
+  /** The dictionary with its `_tbucket` partition column attached, whatever
+    * the on-disk layout. With pending delta commits this is the
+    * MERGE-ON-READ view: base ∪ deltas, summed per term (commutative
+    * integer deltas — apply order is irrelevant), zero-count terms dropped.
+    * `_tbucket` stays a GROUPING column so a pruned read's bucket filter
+    * pushes below the aggregate to the base partition dirs.
+    */
+  private def termDfRaw(spark: SparkSession, dir: String): DataFrame = {
+    val base =
+      if (termDfBucketed(dir))
+        spark.read.schema("term STRING, df LONG, _tbucket LONG")
+          .parquet(s"$dir/termdf")
+      else
+        spark.read.schema("term STRING, df LONG").parquet(s"$dir/termdf")
+          .withColumn("_tbucket", termBucketCol)
+    val deltas = termDeltaFiles(dir)
+    if (deltas.isEmpty) base
+    else base.unionByName(
+        spark.read.schema("term STRING, df LONG, _tbucket LONG")
+          .parquet(deltas.map(_.toString): _*))
+      .groupBy("_tbucket", "term").agg(sum("df").as("df"))
+      .filter(col("df") > 0)
+      .select("term", "df", "_tbucket")
+  }
 
   /** Write a full model (initial build / rebuild). One file per bucket
     * (repartition on the bucket key before the partitioned write), so reads
@@ -90,6 +125,9 @@ object SparseIndex {
       .repartition(col("_tbucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_tbucket").parquet(s"$dir/termdf")
     m.global.write.mode(SaveMode.Overwrite).parquet(s"$dir/global")
+    // a full (re)build supersedes any pending dictionary deltas — stale
+    // ones would double-count against the fresh base
+    VectorStoreCatalog.deleteRec(termDeltaDir(dir))
     refresh(m.tf.sparkSession, dir)
   }
 
@@ -115,14 +153,35 @@ object SparseIndex {
 
   /** A computed-but-not-yet-committed incremental upsert: `add` is the
     * batch-only model; `termDf`/`global` are the UPDATED (post-delta)
-    * dictionary and globals, MATERIALIZED (localCheckpoint) so consumers —
-    * the batch's sparse encoding on the data path, and [[commit]]'s own
-    * tmp write — share one evaluation that cannot race the directory swap.
+    * dictionary view and globals. `global` and the batch's dictionary
+    * delta are MATERIALIZED (localCheckpoint); in steady state `termDf`
+    * stays a LAZY view over immutable sources (base + explicitly-listed
+    * pending deltas + the pinned batch delta — the commit only APPENDS,
+    * so re-evaluation cannot race a swap). On a fold iteration `termDf`
+    * is pinned too, because the fold's commit swaps the dictionary base.
     * [[commit]] runs the tmp writes + swaps; callers overlap it with their
     * data-table commit (the two write disjoint directory families).
     */
   final case class Pending(add: Bm25.Model, termDf: DataFrame,
       global: DataFrame, commit: () => Unit)
+
+  /** Fold any pending dictionary deltas into the bucketed base (the
+    * explicit-compaction hook — upserts also fold automatically every
+    * `maxTermDeltas` commits). Idempotent; a no-op without pending deltas.
+    */
+  def foldTermDeltas(spark: SparkSession, dir: String): Unit = {
+    val pending = termDeltaFiles(dir)
+    if (pending.isEmpty) return
+    val folded = termDfRaw(spark, dir)
+      .groupBy("term").agg(sum("df").as("df")).filter(col("df") > 0)
+      .localCheckpoint() // pin before the swap invalidates the lazy sources
+    val base = Paths.get(dir)
+    val tmp = writeTmp(folded.withColumn("_tbucket", termBucketCol),
+      base, "termdf", partitionCol = Some("_tbucket"))
+    swapDir(tmp, base.resolve("termdf"))
+    pending.foreach(VectorStoreCatalog.deleteRec)
+    refresh(spark, dir)
+  }
 
   /** Incremental upsert: replace the stats of `batchDocs` (doc_id, text) —
     * tokenizes ONLY the batch, rewrites ONLY the touched tf/doclen buckets,
@@ -132,9 +191,9 @@ object SparseIndex {
     */
   def upsert(spark: SparkSession, dir: String, batchDocs: DataFrame,
       nBuckets: Int = 16, knownTouched: Option[Seq[Long]] = None,
-      broadcastBatch: Boolean = false): Bm25.Model = {
+      broadcastBatch: Boolean = false, maxTermDeltas: Int = 16): Bm25.Model = {
     val p = prepareUpsert(spark, dir, batchDocs, nBuckets, knownTouched,
-      broadcastBatch)
+      broadcastBatch, maxTermDeltas)
     p.commit()
     p.add
   }
@@ -147,7 +206,7 @@ object SparseIndex {
     */
   def prepareUpsert(spark: SparkSession, dir: String, batchDocs: DataFrame,
       nBuckets: Int = 16, knownTouched: Option[Seq[Long]] = None,
-      broadcastBatch: Boolean = false): Pending = {
+      broadcastBatch: Boolean = false, maxTermDeltas: Int = 16): Pending = {
     val add = Bm25.fit(batchDocs) // batch-only tokenization
     if (!exists(dir))
       return Pending(add, add.termDf, add.global, () => write(add, dir, nBuckets))
@@ -179,16 +238,24 @@ object SparseIndex {
     val tfOut = tfSlice.join(bb(batchIds), Seq("doc_id"), "left_anti").unionByName(add.tf)
     val dlOut = dlSlice.join(bb(batchIds), Seq("doc_id"), "left_anti").unionByName(add.docLen)
 
-    // termdf by delta: df' = df - df(removed) + df(added); drop zeros.
-    // Formulated as UNION + one keyed aggregate (±1 per posting row folds
-    // map-side) — a full-outer-join formulation costs two sort-merge joins
-    // (4 extra shuffle/sort stages of fixed latency on the insert path) for
-    // the same arithmetic.
-    val termDfOut = termDfRaw(spark, dir).select("term", "df")
-      .unionByName(removedTf.select(col("term"), lit(-1L).as("df")))
+    // The batch's dictionary DELTA: df ±1 per removed/added posting row,
+    // batch-vocabulary-sized. Formulated as UNION + one keyed aggregate
+    // (folds map-side) — a full-outer-join formulation costs two sort-merge
+    // joins (4 extra shuffle/sort stages of fixed latency on the insert
+    // path) for the same arithmetic.
+    val batchTermDelta = removedTf.select(col("term"), lit(-1L).as("df"))
       .unionByName(add.tf.select(col("term"), lit(1L).as("df")))
       .groupBy("term").agg(sum("df").as("df"))
-      .filter(col("df") > 0)
+      .filter(col("df") =!= 0)
+      .withColumn("_tbucket", termBucketCol)
+
+    // Steady state APPENDS the delta (termdf_delta/, see termDfRaw) and the
+    // dictionary base is never rewritten — the insert carries no
+    // O(vocabulary) write. Every `maxTermDeltas` commits the view folds
+    // back into the bucketed base: the pre-delta full-rewrite cost,
+    // amortized to 1/N inserts.
+    val pendingDeltas = termDeltaFiles(dir)
+    val foldNow = pendingDeltas.size >= maxTermDeltas
 
     // global by delta, same union-aggregate shape: n' = n - removed + added;
     // sumdl likewise.
@@ -198,20 +265,33 @@ object SparseIndex {
       .agg(coalesce(sum("n"), lit(0L)).as("n"),
         coalesce(sum("sumdl"), lit(0L)).as("sumdl"))
 
-    // Materialize the updated small tables ONCE: both the commit's tmp write
-    // and the caller's batch encoding consume them, and a lazy plan reading
-    // $dir/termdf could otherwise be re-evaluated mid-swap (double-applying
-    // the delta). Vocabulary-sized + single-row — cheap to pin; the two
-    // checkpoint jobs are independent, so run them concurrently (each is
-    // mostly fixed job latency at request-batch sizes).
-    val (termDfM, globalM) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val fT = Future(termDfOut.localCheckpoint())
+    // Materialize the SMALL tables once (batch delta + single-row globals —
+    // both the commit's tmp write and the caller's batch encoding consume
+    // them); the two checkpoint jobs are independent, so run them
+    // concurrently. The effective dictionary stays a LAZY view: its
+    // sources (base + explicitly-listed delta dirs) are immutable under
+    // this commit's append, so re-evaluation cannot double-apply anything.
+    // Only a fold iteration pins the full dictionary — there the commit
+    // swaps the base under the lazy sources (the pre-delta behavior).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val (termDeltaM, globalM) = {
+      val fT = Future(batchTermDelta.localCheckpoint())
       val fG = Future(globalOut.localCheckpoint())
       (Await.result(fT, Duration.Inf), Await.result(fG, Duration.Inf))
     }
+    val termDfM =
+      if (!foldNow)
+        termDfRaw(spark, dir).unionByName(termDeltaM)
+          .groupBy("_tbucket", "term").agg(sum("df").as("df"))
+          .filter(col("df") > 0)
+          .select("term", "df")
+      else
+        termDfRaw(spark, dir).unionByName(termDeltaM)
+          .groupBy("term").agg(sum("df").as("df"))
+          .filter(col("df") > 0)
+          .localCheckpoint()
 
     val commit = () => {
       // Commit: tmp-write (materializes before the swap invalidates
@@ -231,10 +311,13 @@ object SparseIndex {
       val fDl = Future(writeTmp(
         dlOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
         base, "doclen", partitionCol = Some("_bucket")))
-      // the dictionary rewrite re-buckets by term hash — this is also the
-      // migration step for legacy flat dictionaries
-      val fTd = Future(writeTmp(termDfM.withColumn("_tbucket", termBucketCol),
-        base, "termdf", partitionCol = Some("_tbucket")))
+      // steady state: write the batch's SMALL delta; fold iterations write
+      // the pinned full dictionary (re-bucketed by term hash — also the
+      // migration step for legacy flat dictionaries)
+      val fTd = Future(
+        if (foldNow) writeTmp(termDfM.withColumn("_tbucket", termBucketCol),
+          base, "termdf", partitionCol = Some("_tbucket"))
+        else writeTmp(termDeltaM, base, "termdf_pending", partitionCol = None))
       val fG  = Future(writeTmp(globalM, base, "global", partitionCol = None))
       val tfTmp = Await.result(fTf, Duration.Inf)
       val dlTmp = Await.result(fDl, Duration.Inf)
@@ -245,7 +328,21 @@ object SparseIndex {
         swapDir(dlTmp.resolve(s"_bucket=$b"), base.resolve("doclen").resolve(s"_bucket=$b"))
       }
       VectorStoreCatalog.deleteRec(tfTmp); VectorStoreCatalog.deleteRec(dlTmp)
-      swapDir(tdTmp, base.resolve("termdf"))
+      if (foldNow) {
+        swapDir(tdTmp, base.resolve("termdf"))
+        pendingDeltas.foreach(VectorStoreCatalog.deleteRec)
+      } else {
+        // content-named append: replaying the SAME batch against the same
+        // pre-state reproduces the identical file name and overwrites its
+        // own delta instead of double-applying the counts
+        val h = java.lang.Long.toHexString(termDeltaM
+          .agg(coalesce(sum(xxhash64(col("term"), col("df"))), lit(0L)))
+          .head.getLong(0))
+        Files.createDirectories(termDeltaDir(dir))
+        val dst = termDeltaDir(dir).resolve(s"d$h")
+        VectorStoreCatalog.deleteRec(dst)
+        Files.move(tdTmp, dst)
+      }
       swapDir(gTmp, base.resolve("global"))
       refresh(spark, dir)
     }

@@ -54,8 +54,13 @@ object ProfileDelta {
           EmbeddedVector(key, s"doc $g $i", m, Map("g" -> g.toString),
             (0 until 64).map(j => (((g * 1000 + i) * 131 + j * 313 + 7) % 97 - 48).toDouble))
         }
+        if (g == iters) { // attribute the warmest iteration stage by stage
+          System.err.println(s"[pdelta] stages for mode=$mode corpus=$n:")
+          cat.profileStages = true
+        }
         val t0 = System.nanoTime()
         cat.insert("t", m, batch)
+        cat.profileStages = false
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[pdelta] mode=$mode%-5s corpus=$n%7d insert(500) iters: " +
