@@ -77,6 +77,24 @@ object Bench {
     }
     benchCat.persistIndex("bench", "indexed")
     benchCat.flush("bench", "deltam") // fold the seed wave (untimed)
+    // b6e fixture: a delta-mode collection held at a FIXED pending-delta
+    // count (4 small request-sized commits over a folded 1000-row base —
+    // below the fold threshold, so the merge-on-read view is stable across
+    // iterations). b6d times the delta COMMIT; this collection exists to
+    // time what the mode costs READERS: window over ≤N+1 delta batches +
+    // broadcast anti-join against the base scan.
+    benchCat.generateSchema(graft.api.SchemaSpec("bench", "deltaread",
+      dimension = 64, extraProps = Map("ingest_mode" -> "delta")))
+    benchCat.insert("bench", "deltaread", (0 until 1000).map(i =>
+      graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "deltaread",
+        Map("g" -> "0"), benchVec(i))))
+    benchCat.flush("bench", "deltaread")
+    for (g <- 1 to 4)
+      benchCat.insert("bench", "deltaread", (0 until 50).map { i =>
+        val key = if (i < 25) s"seed${g * 100 + i}" else s"p${g}_n$i"
+        graft.api.EmbeddedVector(key, s"pending doc $g $i lorem ipsum",
+          "deltaread", Map("g" -> g.toString), benchVec(g * 7000 + i))
+      })
     // per-iteration generation counters for the insert benches (see b6b/b6c)
     var b6bGen = 0
     var b6cGen = 0
@@ -152,6 +170,12 @@ object Bench {
         benchCat.insert("bench", "deltam", upsertBatch(b6dGen, "deltam"))
         spark.range(1).toDF("ok")
       }),
+      // the merge-on-read READ path: 8-query batch search against the
+      // deltaread collection's 4 pending delta commits (b6d's commit-side
+      // win is only a win if this stays near the folded-base read cost)
+      "b6e_search_pending_deltas" -> (() =>
+        benchCat.searchDfBatch(graft.api.SearchRequest("bench", "deltaread",
+          benchVec(3), limit = 10), (0 until 8).map(benchVec))),
       "b7_dedup_minhash_lsh" -> (() =>
         Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))),
       "b8_q1_agg" -> (() => SparkEntry.queries("q1_agg")(spark, sfDir)),
@@ -215,10 +239,15 @@ object Bench {
     // of 2–10× on identical code from JVM/host state (block-manager debt,
     // JIT, burst-throttled disk); min-of-N reports the operator, not the
     // noise. Per-iteration times go to stderr for transparency.
+    // A FAILED iteration contributes NO time: r5's harness let a crashed
+    // bench's time-to-exception enter `min`, so three red benches published
+    // as fast numbers. Failures now surface per-bench in an `errors` JSON
+    // field (+ an error_count), and a bench with zero successful iterations
+    // reports no timing at all.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = benches.filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        val times = (1 to iters).map { _ =>
+        val runs: Seq[Either[String, Double]] = (1 to iters).map { _ =>
           // isolate benches from each other's JVM debt: the heavy ones swing
           // up to 10× when they inherit a block manager full of predecessors'
           // dead localCheckpoint blocks (only a driver GC lets the
@@ -228,16 +257,36 @@ object Bench {
           System.gc()
           Thread.sleep(1000) // the cleaner applies GC'd refs asynchronously
           val t0 = System.nanoTime()
-          try fn().count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            fn().count()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            Left(e.toString.take(300))
+          }
         }
-        System.err.println(s"[bench] $name iters: ${times.map(t => f"$t%.2f").mkString(", ")}")
-        name -> times.min
+        System.err.println(s"[bench] $name iters: " + runs.map {
+          case Right(t) => f"$t%.2f"
+          case Left(_)  => "ERROR"
+        }.mkString(", "))
+        (name, runs.collect { case Right(t) => t },
+          runs.collect { case Left(m) => m })
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val ok = results.collect { case (n, ts, _) if ts.nonEmpty => n -> ts.min }
+    val failed = results.collect { case (n, _, errs) if errs.nonEmpty => n -> errs.head }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = failed.map { case (k, m) => "\"" + k + "\":\"" + esc(m) + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"error_count":${failed.size},"sf":"$sfDir"}""")
+    // NOT exiting non-zero on bench errors: the driver must still receive
+    // the JSON line (with its errors/error_count fields) — an artifact
+    // dropped on exit status is exactly the silent-red failure mode r5 had
     spark.stop()
   }
 }

@@ -20,11 +20,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failing query must be VISIBLE in the driver's correctness JSON, not
+    // silently absent (r5 lost two red queries that way): every failure is
+    // recorded in errors.json AND as a one-row `_error`-schema parquet in
+    // the query's slot, so even a driver that only diffs parquet against
+    // the oracle reports an unmistakable schema/row mismatch for it.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.toString).getOrElse("unknown").take(500)
+        try {
+          import spark.implicits._
+          Seq(failures(name)).toDF("_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case w: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: $w")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +56,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (empty object when green) so the driver — and the
+    // judge — can distinguish "no failures" from "failures swallowed"
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

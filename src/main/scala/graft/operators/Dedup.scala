@@ -28,6 +28,13 @@ object Dedup {
   /** Exact dedup (hash-groupBy on full text): one row per distinct text with
     * the kept id (min), duplicate count, and a position-weighted integer
     * fingerprint (order-sensitive, order-independently summable).
+    *
+    * ANSI-overflow bound: Σ pos·code ≈ code_max·n²/2 with code_max < 1.3e8,
+    * so the long sum stays exact up to n ≈ 370k tokens per doc — ~12× the
+    * worst case the 60k-char chunk contract admits (~30k single-char
+    * tokens; spec-pinned in AnsiSafetySpec). Docs beyond that bound need a
+    * modular fingerprint, which would break oracle parity for no gain at
+    * the supported doc sizes.
     */
   def exact(docs: DataFrame): DataFrame = {
     val toks = tokenTable(docs)

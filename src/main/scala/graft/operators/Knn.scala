@@ -80,18 +80,28 @@ object Knn {
       override def initialValue() = scala.collection.mutable.ArrayBuffer.empty
     }
 
-  /** Destroy the fused-scan query broadcasts created on THIS thread. Safe
-    * only once their consuming action has run (the facade collects first);
-    * destroying a broadcast a still-lazy plan references would fail that
-    * plan's later evaluation.
+  /** Scope marker for [[releaseFusedBroadcasts]]: the facade takes a mark
+    * at ENTRY and releases only broadcasts registered after it — a library
+    * caller that built a lazy `searchDf` plan earlier on the same thread
+    * must not have that plan's still-referenced broadcast destroyed by an
+    * unrelated facade call (its later evaluation would fail with a
+    * destroyed-broadcast SparkException).
     */
-  def releaseFusedBroadcasts(): Unit = {
+  def fusedBroadcastMark(): Int = pendingBroadcasts.get().size
+
+  /** Destroy the fused-scan query broadcasts created on THIS thread since
+    * `mark` (default: all of them). Safe only once their consuming action
+    * has run (the facade collects first); destroying a broadcast a
+    * still-lazy plan references would fail that plan's later evaluation.
+    */
+  def releaseFusedBroadcasts(mark: Int = 0): Unit = {
     val buf = pendingBroadcasts.get()
-    buf.foreach { ref =>
+    val from = math.min(mark, buf.size)
+    buf.drop(from).foreach { ref =>
       val bc = ref.get()
       if (bc != null) bc.destroy()
     }
-    buf.clear()
+    buf.remove(from, buf.size - from)
   }
 
   /** Score every (query, corpus) pair: broadcast-nested-loop join with a

@@ -62,11 +62,9 @@ object SparseIndex {
     * flat parquet). Legacy reads stay correct (bucket column synthesized);
     * the next upsert rewrites the dictionary bucketed.
     */
-  private def termDfBucketed(dir: String): Boolean = {
-    val p = Paths.get(dir, "termdf")
-    Files.isDirectory(p) && Files.list(p).iterator().asScala
+  private def termDfBucketed(dir: String): Boolean =
+    listChildren(Paths.get(dir, "termdf"))
       .exists(_.getFileName.toString.startsWith("_tbucket="))
-  }
 
   /** Pending dictionary-delta commits (`termdf_delta/d*` dirs): each upsert
     * appends one batch-vocabulary-sized (term, ±df) file instead of
@@ -78,11 +76,40 @@ object SparseIndex {
     */
   private def termDeltaDir(dir: String): Path = Paths.get(dir, "termdf_delta")
 
-  private def termDeltaFiles(dir: String): Seq[Path] = {
-    val p = termDeltaDir(dir)
-    if (!Files.isDirectory(p)) Nil
-    else Files.list(p).iterator().asScala
-      .filter(d => d.getFileName.toString.startsWith("d")).toSeq.sortBy(_.toString)
+  /** Closed-stream directory listing ([[VectorStoreCatalog.listChildren]])
+    * — these listings run per search request via `termDfPruned`, so an
+    * unclosed `Files.list` stream would leak one fd per request.
+    */
+  private def listChildren(p: Path): Seq[Path] =
+    VectorStoreCatalog.listChildren(p)
+
+  private def termDeltaFiles(dir: String): Seq[Path] =
+    listChildren(termDeltaDir(dir))
+      .filter(d => d.getFileName.toString.startsWith("d")).sortBy(_.toString)
+
+  /** Persisted monotonic commit sequence for dictionary-delta file names —
+    * the dictionary twin of the data table's `nextDeltaSeq`
+    * ([[VectorStoreCatalog]]). Driver-side read+increment under the
+    * caller's collection lock: no Spark job, no arithmetic over hash
+    * values. (The r5 content-hash name summed `xxhash64(term, df)` — a sum
+    * of uniform longs overflows with near-certainty beyond a few dozen
+    * terms, and Spark 4's default ANSI mode turns that into
+    * `SparkArithmeticException`; content-addressing was also WRONG, not
+    * just fragile: two different sequential commits with identical delta
+    * content — same text inserted under two keys — collided on one name
+    * and silently lost a df contribution.)
+    */
+  private def nextDeltaSeq(dir: String): Long = {
+    // named into the termdf_* family: the dictionary commit owns it (and
+    // the touched-bucket isolation spec treats dictionary files as the
+    // small always-updatable tables)
+    val p = Paths.get(dir, "termdf_delta_seq")
+    val next =
+      if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+      else 1L
+    Files.createDirectories(p.getParent)
+    Files.write(p, (next + 1).toString.getBytes("UTF-8"))
+    next
   }
 
   /** The dictionary with its `_tbucket` partition column attached, whatever
@@ -253,9 +280,12 @@ object SparseIndex {
     // dictionary base is never rewritten — the insert carries no
     // O(vocabulary) write. Every `maxTermDeltas` commits the view folds
     // back into the bucketed base: the pre-delta full-rewrite cost,
-    // amortized to 1/N inserts.
+    // amortized to 1/N inserts. The delta file name is reserved HERE
+    // (driver, under the caller's collection lock) so the commit phase
+    // below runs no naming job at all.
     val pendingDeltas = termDeltaFiles(dir)
     val foldNow = pendingDeltas.size >= maxTermDeltas
+    val deltaSeq = if (foldNow) -1L else nextDeltaSeq(dir)
 
     // global by delta, same union-aggregate shape: n' = n - removed + added;
     // sumdl likewise.
@@ -294,13 +324,15 @@ object SparseIndex {
           .localCheckpoint()
 
     val commit = () => {
-      // Commit: tmp-write (materializes before the swap invalidates
-      // sources), then swap only the touched bucket dirs + the two small
-      // tables. The four tmp writes are independent of each other and only
-      // read PRE-swap state, so they run as CONCURRENT Spark jobs — on a
+      // Commit, phase 1 — JOBS: tmp-write every output (materializes before
+      // any mutation). The four tmp writes are independent of each other,
+      // only read PRE-commit state, and run as CONCURRENT Spark jobs — on a
       // request-sized batch each is a small fixed-overhead job, and
       // overlapping them takes the sparse commit from 4 sequential job
-      // latencies to ~1.
+      // latencies to ~1. A failure ANYWHERE in this phase aborts with the
+      // index completely untouched (the r5 bug ran a naming job AFTER the
+      // bucket swaps, so its crash left tf/doclen new but termdf/global
+      // stale — and replaying could not converge).
       val base = Paths.get(dir)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -323,6 +355,24 @@ object SparseIndex {
       val dlTmp = Await.result(fDl, Duration.Inf)
       val tdTmp = Await.result(fTd, Duration.Inf)
       val gTmp  = Await.result(fG, Duration.Inf)
+      // an empty dictionary delta (e.g. a replay of a batch whose commit
+      // already completed: every removed row re-adds identically) appends
+      // nothing — the replay converges instead of accumulating no-op files
+      val emptyDelta = !foldNow && termDeltaM.isEmpty
+
+      // Phase 2 — RENAMES only (no Spark job can fail past this point;
+      // same-filesystem moves). On a cluster this whole phase is one table-
+      // format transaction; locally the per-directory renames are each
+      // atomic and ordered dictionary-first so a hard crash mid-phase
+      // leaves at worst CONSERVATIVE stats (delta applied, tf not yet:
+      // df counts the replaced docs' old terms once more until replay).
+      if (!foldNow && !emptyDelta) {
+        Files.createDirectories(termDeltaDir(dir))
+        // seq names are unique by reservation — two commits (or two
+        // different batches with IDENTICAL delta content, which the r5
+        // content-address silently collapsed) can never collide
+        Files.move(tdTmp, termDeltaDir(dir).resolve(f"d$deltaSeq%012d"))
+      }
       touched.foreach { b =>
         swapDir(tfTmp.resolve(s"_bucket=$b"), base.resolve("tf").resolve(s"_bucket=$b"))
         swapDir(dlTmp.resolve(s"_bucket=$b"), base.resolve("doclen").resolve(s"_bucket=$b"))
@@ -331,18 +381,7 @@ object SparseIndex {
       if (foldNow) {
         swapDir(tdTmp, base.resolve("termdf"))
         pendingDeltas.foreach(VectorStoreCatalog.deleteRec)
-      } else {
-        // content-named append: replaying the SAME batch against the same
-        // pre-state reproduces the identical file name and overwrites its
-        // own delta instead of double-applying the counts
-        val h = java.lang.Long.toHexString(termDeltaM
-          .agg(coalesce(sum(xxhash64(col("term"), col("df"))), lit(0L)))
-          .head.getLong(0))
-        Files.createDirectories(termDeltaDir(dir))
-        val dst = termDeltaDir(dir).resolve(s"d$h")
-        VectorStoreCatalog.deleteRec(dst)
-        Files.move(tdTmp, dst)
-      }
+      } else if (emptyDelta) VectorStoreCatalog.deleteRec(tdTmp)
       swapDir(gTmp, base.resolve("global"))
       refresh(spark, dir)
     }

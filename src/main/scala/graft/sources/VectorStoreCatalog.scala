@@ -194,7 +194,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private def loadRaw(tenant: String, model: String): DataFrame = {
     val d = dataDir(tenant, model)
     val base =
-      if (Files.exists(d) && Files.list(d).iterator().asScala.nonEmpty)
+      if (VectorStoreCatalog.listChildren(d).nonEmpty)
         spark.read.schema(rawSchema(tenant, model)).parquet(d.toString)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         rawSchema(tenant, model))
@@ -243,6 +243,16 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * Larger insertDf batches keep fully distributed shuffle plans.
     */
   val SmallBatchRows: Long = 100000L
+
+  /** Byte ceiling for the same broadcast decision: rows alone don't bound
+    * what `bb()` pushes through the driver — the broadcast side includes
+    * the batch's BM25 sparse encodings (∝ chunk tokens) and per-row
+    * vectors (up to 4096 doubles), so a near-`SmallBatchRows` batch of
+    * long documents could be hundreds of MB. Both gates must pass; the
+    * estimate is Σ(2·|chunk| + 8·dim + |meta| + slack) — the 2× covers
+    * the posting-list expansion of the chunk text.
+    */
+  val SmallBatchBytes: Long = 64L << 20
 
   /** Insert/upsert a batch (≤1000 rows, unique keys, dim-checked — the
     * reference's insert_data path, vector_store.py:292-404).
@@ -308,9 +318,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           col("vector"), col("metadata"), col("dynamicFields").as("extra")),
         rows.map(r => bucketOfKey(r.key, nB)).distinct)
     // the keys are driver-resident on this path — the touched-bucket set
-    // comes for free instead of costing the commit a collect job
+    // (and the broadcast-gate byte estimate) come for free instead of
+    // costing the commit extra jobs
+    val estBytes = rows.iterator.map(r =>
+      2L * r.chunk.length + 8L * r.vector.size +
+        metaJson(r.metadata).length + 64L).sum
     commitKeyed(tenant, model, keyed, partition, rows.size.toLong,
-      knownTouched = Some(touched))
+      knownTouched = Some(touched), estBytes = Some(estBytes))
   }
 
   /** §2.8 large-stream ingest: the same validated, bucket-restricted,
@@ -386,7 +400,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         exists(col("vector"), x => x.isNull || isnan(x) || abs(x) > 1e6), 1L)
         .otherwise(0L)).as("bad_vec"),
       sum(when(length(coalesce(to_json(col("metadata")), lit("{}"))) >
-        lit(maxMeta.getOrElse(Int.MaxValue)), 1L).otherwise(0L)).as("bad_meta")
+        lit(maxMeta.getOrElse(Int.MaxValue)), 1L).otherwise(0L)).as("bad_meta"),
+      // broadcast-gate byte estimate (see SmallBatchBytes) — same aggregate
+      // pass, no extra job
+      sum(coalesce(length(col("chunk")).cast("long"), lit(0L)) * 2L +
+        lit(8L * dim) +
+        coalesce(length(to_json(col("metadata"))).cast("long"), lit(2L)) +
+        lit(64L)).as("est_bytes")
     ).head
     require(v.getAs[Long]("bad_key") == 0, s"${v.getAs[Long]("bad_key")} rows with invalid keys")
     require(v.getAs[Long]("bad_chunk") == 0, s"${v.getAs[Long]("bad_chunk")} rows with oversize/null chunks")
@@ -398,7 +418,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
     val keyed = deduped.select(col("key").as("flouds_vector_id"), col("chunk"),
       lit(model).as("model"), col("vector"), col("metadata"), col("extra"))
-    commitKeyed(tenant, model, keyed, partition, n)
+    commitKeyed(tenant, model, keyed, partition, n,
+      estBytes = Some(v.getAs[Long]("est_bytes")))
   }
 
   /** The shared commit tail of [[insert]] / [[insertDf]]: bucket-restricted
@@ -422,7 +443,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
   private def commitKeyed(tenant: String, model: String, keyed: DataFrame,
       partition: Option[String], batchSize: Long,
-      knownTouched: Option[Seq[Long]] = None): Long = {
+      knownTouched: Option[Seq[Long]] = None,
+      estBytes: Option[Long] = None): Long = {
     val nB = nBuckets(tenant, model)
     // ONE eager materialization of the prepared batch. Two reasons: the
     // commit protocol walks the batch many times (bucket set, sparse delta,
@@ -457,7 +479,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // plans as sort-merge — for a 500-row request that is ~6 needless
     // shuffle stages of fixed latency on the serving insert path. Unbounded
     // insertDf batches keep the distributed shuffle plans.
-    val small = batchSize <= SmallBatchRows
+    // both gates: bounded ROWS and bounded BYTES (an unknown estimate —
+    // no caller measurement — trusts the row gate alone only up to the
+    // request-path contract size, where rows really do bound bytes)
+    val small = batchSize <= SmallBatchRows &&
+      estBytes.fold(batchSize <= Upsert.MaxBatch)(_ <= SmallBatchBytes)
     def bb(df: DataFrame) = if (small) broadcast(df) else df
 
     val batchDocs = batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
@@ -592,14 +618,21 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv"))))
 
-    // S3 auto-flush decision (batch >= threshold; 0 always, <0 never).
-    // Delta mode folds only past the pending-commit threshold — folding
-    // every insert would re-pay the bucket rewrite the mode exists to
-    // avoid (an explicit flush() still always folds).
-    if (AutoFlushMinBatch == 0 || (AutoFlushMinBatch > 0 && batchSize >= AutoFlushMinBatch))
-      if (!deltaMode ||
-          listDirs(deltaDir(tenant, model)).size > maxDeltaFiles(tenant, model))
-        stage("auto-flush")(flush(tenant, model))
+    // S3 auto-flush decision. Merge mode: batch >= threshold (0 always,
+    // <0 never — milvus_helper.py:121-131). Delta mode: folds once MORE
+    // than max_delta_files commits are pending, INDEPENDENT of batch size —
+    // the mode targets exactly the small-batch high-churn workload that
+    // never reaches the batch threshold, and an unbounded pending set
+    // breaks loadRaw's "≤ max_delta_files+1, always broadcastable"
+    // invariant (every read degrades, eventually the anti-join key
+    // broadcast OOMs the driver). AutoFlushMinBatch < 0 still means
+    // "never auto-flush" in both modes (an explicit flush() always folds).
+    val flushDue =
+      if (AutoFlushMinBatch < 0) false
+      else if (deltaMode)
+        listDirs(deltaDir(tenant, model)).size > maxDeltaFiles(tenant, model)
+      else AutoFlushMinBatch == 0 || batchSize >= AutoFlushMinBatch
+    if (flushDue) stage("auto-flush")(flush(tenant, model))
     batchSize
   }
 
@@ -643,7 +676,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       partDir <- listDirs(d)
       bDir <- listDirs(partDir)
       name = bDir.getFileName.toString if name.startsWith("_bucket=")
-      n = Files.list(bDir).iterator().asScala
+      n = VectorStoreCatalog.listChildren(bDir)
         .count(_.getFileName.toString.endsWith(".parquet"))
       if n > FlushMaxFilesPerBucket
     } yield name.stripPrefix("_bucket=").toLong).distinct
@@ -680,6 +713,28 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private def effectiveEf(req: SearchRequest, k: Int): Int =
     req.ef.map(e => math.max(e, k)).getOrElse(math.max(64, 2 * k))
 
+  /** The dense fetch width a request's filter pipeline over-fetches for:
+    * offset + limit, widened by `increase_limit_for_text_search` when a
+    * text filter will cut results after ranking (P4).
+    */
+  private def denseFetchK(req: SearchRequest): Int =
+    req.offset + req.limit +
+      (if (req.textFilter.exists(_.trim.nonEmpty)) req.increaseLimitForTextSearch
+       else 0)
+
+  /** The HNSW search width `k` the EXECUTING path runs with — the hybrid
+    * dense leg searches min(limit,50)·2 (H5 per-leg cap), the dense-only
+    * path [[denseFetchK]]·2+16 (margin because the exact re-rank uses the
+    * request metric on stored vectors). ONE definition consumed by BOTH
+    * the executing plan ([[searchDfBatch]]) and the echoed params — the r5
+    * duplicated expressions were a drift risk between the echoed `ef` and
+    * the one actually searched with.
+    */
+  private def hnswSearchK(req: SearchRequest): Int =
+    if (req.hybridSearch && req.textFilter.exists(_.nonEmpty))
+      math.min(req.limit, 50) * 2
+    else denseFetchK(req) * 2 + 16
+
   /** Effective knobs echoed in the response envelope, as the reference
     * echoes its request params back (search_base.py:12-95): the clamped
     * `ef` on an HNSW collection, `nprobe` on an IVF one.
@@ -688,20 +743,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val base = Map("metric_type" -> req.metricType,
       "limit" -> req.limit.toString, "offset" -> req.offset.toString,
       "consistency_level" -> req.consistencyLevel)
-    if (hnswExists(req.tenant, req.model)) {
-      // echo the ef the EXECUTING path uses: the hybrid dense leg searches
-      // with k = min(limit,50)*2 (H5 per-leg cap), the dense-only path with
-      // k = fetchK*2+16 — same expressions as searchDfBatch
-      val k =
-        if (req.hybridSearch && req.textFilter.exists(_.nonEmpty))
-          math.min(req.limit, 50) * 2
-        else {
-          val fetchK = req.offset + req.limit +
-            (if (req.textFilter.exists(_.trim.nonEmpty)) req.increaseLimitForTextSearch else 0)
-          fetchK * 2 + 16
-        }
-      base + ("ef" -> effectiveEf(req, k).toString)
-    } else if (indexExists(req.tenant, req.model))
+    if (hnswExists(req.tenant, req.model))
+      base + ("ef" -> effectiveEf(req, hnswSearchK(req)).toString)
+    else if (indexExists(req.tenant, req.model))
       base + ("nprobe" -> req.nprobe.toString)
     else base
   }
@@ -710,6 +754,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val t0 = System.nanoTime()
     require(collectionExists(req.tenant, req.model), "collection missing")
     Validation.requireValidVector(req.vector, dimension(req.tenant, req.model))
+    // scope the release to THIS call's broadcasts — a caller's earlier lazy
+    // searchDf plan on this thread keeps its own broadcast alive
+    val mark = Knn.fusedBroadcastMark()
     val res = searchDf(req)
     // Reference returns hits in rank order (vector_store.py:579-592) — keep
     // the rank through the plan and sort before collecting.
@@ -720,7 +767,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         }.toSeq
       // the result is collected — the fused scan's query broadcast (if the
       // unindexed path ran) is no longer referenced by anything live
-      finally Knn.releaseFusedBroadcasts()
+      finally Knn.releaseFusedBroadcasts(mark)
     val dt = (System.nanoTime() - t0) / 1e9
     if (rows.isEmpty)
       SearchResponse(success = false, "No vectors found for the given query.",
@@ -762,12 +809,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     require(vectors.nonEmpty && vectors.size <= 1000, "batch 1-1000 vectors")
     val dim = dimension(req.tenant, req.model)
     vectors.foreach(Validation.requireValidVector(_, dim))
+    val mark = Knn.fusedBroadcastMark()
     val byQ =
       try searchDfBatch(req, vectors)
         .orderBy(col("qid"), col("rank"))
         .select(col("qid"), col("chunk"), col("meta"))
         .collect().groupBy(_.getLong(0))
-      finally Knn.releaseFusedBroadcasts()
+      finally Knn.releaseFusedBroadcasts(mark)
     val dt = (System.nanoTime() - t0) / 1e9
     val echoed = echoParams(req)
     vectors.indices.map { q =>
@@ -822,8 +870,6 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val haveIndex = !haveHnsw && indexExists(req.tenant, req.model)
     lazy val idx = loadIndex(req.tenant, req.model)
     lazy val hnsw = loadHnsw(req.tenant, req.model)
-    val fetchK = req.offset + req.limit +
-      (if (req.textFilter.exists(_.trim.nonEmpty)) req.increaseLimitForTextSearch else 0)
 
     // Shared tail of every indexed path: per-query (qid, doc_id) winners →
     // bucket-pruned point lookups → exact per-pair re-score → the reference
@@ -854,7 +900,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
     // Index-bounded dense search; without any index: the full-scan Knn plan.
     def denseSearch(): DataFrame =
-      if (haveHnsw) pipelineOverWinners(hnswWinners(fetchK * 2 + 16))
+      if (haveHnsw) pipelineOverWinners(hnswWinners(hnswSearchK(req)))
       else if (haveIndex)
         pipelineOverWinners(indexedCandidates(req, idx, queries, partOpt, band)
           .select("qid", "doc_id"))
@@ -880,7 +926,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // HNSW legs re-score the beam-search winners' node vectors exactly.
       val denseScored =
         if (haveHnsw)
-          Knn.scoredPairs(hnswWinners(math.min(params.limit, 50) * 2)
+          // hnswSearchK resolves to the H5 per-leg cap min(limit,50)·2 on
+          // this branch (its condition IS this branch's guard)
+          Knn.scoredPairs(hnswWinners(hnswSearchK(req))
             .join(hnsw.nodes, "doc_id"), queries, req.metricType)
             .select("qid", "doc_id", "rawScore")
         else if (haveIndex) indexedScored(req, idx, queries, partOpt)
@@ -958,8 +1006,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     band.foreach { case (lo, hi) =>
       scored = scored.filter(col("rawScore") >= lo && col("rawScore") <= hi)
     }
-    val fetchK = req.offset + req.limit +
-      (if (req.textFilter.exists(_.trim.nonEmpty)) req.increaseLimitForTextSearch else 0)
+    val fetchK = denseFetchK(req)
     val quantized = sq8Params(req.tenant, req.model).isDefined ||
       pqCodebooks(req.tenant, req.model).isDefined
     val kIdx = if (quantized) fetchK * 4 + 32 else fetchK
@@ -1496,9 +1543,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   }
 
   private def listDirs(p: Path): Seq[Path] =
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.filter(Files.isDirectory(_)).toSeq
-    else Nil
+    VectorStoreCatalog.listChildren(p).filter(Files.isDirectory(_))
 }
 
 object VectorStoreCatalog {
@@ -1573,8 +1618,19 @@ object VectorStoreCatalog {
   }
 
   private[graft] def deleteRec(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq.foreach(deleteRec)
+    listChildren(p).foreach(deleteRec)
     Files.deleteIfExists(p)
   }
+
+  /** Children of `p` with the `Files.list` stream CLOSED — an unclosed
+    * stream leaks a directory fd, and several of these listings run per
+    * search request (delta-dir checks, fragmentation counts), which would
+    * exhaust fds in a long-lived serving driver.
+    */
+  private[graft] def listChildren(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Nil
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
 }

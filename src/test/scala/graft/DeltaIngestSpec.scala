@@ -139,6 +139,24 @@ class DeltaIngestSpec extends SparkSpec {
     assert(cat.load("t", "d3").count() == 300)
   }
 
+  test("small-batch delta ingest still folds past max_delta_files (bounded pending set)") {
+    val cat = mkCatalog
+    // batches FAR below AutoFlushMinBatch (100) — the high-churn small-batch
+    // workload the mode targets. The fold decision must fire on the
+    // pending-commit count alone; nesting it under the batch-size gate (the
+    // r5 shape) let the pending set grow without bound, breaking loadRaw's
+    // "≤ max_delta_files+1, always broadcastable" invariant.
+    cat.generateSchema(SchemaSpec("t", "d6", dimension = 8,
+      extraProps = DeltaProps + ("max_delta_files" -> "3")))
+    val deltaDir = cat.tableDir("t", "d6").resolve("_delta")
+    def pending = if (!Files.exists(deltaDir)) 0
+      else Files.list(deltaDir).iterator().asScala.size
+    for (w <- 1 to 10)
+      cat.insert("t", "d6", (0 until 5).map(i => row(s"w${w}_$i", w * 10 + i, "d6")))
+    assert(pending <= 4, s"pending deltas must stay bounded, got $pending")
+    assert(cat.load("t", "d6").count() == 50)
+  }
+
   test("merge-on-read view broadcasts the delta keys — the base side never shuffles") {
     val cat = mkCatalog
     cat.generateSchema(SchemaSpec("t", "d5", dimension = 8, extraProps = DeltaProps))
