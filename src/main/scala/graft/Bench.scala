@@ -95,6 +95,21 @@ object Bench {
         graft.api.EmbeddedVector(key, s"pending doc $g $i lorem ipsum",
           "deltaread", Map("g" -> g.toString), benchVec(g * 7000 + i))
       })
+    // ... and its CONTROL: the identical collection, folded — b6f minus
+    // b6e's number is the read-side cost of 4 pending deltas specifically
+    // (request overhead and corpus scan are common to both)
+    benchCat.generateSchema(graft.api.SchemaSpec("bench", "deltafold",
+      dimension = 64, extraProps = Map("ingest_mode" -> "delta")))
+    benchCat.insert("bench", "deltafold", (0 until 1000).map(i =>
+      graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "deltafold",
+        Map("g" -> "0"), benchVec(i))))
+    for (g <- 1 to 4)
+      benchCat.insert("bench", "deltafold", (0 until 50).map { i =>
+        val key = if (i < 25) s"seed${g * 100 + i}" else s"p${g}_n$i"
+        graft.api.EmbeddedVector(key, s"pending doc $g $i lorem ipsum",
+          "deltafold", Map("g" -> g.toString), benchVec(g * 7000 + i))
+      })
+    benchCat.flush("bench", "deltafold")
     // per-iteration generation counters for the insert benches (see b6b/b6c)
     var b6bGen = 0
     var b6cGen = 0
@@ -175,6 +190,9 @@ object Bench {
       // win is only a win if this stays near the folded-base read cost)
       "b6e_search_pending_deltas" -> (() =>
         benchCat.searchDfBatch(graft.api.SearchRequest("bench", "deltaread",
+          benchVec(3), limit = 10), (0 until 8).map(benchVec))),
+      "b6f_search_folded_control" -> (() =>
+        benchCat.searchDfBatch(graft.api.SearchRequest("bench", "deltafold",
           benchVec(3), limit = 10), (0 until 8).map(benchVec))),
       "b7_dedup_minhash_lsh" -> (() =>
         Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))),

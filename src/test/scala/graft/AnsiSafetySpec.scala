@@ -6,6 +6,7 @@ import graft.sources.{SparseIndex, VectorStoreCatalog}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Regressions for Spark 4's default `spark.sql.ansi.enabled=true` — the
   * mode this engine actually serves under (the shared test session leaves
@@ -63,6 +64,34 @@ class AnsiSafetySpec extends SparkSpec {
     assert(canon(m.global) == canon(ref.global), "globals != refit")
     val q = Seq(0L -> "common anchor t1_5_3")
     assert(canon(Bm25.searchTopK(m, q, 10)) == canon(Bm25.searchTopK(ref, q, 10)))
+  }
+
+  test("replaying a committed sparse batch converges: no duplicate delta, stats unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_replay").toString
+    val base = (0L until 20L).map(i => (i, s"base doc$i shared words"))
+      .toDF("doc_id", "text")
+    SparseIndex.write(Bm25.fit(base), dir, nBuckets = 4)
+    val batch = (15L until 25L).map(i => (i, s"updated doc$i fresh terms"))
+      .toDF("doc_id", "text")
+    SparseIndex.upsert(spark, dir, batch, nBuckets = 4)
+    val deltaDir = java.nio.file.Paths.get(dir, "termdf_delta")
+    def deltaCount = if (!Files.exists(deltaDir)) 0
+      else Files.list(deltaDir).iterator().asScala.count(_.getFileName.toString.startsWith("d"))
+    val after1 = deltaCount
+    def stats = {
+      val m = SparseIndex.read(spark, dir)
+      (m.termDf.collect().map(_.toSeq).toSet, m.global.collect().map(_.toSeq).toSet)
+    }
+    val s1 = stats
+    // the caller-contract idempotence claim: replaying an already-committed
+    // batch (every removed posting re-added identically) must append NO
+    // dictionary delta and leave every stat byte-identical — the seq-named
+    // append stays convergent where the r5 content-name needed (and failed)
+    // to guarantee it
+    SparseIndex.upsert(spark, dir, batch, nBuckets = 4)
+    assert(deltaCount == after1, "replay must not append a new dictionary delta")
+    assert(stats == s1, "replay must not change dictionary or global stats")
   }
 
   test("facade inserts with ~1k-term batches commit repeatedly (r5 overflow path)") {
