@@ -42,6 +42,11 @@ object Bench {
     val prepDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
     graft.sources.SparseIndex.write(
       Bm25.fit(docs), s"$prepDir/bm25", nBuckets = 16)
+    // incremental-dedup fixture: persisted LSH index over 80% of the docs;
+    // b7b queries the remaining 20% "crawl increment" against it
+    graft.sources.DedupIndex.build(
+      docs.select("doc_id", "text").filter(col("doc_id") % 5 =!= 0),
+      s"$prepDir/dedupidx", nBuckets = 16)
     val prepIdx = Ivf.build(ordersCorpus.select("doc_id", "dv"), nlist = 256, maxIter = 5)
     prepIdx.clustered.repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
@@ -196,6 +201,20 @@ object Bench {
           benchVec(3), limit = 10), (0 until 8).map(benchVec))),
       "b7_dedup_minhash_lsh" -> (() =>
         Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))),
+      // the incremental path b7 exists to avoid at scale: dedup a 20%
+      // increment against the stored index — signatures computed for the
+      // increment only, corpus side read band/bucket-pruned
+      "b7b_dedup_incr" -> (() =>
+        graft.sources.DedupIndex.queryBatch(spark, s"$prepDir/dedupidx",
+          docs.select("doc_id", "text").filter(col("doc_id") % 5 === 0),
+          nBuckets = 16)),
+      // request-sized increment (512 docs): the latency shape, where the
+      // band read actually prunes to the batch's (band, bucket) dirs
+      "b7c_dedup_incr_small" -> (() =>
+        graft.sources.DedupIndex.queryBatch(spark, s"$prepDir/dedupidx",
+          docs.select("doc_id", "text")
+            .filter(col("doc_id") % 5 === 0 && col("doc_id") < 2560),
+          nBuckets = 16)),
       "b8_q1_agg" -> (() => SparkEntry.queries("q1_agg")(spark, sfDir)),
       "b9_join_agg" -> (() => SparkEntry.queries("q_join_agg")(spark, sfDir)),
       "b11_ann_lsh" -> (() => {

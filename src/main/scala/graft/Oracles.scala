@@ -384,6 +384,55 @@ object Oracles {
        |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id""".stripMargin
   }
 
+  /** Incremental dedup ([[graft.sources.DedupIndex.queryBatch]]): LSH
+    * candidates of the increment (doc_id % 5 = 0) against the stored
+    * corpus (% 5 <> 0), query-first orientation, est_sim = signature
+    * match fraction. The engine side answers from a persisted index built
+    * in two upsert waves; the oracle recomputes from scratch — equality
+    * proves the incremental build composes to the batch semantics.
+    */
+  val dedupIncr: String = {
+    val bandRows = (0 until 4)
+      .map(bd => s"SELECT doc_id, $bd AS band, h${2 * bd} * $P + h${2 * bd + 1} AS bucket FROM sig")
+      .mkString(" UNION ALL ")
+    val m = (0 until 8)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $toksp, $shinglesCte, $sigCte,
+       |bands AS ($bandRows),
+       |cands AS (
+       |  SELECT DISTINCT q.doc_id AS query_id, s.doc_id AS match_id
+       |  FROM bands q JOIN bands s ON q.band = s.band AND q.bucket = s.bucket
+       |  WHERE q.doc_id % 5 = 0 AND s.doc_id % 5 <> 0)
+       |SELECT query_id, match_id, CAST(($m) AS DOUBLE) / 8 AS est_sim
+       |FROM cands JOIN sig a ON query_id = a.doc_id JOIN sig b ON match_id = b.doc_id""".stripMargin
+  }
+
+  /** Online dedup gate ([[graft.sources.DedupIndex.ingestDeduped]]): the
+    * increment docs that survive — no stored-corpus match with est_sim ≥
+    * the threshold.
+    */
+  def dedupGate(threshold: Double): String = {
+    val bandRows = (0 until 4)
+      .map(bd => s"SELECT doc_id, $bd AS band, h${2 * bd} * $P + h${2 * bd + 1} AS bucket FROM sig")
+      .mkString(" UNION ALL ")
+    val m = (0 until 8)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $toksp, $shinglesCte, $sigCte,
+       |bands AS ($bandRows),
+       |cands AS (
+       |  SELECT DISTINCT q.doc_id AS query_id, s.doc_id AS match_id
+       |  FROM bands q JOIN bands s ON q.band = s.band AND q.bucket = s.bucket
+       |  WHERE q.doc_id % 5 = 0 AND s.doc_id % 5 <> 0),
+       |dups AS (
+       |  SELECT DISTINCT query_id FROM cands
+       |  JOIN sig a ON query_id = a.doc_id JOIN sig b ON match_id = b.doc_id
+       |  WHERE CAST(($m) AS DOUBLE) / 8 >= $threshold)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT query_id FROM dups)""".stripMargin
+  }
+
   /** CTE chain ending in `vp` = the LSH-verified near-dup pairs
     * (doc_a, doc_b, jaccard) — shared by the pair, component, and keep-set
     * oracles so all three verify the SAME pair derivation.

@@ -150,6 +150,33 @@ object SparkEntry {
       Dedup.lshCandidatePairs(Dedup.minhashSignatures(Tables.load(s, dir, "documents")))),
     "q_dedup_verified" -> ((s, dir) =>
       Dedup.minhashVerifiedPairs(Tables.load(s, dir, "documents"), 0.7)),
+    // INCREMENTAL dedup: a crawl increment (doc_id % 5 == 0) queried
+    // against a PERSISTED LSH index over the rest of the corpus — the
+    // index is built in two incremental waves so the oracle checks the
+    // upsert-composed stored state, and the query never recomputes corpus
+    // signatures (sources/DedupIndex).
+    "q_dedup_incr" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+      graft.sources.DedupIndex.build(corpus.filter(col("doc_id") % 2 === 1),
+        tmp, nBuckets = 8)
+      graft.sources.DedupIndex.upsert(s, tmp,
+        corpus.filter(col("doc_id") % 2 === 0), nBuckets = 8)
+      graft.sources.DedupIndex.queryBatch(s, tmp,
+        docs.filter(col("doc_id") % 5 === 0), nBuckets = 8)
+    }),
+    // the ONLINE dedup gate over the same split: the increment's survivors
+    // after dropping est_sim ≥ 0.5 matches against the stored corpus
+    "q_dedup_gate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_gate").toString
+      graft.sources.DedupIndex.build(docs.filter(col("doc_id") % 5 =!= 0),
+        tmp, nBuckets = 8)
+      graft.sources.DedupIndex.ingestDeduped(s, tmp,
+          docs.filter(col("doc_id") % 5 === 0), threshold = 0.5, nBuckets = 8)
+        .select("doc_id")
+    }),
     // pairs → GROUPS: connected components by label propagation (root = min
     // doc_id per near-dup cluster), then the kept corpus after dropping
     // non-representative members — the end-to-end dedup materialization.
@@ -514,6 +541,8 @@ object SparkEntry {
     "q_dedup_minhash" -> Oracles.dedupMinhash,
     "q_dedup_lsh_pairs" -> Oracles.dedupLshPairs,
     "q_dedup_verified" -> Oracles.dedupMinhashVerified(0.7),
+    "q_dedup_incr"    -> Oracles.dedupIncr,
+    "q_dedup_gate"    -> Oracles.dedupGate(0.5),
     "q_dedup_components" -> Oracles.dedupComponents(0.7),
     "q_dedup_keep"    -> Oracles.dedupKeep(0.7),
     "q_top_terms"     -> Oracles.topTerms,

@@ -1,0 +1,214 @@
+package graft.sources
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Durable MinHash-LSH index for INCREMENTAL deduplication — the missing
+  * piece between the batch `Dedup` pipeline (recompute signatures over the
+  * whole corpus per run) and the 100 TB workflow it exists for: "is
+  * anything in this crawl increment a near-dup of the corpus?" asked every
+  * few minutes against a corpus that changes by 0.01% per batch. The batch
+  * operators stay the semantics reference; this index persists their
+  * intermediate state so the per-increment cost is O(batch), not O(corpus).
+  *
+  * Layout under `dir` (same bucket-directory discipline as the data table
+  * and [[SparseIndex]] — on a cluster these are two bucketed Delta tables):
+  *   sig/_bucket=pmod(doc_id, nB)/   (doc_id, h0..h7)  — MinHash signatures
+  *   bands/_band=B/_bb=pmod(bucket, 64)/ (doc_id, bucket) — LSH postings
+  *
+  * Scale shape:
+  *  - [[upsert]] rewrites ONLY the sig buckets the batch's doc_ids hash to
+  *    and the band partitions holding the batch's old+new band keys
+  *    (≤ 4·64 dirs, usually far fewer) — commit protocol is jobs-then-
+  *    renames like the sparse index, so a failed job mutates nothing;
+  *  - [[queryBatch]] reads ONLY the band partitions the query batch's band
+  *    keys hash to (static partition pruning from ≤ 4·|batch| driver-known
+  *    keys) plus the sig buckets of the surviving candidates — the corpus
+  *    is never scanned, mirroring the reference's always-search-the-index
+  *    discipline (base_milvus.py:1286-1310) applied to dedup.
+  *
+  * Signatures/bands/est_sim are BIT-IDENTICAL to [[Dedup.minhashSignatures]]
+  * / [[Dedup.lshCandidatePairs]] (oracle-gated end-to-end by q_dedup_incr).
+  */
+object DedupIndex {
+
+  /** Band sub-bucket count: 4 bands × 64 dirs; a request-sized query batch
+    * prunes to ≲ its own distinct (band, bucket mod 64) set.
+    */
+  val BandBuckets = 64
+
+  def exists(dir: String): Boolean = Files.exists(Paths.get(dir, "sig"))
+
+  private def sigBucket(c: Column, nB: Int) = pmod(c, lit(nB.toLong))
+
+  private def sigSchema: String =
+    "doc_id LONG, " + (0 until Dedup.NumHashes).map(j => s"h$j LONG").mkString(", ")
+
+  /** The LSH band postings of a signature table: one row per (doc, band)
+    * with the banded bucket key — identical banding to
+    * [[Dedup.lshCandidatePairs]] (2 hashes per band).
+    */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    (0 until Dedup.NumHashes / 2).map { bd =>
+      sig.select(col("doc_id"), lit(bd).as("_band"),
+        (col(s"h${2 * bd}") * Dedup.P + col(s"h${2 * bd + 1}")).as("bucket"))
+    }.reduce(_.unionByName(_))
+      .withColumn("_bb", pmod(col("bucket"), lit(BandBuckets.toLong)))
+
+  /** Full build from a (doc_id, text) corpus. One file per partition dir. */
+  def build(docs: DataFrame, dir: String, nBuckets: Int = 16): Unit = {
+    val sig = Dedup.minhashSignatures(docs)
+    sig.withColumn("_bucket", sigBucket(col("doc_id"), nBuckets))
+      .repartition(col("_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(s"$dir/sig")
+    bandsOf(sig).repartition(col("_band"), col("_bb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_band", "_bb")
+      .parquet(s"$dir/bands")
+    refresh(docs.sparkSession, dir)
+  }
+
+  private def sigRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(sigSchema + ", _bucket LONG").parquet(s"$dir/sig")
+
+  private def bandsRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("doc_id LONG, bucket LONG, _band INT, _bb LONG")
+      .parquet(s"$dir/bands")
+
+  /** Incremental upsert: replace the signatures/postings of `batchDocs`
+    * (doc_id, text). Equal to a from-scratch [[build]] over the merged
+    * corpus (DedupIndexSpec). Cost: O(batch + touched partition dirs).
+    */
+  def upsert(spark: SparkSession, dir: String, batchDocs: DataFrame,
+      nBuckets: Int = 16): Unit = {
+    if (!exists(dir)) { build(batchDocs, dir, nBuckets); return }
+    val batchSig = Dedup.minhashSignatures(batchDocs).localCheckpoint()
+    val batchIds = broadcast(batchSig.select("doc_id"))
+    val touched = batchSig
+      .select(sigBucket(col("doc_id"), nBuckets).as("_bucket"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+
+    // the replaced docs' OLD signatures name the band partitions their old
+    // postings live in — read from the touched sig buckets only
+    val oldSig = sigRaw(spark, dir)
+      .filter(col("_bucket").isin(touched: _*))
+      .join(batchIds, Seq("doc_id"), "left_semi")
+    // affected band dirs: old keys ∪ new keys (collected pairs, ≤ 4·64)
+    val affected = bandsOf(oldSig).select("_band", "_bb")
+      .unionByName(bandsOf(batchSig).select("_band", "_bb"))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1))).toIndexedSeq
+    def inAffected(df: DataFrame) =
+      df.filter(affected.map { case (b, bb) =>
+        col("_band") === b && col("_bb") === bb
+      }.reduceOption(_ || _).getOrElse(lit(false)))
+
+    val sigOut = sigRaw(spark, dir)
+      .filter(col("_bucket").isin(touched: _*)).drop("_bucket")
+      .join(batchIds, Seq("doc_id"), "left_anti")
+      .unionByName(batchSig)
+    val bandsOut = inAffected(bandsRaw(spark, dir))
+      .join(batchIds, Seq("doc_id"), "left_anti")
+      .unionByName(bandsOf(batchSig))
+
+    // jobs-then-renames (the sparse-commit protocol): both tmp writes read
+    // only pre-commit state; a failure here leaves the index untouched
+    val base = Paths.get(dir)
+    val sigTmp = base.resolve("sig_tmp_" + System.nanoTime())
+    sigOut.withColumn("_bucket", sigBucket(col("doc_id"), nBuckets))
+      .repartition(col("_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(sigTmp.toString)
+    val bandTmp = base.resolve("bands_tmp_" + System.nanoTime())
+    bandsOut.select("doc_id", "bucket", "_band", "_bb")
+      .repartition(col("_band"), col("_bb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_band", "_bb")
+      .parquet(bandTmp.toString)
+
+    touched.foreach { b =>
+      swap(sigTmp.resolve(s"_bucket=$b"), base.resolve("sig").resolve(s"_bucket=$b"))
+    }
+    affected.foreach { case (b, bb) =>
+      val rel = Paths.get(s"_band=$b", s"_bb=$bb")
+      Files.createDirectories(base.resolve("bands").resolve(s"_band=$b"))
+      swap(bandTmp.resolve(rel), base.resolve("bands").resolve(rel))
+    }
+    VectorStoreCatalog.deleteRec(sigTmp); VectorStoreCatalog.deleteRec(bandTmp)
+    refresh(spark, dir)
+  }
+
+  /** Near-dup candidates of a NEW batch against the stored corpus:
+    * (query_id, match_id, est_sim) — est_sim is the signature-component
+    * match fraction, exactly [[Dedup.lshCandidatePairs]]'s. Self-matches
+    * (re-crawled ids) are excluded. The stored side is read partition-
+    * pruned: only the batch's band dirs, then only the candidates' sig
+    * buckets.
+    */
+  def queryBatch(spark: SparkSession, dir: String, newDocs: DataFrame,
+      nBuckets: Int = 16): DataFrame = {
+    val qSig = Dedup.minhashSignatures(newDocs).localCheckpoint()
+    val qBands = bandsOf(qSig)
+    val keys = qBands.select("_band", "_bb").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toIndexedSeq
+    val prunedBands = prunedBandScan(spark, dir, keys)
+    val cands = prunedBands.as("s")
+      .join(broadcast(qBands.as("q")),
+        col("s._band") === col("q._band") && col("s.bucket") === col("q.bucket") &&
+          col("s.doc_id") =!= col("q.doc_id"))
+      .select(col("q.doc_id").as("query_id"), col("s.doc_id").as("match_id"))
+      .distinct().localCheckpoint()
+    // candidate sig lookups stay bucket-pruned (≤ nB dirs either way, but
+    // a small candidate set reads few)
+    val mBuckets = cands.select(sigBucket(col("match_id"), nBuckets).as("_b"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val mSig = sigRaw(spark, dir).filter(col("_bucket").isin(mBuckets: _*))
+    val matches = (0 until Dedup.NumHashes)
+      .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(broadcast(qSig.as("a")), col("query_id") === col("a.doc_id"))
+      .join(mSig.as("b"), col("match_id") === col("b.doc_id"))
+      .select(col("query_id"), col("match_id"),
+        (matches.cast("double") / Dedup.NumHashes).as("est_sim"))
+  }
+
+  /** Online dedup gate for an ingest stream: drop the docs of `batch`
+    * whose LSH signature similarity against the STORED corpus reaches
+    * `threshold`, upsert the survivors into the index, and return them —
+    * the per-micro-batch form of corpus curation (each trigger costs one
+    * [[queryBatch]] + one [[upsert]], both O(batch)). Within-batch dups
+    * survive the gate (they're not in the index yet) and collapse on the
+    * NEXT batch like any other corpus dup — callers wanting intra-batch
+    * dedup run [[Dedup.dropNearDuplicates]] upstream, which needs no index.
+    */
+  def ingestDeduped(spark: SparkSession, dir: String, batch: DataFrame,
+      threshold: Double = 0.75, nBuckets: Int = 16): DataFrame = {
+    val b = batch.select("doc_id", "text").localCheckpoint()
+    val survivors =
+      if (!exists(dir)) b
+      else {
+        val dupIds = queryBatch(spark, dir, b, nBuckets)
+          .filter(col("est_sim") >= threshold)
+          .select(col("query_id").as("doc_id")).distinct()
+        b.join(broadcast(dupIds), Seq("doc_id"), "left_anti").localCheckpoint()
+      }
+    upsert(spark, dir, survivors, nBuckets)
+    survivors
+  }
+
+  /** The band-postings read of [[queryBatch]]: a static partition filter
+    * over the `(_band, _bb)` dirs from the query's driver-known band keys.
+    * Package-private so the plan spec can assert the pruned scan shape
+    * (the query's own plan hides it behind a checkpoint).
+    */
+  private[graft] def prunedBandScan(spark: SparkSession, dir: String,
+      keys: Seq[(Int, Long)]): DataFrame =
+    bandsRaw(spark, dir)
+      .filter(keys.map { case (b, bb) => col("_band") === b && col("_bb") === bb }
+        .reduceOption(_ || _).getOrElse(lit(false)))
+
+  private def swap(src: Path, dst: Path): Unit = VectorStoreCatalog.swapDir(src, dst)
+
+  private def refresh(spark: SparkSession, dir: String): Unit =
+    Seq("sig", "bands").foreach(t => spark.catalog.refreshByPath(s"$dir/$t"))
+}

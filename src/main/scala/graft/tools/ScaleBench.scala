@@ -51,7 +51,7 @@ object ScaleBench {
     replicate("embeddings", Seq("vec_id"))
 
     // ---- untimed prep at BOTH scales (persisted serving state) ----
-    def prep(sfDir: String, tag: String): (Ivf.Index, String, Hnsw.Graph) = {
+    def prep(sfDir: String, tag: String): (Ivf.Index, String, Hnsw.Graph, String) = {
       val corpus = Tables.ordersCorpus(spark, sfDir).select("doc_id", "dv")
       val ivfDir = s"$out/prep_$tag/ivf"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ivfDir))) {
@@ -80,12 +80,23 @@ object ScaleBench {
         spark.read.parquet(s"$hnswDir/nodes"),
         spark.read.parquet(s"$hnswDir/edges"),
         spark.read.parquet(s"$hnswDir/entries"), "COSINE")
-      (ivf, bmDir, g)
+      val ddDir = s"$out/prep_$tag/dedupidx"
+      if (!graft.sources.DedupIndex.exists(ddDir))
+        graft.sources.DedupIndex.build(
+          Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+            .filter(col("doc_id") % 5 =!= 0), ddDir, nBuckets = 16)
+      (ivf, bmDir, g, ddDir)
     }
 
     val q64 = Tables.queryBatch(spark, 64)
+    // FIXED 512-doc increment for the dedup pair, same at both scales
+    // (from the base table, so the query side is scale-invariant; its ids
+    // are disjoint-enough from either corpus split)
+    val dedupIncrement = Tables.load(spark, src, "documents")
+      .select("doc_id", "text")
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") < 2560)
     def headliners(sfDir: String, tag: String): Seq[(String, () => DataFrame)] = {
-      val (ivf, bmDir, g) = prep(sfDir, tag)
+      val (ivf, bmDir, g, ddDir) = prep(sfDir, tag)
       Seq(
         "b1_knn_cos_64q" -> (() => Knn.search(Tables.ordersCorpus(spark, sfDir),
           q64, SearchParams(limit = 10, outputFields = Nil))),
@@ -99,6 +110,16 @@ object ScaleBench {
         "b3b_bm25_persisted" -> (() => Bm25.searchTopK(
           graft.sources.SparseIndex.read(spark, bmDir),
           (0L until 8L).map(_ -> "spark join window merge data"), 10)),
+        // dedup pair: the full recompute scales with the corpus, the index
+        // query only with the (fixed) increment + candidate volume — the
+        // slope GAP is what the persisted index buys. NB the replicated
+        // corpus is 10 textual near-copies per base doc (keys perturbed,
+        // text not), so incremental candidates grow with the duplicate
+        // density itself — a worst case for any LSH index.
+        "b7_dedup_full_recompute" -> (() => Dedup.lshCandidatePairs(
+          Dedup.minhashSignatures(Tables.load(spark, sfDir, "documents")))),
+        "b7c_dedup_incr_query" -> (() => graft.sources.DedupIndex.queryBatch(
+          spark, ddDir, dedupIncrement, nBuckets = 16)),
       )
     }
 
