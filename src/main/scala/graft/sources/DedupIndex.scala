@@ -40,6 +40,11 @@ object DedupIndex {
     */
   val BandBuckets = 64
 
+  /** Query signature sets at or below this row count join as broadcast
+    * local relations (a signature row is 9 longs — 100k rows ≈ 7 MB).
+    */
+  val MaxBroadcastQuerySigs = 100000
+
   def exists(dir: String): Boolean = Files.exists(Paths.get(dir, "sig"))
 
   private def sigBucket(c: Column, nB: Int) = pmod(c, lit(nB.toLong))
@@ -146,13 +151,34 @@ object DedupIndex {
     */
   def queryBatch(spark: SparkSession, dir: String, newDocs: DataFrame,
       nBuckets: Int = 16): DataFrame = {
-    val qSig = Dedup.minhashSignatures(newDocs).localCheckpoint()
+    // ONE job materializes the increment's signatures (|batch| rows × 9
+    // longs — driver-sized for any request-shaped increment); the band
+    // keys for the partition filter then come for free instead of costing
+    // a second collect job, and the query side of every join below is a
+    // local relation Spark broadcasts without stats guessing. (The r6
+    // first cut localCheckpoint'ed + ran a distinct-collect: two extra
+    // fixed job latencies on a serving path whose floor IS job latency.)
+    val sigRows = Dedup.minhashSignatures(newDocs).collect()
+    val small = sigRows.length <= MaxBroadcastQuerySigs
+    val qSig = spark.createDataFrame(
+      spark.sparkContext.parallelize(sigRows.toIndexedSeq,
+        if (small) 1 else spark.sparkContext.defaultParallelism),
+      org.apache.spark.sql.types.StructType.fromDDL(sigSchema))
+    // increments past the broadcast bound keep shuffle joins (a multi-MB
+    // local relation is a bad broadcast side); increments past driver
+    // memory are not this entry point's shape — dedup them as a corpus
+    // slice through the batch operator instead
+    def bq(df: DataFrame) = if (small) broadcast(df) else df
     val qBands = bandsOf(qSig)
-    val keys = qBands.select("_band", "_bb").distinct().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toIndexedSeq
+    val keys = sigRows.iterator.flatMap { r =>
+      (0 until Dedup.NumHashes / 2).map { bd =>
+        val bucket = r.getLong(1 + 2 * bd) * Dedup.P + r.getLong(2 + 2 * bd)
+        (bd, java.lang.Math.floorMod(bucket, BandBuckets.toLong))
+      }
+    }.toIndexedSeq.distinct
     val prunedBands = prunedBandScan(spark, dir, keys)
     val cands = prunedBands.as("s")
-      .join(broadcast(qBands.as("q")),
+      .join(bq(qBands.as("q")),
         col("s._band") === col("q._band") && col("s.bucket") === col("q.bucket") &&
           col("s.doc_id") =!= col("q.doc_id"))
       .select(col("q.doc_id").as("query_id"), col("s.doc_id").as("match_id"))
@@ -166,7 +192,7 @@ object DedupIndex {
       .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
       .reduce(_ + _)
     cands
-      .join(broadcast(qSig.as("a")), col("query_id") === col("a.doc_id"))
+      .join(bq(qSig.as("a")), col("query_id") === col("a.doc_id"))
       .join(mSig.as("b"), col("match_id") === col("b.doc_id"))
       .select(col("query_id"), col("match_id"),
         (matches.cast("double") / Dedup.NumHashes).as("est_sim"))
