@@ -1,0 +1,32 @@
+package graft.sources
+
+/** Test-only fault injection for the commit protocols' RENAME phases.
+  *
+  * The jobs-then-renames discipline already guarantees that a failed Spark
+  * JOB mutates nothing; the windows that remain are hard crashes BETWEEN
+  * renames (process death mid-phase-2). Those cannot be produced by breaking
+  * a job, so CrashRecoverySpec arms a named crash point and the protocol
+  * throws exactly there — after some renames, before others — which is
+  * observationally identical to `kill -9` at that instant (phase 2 performs
+  * no further work after a throw).
+  *
+  * Production cost: one volatile read per armed-check, on driver-side rename
+  * paths that run a handful of times per commit.
+  */
+private[graft] object CrashHooks {
+  final class InjectedCrash(point: String)
+    extends RuntimeException(s"injected crash at $point")
+
+  @volatile private var armed: Set[String] = Set.empty
+
+  /** Arm a crash at `point` (additive — concurrent sub-commits can each be
+    * crashed in one scenario); the next [[maybe]] for it fires once.
+    */
+  def arm(point: String): Unit = synchronized { armed += point }
+  def disarm(): Unit = synchronized { armed = Set.empty }
+
+  def maybe(point: String): Unit =
+    if (armed.contains(point)) synchronized {
+      if (armed.contains(point)) { armed -= point; throw new InjectedCrash(point) }
+    }
+}

@@ -233,10 +233,17 @@ object SparseIndex {
     */
   def prepareUpsert(spark: SparkSession, dir: String, batchDocs: DataFrame,
       nBuckets: Int = 16, knownTouched: Option[Seq[Long]] = None,
-      broadcastBatch: Boolean = false, maxTermDeltas: Int = 16): Pending = {
+      broadcastBatch: Boolean = false, maxTermDeltas: Int = 16,
+      beforeRenames: () => Unit = () => ()): Pending = {
     val add = Bm25.fit(batchDocs) // batch-only tokenization
     if (!exists(dir))
-      return Pending(add, add.termDf, add.global, () => write(add, dir, nBuckets))
+      // the initial build overwrites the live dirs directly (there is no
+      // prior state to preserve), so it counts as "renames begun" for the
+      // caller's torn-commit marker; `global` is written LAST, making
+      // [[exists]] the build's own commit record — a crash mid-build reads
+      // back as "no index" and the next insert rebuilds from scratch
+      return Pending(add, add.termDf, add.global,
+        () => { beforeRenames(); write(add, dir, nBuckets) })
     // request-sized batches broadcast their id set into every slice join (a
     // checkpointed batch has no stats — without the hint these are
     // sort-merge); unbounded insertDf batches keep the shuffle plans
@@ -334,6 +341,7 @@ object SparseIndex {
       // bucket swaps, so its crash left tf/doclen new but termdf/global
       // stale — and replaying could not converge).
       val base = Paths.get(dir)
+      CrashHooks.maybe("sparse.beforeJobs")
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
@@ -362,10 +370,22 @@ object SparseIndex {
 
       // Phase 2 — RENAMES only (no Spark job can fail past this point;
       // same-filesystem moves). On a cluster this whole phase is one table-
-      // format transaction; locally the per-directory renames are each
-      // atomic and ordered dictionary-first so a hard crash mid-phase
-      // leaves at worst CONSERVATIVE stats (delta applied, tf not yet:
-      // df counts the replaced docs' old terms once more until replay).
+      // format transaction; locally each per-directory rename is atomic but
+      // the SEQUENCE is not: a hard crash mid-phase tears the index — and
+      // for the COUNT tables (termdf/global) a torn state is NOT repaired
+      // by replaying the batch. Replay recomputes the same dictionary delta
+      // from pre-state tf and appends it AGAIN next to the one the crashed
+      // commit already moved in: counts double-apply (and symmetrically,
+      // a crash after the tf swaps under-applies on replay, because the
+      // recomputed delta is then empty). Idempotent-replay only holds for
+      // the PER-DOC tables (tf/doclen — an identical bucket rewrite).
+      // Crash recovery is therefore the CALLER's marker protocol
+      // ([[VectorStoreCatalog]] `_commit_intent`, armed via `beforeRenames`
+      // BEFORE the first move below): a detected torn commit rebuilds this
+      // whole index from the data table — the single ground truth — instead
+      // of trusting any delta arithmetic over a state of unknown tear.
+      beforeRenames()
+      CrashHooks.maybe("sparse.beforeRenames")
       if (!foldNow && !emptyDelta) {
         Files.createDirectories(termDeltaDir(dir))
         // seq names are unique by reservation — two commits (or two
@@ -373,8 +393,10 @@ object SparseIndex {
         // content-address silently collapsed) can never collide
         Files.move(tdTmp, termDeltaDir(dir).resolve(f"d$deltaSeq%012d"))
       }
+      CrashHooks.maybe("sparse.afterDeltaMove")
       touched.foreach { b =>
         swapDir(tfTmp.resolve(s"_bucket=$b"), base.resolve("tf").resolve(s"_bucket=$b"))
+        CrashHooks.maybe("sparse.midTfSwap")
         swapDir(dlTmp.resolve(s"_bucket=$b"), base.resolve("doclen").resolve(s"_bucket=$b"))
       }
       VectorStoreCatalog.deleteRec(tfTmp); VectorStoreCatalog.deleteRec(dlTmp)

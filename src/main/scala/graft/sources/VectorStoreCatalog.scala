@@ -177,8 +177,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   }
 
   /** S4: load = read (+ optional cache, the Milvus load_collection analogue). */
-  def load(tenant: String, model: String): DataFrame =
+  def load(tenant: String, model: String): DataFrame = {
+    healIfTorn(tenant, model)
     loadRaw(tenant, model).drop("_bucket")
+  }
 
   /** Like [[load]] but keeps the `_bucket` layout column for pruned reads.
     *
@@ -278,8 +280,125 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private def lockFor(tenant: String, model: String): Object =
     tableLocks.computeIfAbsent(s"$tenant/$model", _ => new Object)
 
+  // ---- torn-commit detection + recovery (`_commit_intent` marker) ----
+  //
+  // The jobs-then-renames discipline makes every Spark-JOB failure a clean
+  // abort (phase 1 mutates nothing). What it cannot make atomic locally is
+  // phase 2 itself: a commit renames several directories (sparse buckets +
+  // dictionary delta, data buckets, IVF cells, HNSW buckets), each move
+  // atomic but the SEQUENCE not — a hard crash (kill -9, OOM) mid-phase
+  // tears the collection, and for the derived tables a torn state is not
+  // always repaired by replaying the batch (a half-applied dictionary delta
+  // double-applies; a half-swapped IVF cell set keeps a replaced key's old
+  // vector in a cell the replay never looks at). On a cluster phase 2 is a
+  // single table-format transaction and this protocol never fires; locally
+  // it supplies the same guarantee one level up:
+  //
+  //  - every commit protocol calls [[armIntent]] immediately BEFORE its
+  //    first rename — never earlier, so clean phase-1 aborts leave no trace;
+  //  - the marker is cleared only when the WHOLE insert/flush/build
+  //    completed every sub-commit;
+  //  - a marker found on entry (mutators take the lock; readers stat the
+  //    path — one local fs call) means some renames may have landed without
+  //    the rest: [[healTornCommit]] rebuilds every DERIVED structure (BM25
+  //    sparse tables, IVF clustered cells, HNSW graph) from the data table,
+  //    the single ground truth. The data table itself needs no heal: rows
+  //    are written whole and bucket swaps are per-directory atomic, so a
+  //    torn data commit is a PARTIALLY APPLIED batch — the documented
+  //    at-least-once contract (replaying the failed insert converges it).
+  //
+  // Recovery cost is a rebuild of the derived caches — acceptable for a
+  // hard-crash-only path whose alternative is silently wrong statistics.
+  private[graft] def commitIntentPath(tenant: String, model: String): Path =
+    tableDir(tenant, model).resolve("_commit_intent")
+
+  /** True while the current thread is inside a mutator or the heal itself —
+    * internal reads must not re-trigger detection mid-commit.
+    */
+  private val inMutator = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
+  private def armIntent(tenant: String, model: String): Unit = {
+    val p = commitIntentPath(tenant, model)
+    // racing sub-commits (sparse ∥ data futures) may both arm — idempotent
+    if (!Files.exists(p))
+      try Files.write(p, java.time.Instant.now().toString.getBytes("UTF-8"))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  /** Entry point shared by every mutator: heal a torn commit left by a hard
+    * crash, run `body` under the collection lock with internal-read
+    * detection suppressed, and clear the marker only on full success (an
+    * exception after some sub-commit renamed leaves it armed for the next
+    * access to heal).
+    */
+  private def withCommitScope[T](tenant: String, model: String)(body: => T): T =
+    lockFor(tenant, model).synchronized {
+      val outer = !inMutator.get
+      if (outer) healTornCommit(tenant, model)
+      inMutator.set(true)
+      try {
+        val r = body
+        if (outer) Files.deleteIfExists(commitIntentPath(tenant, model))
+        r
+      } finally if (outer) inMutator.set(false)
+    }
+
+  /** Cheap read-path probe: one `Files.exists` per search/load. */
+  private def healIfTorn(tenant: String, model: String): Unit =
+    if (!inMutator.get && Files.exists(commitIntentPath(tenant, model)))
+      healTornCommit(tenant, model)
+
+  /** Rebuild the derived structures from the data table and clear the
+    * marker. Idempotent and restartable: the marker is deleted LAST, so a
+    * crash mid-heal re-heals on the next access. Returns true if a torn
+    * commit was found and healed.
+    */
+  def healTornCommit(tenant: String, model: String): Boolean =
+    lockFor(tenant, model).synchronized {
+      if (inMutator.get || !Files.exists(commitIntentPath(tenant, model))) false
+      else {
+        inMutator.set(true)
+        try {
+          if (sparseIndexExists(tenant, model)) rebuildSparseIndex(tenant, model)
+          if (indexExists(tenant, model)) rebuildClustered(tenant, model)
+          if (hnswExists(tenant, model)) persistHnsw(tenant, model)
+        } finally inMutator.set(false)
+        Files.deleteIfExists(commitIntentPath(tenant, model))
+        true
+      }
+    }
+
+  /** Re-cluster the data table with the STORED centroids and quantization
+    * params (never re-runs KMeans — probe routing must keep working against
+    * the same cells). The whole `clustered` dir lands in one rename.
+    */
+  private def rebuildClustered(tenant: String, model: String): Unit = {
+    val idx = loadIndex(tenant, model)
+    val assigned = Ivf.assign(
+      loadRaw(tenant, model).select(
+        xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv")),
+      idx.centroids, idx.metric)
+    val out = sq8Params(tenant, model) match {
+      case Some((mins, scales)) =>
+        Ivf.sq8Codes(assigned, mins, scales).select("centroid_id", "doc_id", "codes")
+      case None => pqCodebooks(tenant, model) match {
+        case Some(cbs) =>
+          Ivf.pqEncode(assigned, cbs).select("centroid_id", "doc_id", "pqcodes")
+        case None => assigned
+      }
+    }
+    val target = indexDir(tenant, model).resolve("clustered")
+    val tmp = target.resolveSibling("clustered_tmp_" + System.nanoTime())
+    out.repartition(col("centroid_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(tmp.toString)
+    swapDir(tmp, target)
+    spark.catalog.refreshByPath(target.toString)
+  }
+
   def insert(tenant: String, model: String, rows: Seq[EmbeddedVector],
-      partition: Option[String] = None): Long = lockFor(tenant, model).synchronized {
+      partition: Option[String] = None): Long = withCommitScope(tenant, model) {
     require(collectionExists(tenant, model), s"collection missing for $tenant/$model")
     require(rows.nonEmpty && rows.size <= Upsert.MaxBatch, "batch 1-1000 rows")
     val dim = dimension(tenant, model)
@@ -351,7 +470,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   def insertDf(tenant: String, model: String, df: DataFrame,
       partition: Option[String] = None,
-      ordinalCol: Option[String] = None): Long = lockFor(tenant, model).synchronized {
+      ordinalCol: Option[String] = None): Long = withCommitScope(tenant, model) {
     require(collectionExists(tenant, model), s"collection missing for $tenant/$model")
     require(!autoId(tenant, model),
       s"distributed ingest into auto_id collection $tenant/$model is not " +
@@ -490,7 +609,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       col("chunk").as("text"))
     val pendingSparse = stage("sparse prepare")(
       SparseIndex.prepareUpsert(spark, sparseDir(tenant, model).toString,
-        batchDocs, nB, knownTouched = Some(touched), broadcastBatch = small))
+        batchDocs, nB, knownTouched = Some(touched), broadcastBatch = small,
+        beforeRenames = () => armIntent(tenant, model)))
     val addModel = pendingSparse.add
     val encModel = Bm25.Model(addModel.tf, addModel.docLen,
       pendingSparse.termDf, pendingSparse.global)
@@ -560,7 +680,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // therefore never sees a replaced key's old vector or a duplicate
     // doc_id, and the table does not grow without bound under upsert churn.
     // Cost: O(batch + affected cell partitions), independent of corpus size.
-    idxOpt.foreach { idx => stage("ivf rewrite") {
+    val ivfRes = scala.util.Try { idxOpt.foreach { idx => stage("ivf rewrite") {
       val assigned = Ivf.assign(
         batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv")),
@@ -596,21 +716,30 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       scala.concurrent.Await.result(dataCommit,
         scala.concurrent.duration.Duration.Inf)
       Files.createDirectories(target)
+      armIntent(tenant, model)
       cells.foreach { c =>
         swapDir(tmp.resolve(s"centroid_id=$c"), target.resolve(s"centroid_id=$c"))
+        CrashHooks.maybe("ivf.midCellSwap")
       }
       deleteRec(tmp)
       spark.catalog.refreshByPath(target.toString)
-    } }
+    } } }
 
-    // The HNSW absorb's empty-graph path rebuilds FROM the data table, so
-    // the data commit must be visible before it runs (the IVF rewrite above
-    // already awaited it before its swap; a second Await on a completed
-    // Future is a no-op — this one covers the no-IVF-index path).
-    stage("data commit await")(scala.concurrent.Await.result(dataCommit,
-      scala.concurrent.duration.Duration.Inf))
-    stage("sparse commit await")(scala.concurrent.Await.result(sparseCommit,
-      scala.concurrent.duration.Duration.Inf))
+    // Settle EVERY outstanding commit future BEFORE propagating any failure:
+    // this frame owns the collection lock, and unwinding while a commit
+    // future is still running would release the lock with a mutation in
+    // flight — racing the next mutator (or the torn-commit heal) on the very
+    // directories it is swapping. A second Await on a completed future is a
+    // no-op, so the data await also covers the no-IVF path (the HNSW
+    // absorb's empty-graph branch rebuilds FROM the data table and needs the
+    // commit visible).
+    val dataRes = scala.util.Try(stage("data commit await")(
+      scala.concurrent.Await.result(dataCommit,
+        scala.concurrent.duration.Duration.Inf)))
+    val sparseRes = scala.util.Try(stage("sparse commit await")(
+      scala.concurrent.Await.result(sparseCommit,
+        scala.concurrent.duration.Duration.Inf)))
+    ivfRes.get; dataRes.get; sparseRes.get
 
     // An HNSW graph absorbs the batch by CONNECT (see [[absorbIntoHnsw]]).
     if (hnswExists(tenant, model))
@@ -650,6 +779,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val rows = batchOut.select(cols: _*).withColumn("_dseq", lit(seq))
     (if (singleFile) rows.coalesce(1) else rows)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // the delta commit is ONE atomic move — a crash before it is a clean
+    // abort of this sub-commit (no marker needed here; a concurrently
+    // completed sparse commit already armed it, and the heal refits the
+    // sparse tables to whatever data state survived)
+    CrashHooks.maybe("data.beforeDeltaMove")
     Files.move(tmp, dd.resolve(f"d$seq%012d"))
   }
 
@@ -662,7 +796,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   val FlushMaxFilesPerBucket = 4
 
-  def flush(tenant: String, model: String): Unit = lockFor(tenant, model).synchronized {
+  def flush(tenant: String, model: String): Unit = withCommitScope(tenant, model) {
     foldDeltas(tenant, model)
     val d = dataDir(tenant, model)
     if (!Files.exists(d)) return
@@ -832,6 +966,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * `qid` column identifies the query (vectors' index order).
     */
   def searchDfBatch(req: SearchRequest, vectors: Seq[Seq[Double]]): DataFrame = {
+    // a hard crash mid-commit must not serve from torn statistics — one
+    // local stat per request, heal only when a marker is actually present
+    healIfTorn(req.tenant, req.model)
     // S6: partition targeting (list-valued, vector_store.py:63-71,505-507)
     // prunes before anything else.
     val parts = (req.partitionNames ++ req.partitionName).distinct
@@ -1079,7 +1216,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * file). Idempotent: `ensureIndex` is the reference's list-then-create
     * (base_milvus.py:1216-1264).
     */
-  def persistIndex(tenant: String, model: String): Unit = lockFor(tenant, model).synchronized {
+  def persistIndex(tenant: String, model: String): Unit = withCommitScope(tenant, model) {
     val d = indexDir(tenant, model)
     // D3 index_type actually changes the build: IVF_SQ8 stores per-component
     // byte codes (8x smaller clustered table) + a tiny per-dim params table;
@@ -1102,6 +1239,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val idx = buildIndex(tenant, model)
     val effectiveType =
       if (load(tenant, model).isEmpty) "IVF_FLAT" else declaredType
+    // live-dir overwrites begin here (full rebuild path)
+    armIntent(tenant, model)
     effectiveType match {
       case "IVF_SQ8" =>
         val sq = Ivf.quantizeIndex(idx)
@@ -1160,6 +1299,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val nB = nBuckets(tenant, model).toLong
     val d = hnswDir(tenant, model)
     Files.createDirectories(d)
+    // the graph tables overwrite live dirs directly (full rebuild — there
+    // is no prior state worth preserving), so mark before the first write
+    armIntent(tenant, model)
     g.nodes.withColumn("_bucket", pmod(col("doc_id"), lit(nB)))
       .repartition(col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
@@ -1290,8 +1432,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     edgesOut.repartition(col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(edgesTmp.toString)
     entriesOut.write.mode(SaveMode.Overwrite).parquet(entriesTmp.toString)
-    nodeBuckets.foreach(b => swapDir(nodesTmp.resolve(s"_bucket=$b"),
-      d.resolve("nodes").resolve(s"_bucket=$b")))
+    armIntent(tenant, model)
+    nodeBuckets.foreach { b =>
+      swapDir(nodesTmp.resolve(s"_bucket=$b"),
+        d.resolve("nodes").resolve(s"_bucket=$b"))
+      CrashHooks.maybe("hnsw.midNodeSwap")
+    }
     edgeBuckets.foreach(b => swapDir(edgesTmp.resolve(s"_bucket=$b"),
       d.resolve("edges").resolve(s"_bucket=$b")))
     deleteRec(nodesTmp); deleteRec(edgesTmp)
@@ -1299,12 +1445,20 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     spark.catalog.refreshByPath(d.toString)
   }
 
-  /** D4: (re)build the sparse BM25 model tables from the current corpus. */
+  /** D4: (re)build the sparse BM25 model tables from the current corpus.
+    * A rebuild overwrites the live table dirs (unlike the incremental
+    * upsert there is no prior state worth a swap protocol), so it runs
+    * marker-armed: a crash mid-rebuild heals by re-running this exact
+    * rebuild on the next access.
+    */
   def rebuildSparseIndex(tenant: String, model: String): Unit =
-    SparseIndex.write(
-      Bm25.fit(load(tenant, model).select(
-        xxhash64(col("flouds_vector_id")).as("doc_id"), col("chunk").as("text"))),
-      sparseDir(tenant, model).toString, nBuckets(tenant, model))
+    withCommitScope(tenant, model) {
+      armIntent(tenant, model)
+      SparseIndex.write(
+        Bm25.fit(loadRaw(tenant, model).select(
+          xxhash64(col("flouds_vector_id")).as("doc_id"), col("chunk").as("text"))),
+        sparseDir(tenant, model).toString, nBuckets(tenant, model))
+    }
 
   def ensureSparseIndex(tenant: String, model: String): Unit =
     if (!sparseIndexExists(tenant, model)) rebuildSparseIndex(tenant, model)
@@ -1531,10 +1685,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     } else {
       val partDirs = (listDirs(target) ++ listDirs(tmp))
         .map(_.getFileName.toString).filter(_.startsWith("part=")).distinct
+      armIntent(tenant, model)
       for (p <- partDirs; b <- touched) {
         val dst = target.resolve(p).resolve(s"_bucket=$b")
         Files.createDirectories(dst.getParent)
         swapDir(tmp.resolve(p).resolve(s"_bucket=$b"), dst)
+        CrashHooks.maybe("data.midBucketSwap")
       }
       deleteRec(tmp)
     }

@@ -1,0 +1,234 @@
+package graft
+
+import graft.api._
+import graft.operators.Bm25
+import graft.sources.{CrashHooks, SparseIndex, VectorStoreCatalog}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Hard-crash consistency of the commit protocols (r5 verdict follow-up).
+  *
+  * The jobs-then-renames discipline makes Spark-JOB failures clean aborts;
+  * what it cannot make atomic locally is the rename SEQUENCE itself. These
+  * specs inject a crash at each rename window (CrashHooks — observationally
+  * identical to `kill -9` at that instant), then assert the catalog's
+  * `_commit_intent` protocol: the torn state is detected on the next access,
+  * healed by rebuilding every derived structure from the data table, and a
+  * replay of the crashed batch converges to the clean-run state.
+  */
+class CrashRecoverySpec extends SparkSpec {
+
+  private def vec(seed: Int, dim: Int = 8): Seq[Double] =
+    (0 until dim).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+
+  private def docs(r: Range): Seq[EmbeddedVector] = r.map(i =>
+    EmbeddedVector(s"k$i", s"alpha beta doc$i shared words tail${i % 7}", "m",
+      Map("g" -> s"c${i % 3}"), vec(i)))
+
+  private def mkCat(extraProps: Map[String, String] = Map.empty,
+      indexType: String = "IVF_FLAT"): VectorStoreCatalog = {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_crash").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
+      indexType = indexType, extraProps = extraProps))
+    cat
+  }
+
+  private def rows(df: DataFrame, cols: String*): Set[Seq[Any]] =
+    df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+
+  /** The post-heal invariant: every stored sparse table equals a refit of
+    * the CURRENT data table (the ground truth) — bit-exact, including after
+    * a heal that ran against a partially applied batch.
+    */
+  private def assertSparseMatchesData(cat: VectorStoreCatalog): Unit = {
+    val stored = SparseIndex.read(spark, cat.sparseDirOf("t", "m"))
+    val exp = Bm25.fit(cat.load("t", "m").select(
+      xxhash64(col("flouds_vector_id")).as("doc_id"), col("chunk").as("text")))
+    assert(rows(stored.tf, "doc_id", "term", "tf") ==
+      rows(exp.tf, "doc_id", "term", "tf"), "tf != fit(data)")
+    assert(rows(stored.docLen, "doc_id", "dl") ==
+      rows(exp.docLen, "doc_id", "dl"), "doclen != fit(data)")
+    assert(rows(stored.termDf, "term", "df") ==
+      rows(exp.termDf, "term", "df"), "termdf != fit(data)")
+    assert(rows(stored.global, "n", "sumdl") ==
+      rows(exp.global, "n", "sumdl"), "global != fit(data)")
+  }
+
+  private def marker(cat: VectorStoreCatalog) =
+    cat.commitIntentPath("t", "m")
+
+  /** Crash an insert at `point`, assert detection + heal + replay
+    * convergence, and compare the end state against a crash-free twin.
+    */
+  private def sparseCrashScenario(point: String): Unit = {
+    val cat = mkCat()
+    cat.insert("t", "m", docs(0 until 24))
+    CrashHooks.arm(point)
+    try intercept[CrashHooks.InjectedCrash] {
+      // overlapping key range: the batch REPLACES docs (exercises the
+      // removed-terms side of the dictionary delta)
+      cat.insert("t", "m", docs(20 until 40))
+    } finally CrashHooks.disarm()
+    assert(Files.exists(marker(cat)), s"$point: marker must be armed")
+
+    // the next read detects the torn commit and heals before serving
+    val resp = cat.search(SearchRequest("t", "m", vec(3), limit = 5,
+      hybridSearch = true, textFilter = Some("alpha")))
+    assert(resp.success, s"$point: post-heal search must serve")
+    assert(!Files.exists(marker(cat)), s"$point: heal must clear the marker")
+    assertSparseMatchesData(cat)
+
+    // at-least-once replay of the crashed batch converges...
+    cat.insert("t", "m", docs(20 until 40))
+    assertSparseMatchesData(cat)
+
+    // ...to exactly the crash-free state (content sequence in rank order)
+    val twin = mkCat()
+    twin.insert("t", "m", docs(0 until 24))
+    twin.insert("t", "m", docs(20 until 40))
+    val q = SearchRequest("t", "m", vec(7), limit = 8,
+      hybridSearch = true, textFilter = Some("alpha"))
+    assert(cat.search(q).data.map(_.content) == twin.search(q).data.map(_.content),
+      s"$point: healed+replayed state diverges from the crash-free twin")
+    assert(rows(cat.load("t", "m"), "flouds_vector_id", "chunk", "meta") ==
+      rows(twin.load("t", "m"), "flouds_vector_id", "chunk", "meta"),
+      s"$point: data table diverges from the crash-free twin")
+  }
+
+  test("phase-1 abort of EVERY sub-commit arms nothing — no spurious rebuild") {
+    // delta mode so the data commit has a pre-rename crash point too: only
+    // when NO sub-commit reached a rename is the abort marker-free (a lone
+    // sparse phase-1 failure still sees the concurrent data commit land —
+    // covered by the sparse scenarios above)
+    val cat = mkCat(extraProps = Map("ingest_mode" -> "delta"))
+    cat.insert("t", "m", docs(0 until 24))
+    CrashHooks.arm("sparse.beforeJobs")
+    CrashHooks.arm("data.beforeDeltaMove")
+    try intercept[CrashHooks.InjectedCrash] {
+      cat.insert("t", "m", docs(20 until 40))
+    } finally CrashHooks.disarm()
+    assert(!Files.exists(marker(cat)),
+      "a failure before any rename must not arm the recovery marker")
+    assert(cat.load("t", "m").count() == 24, "clean abort must apply nothing")
+    assertSparseMatchesData(cat) // untouched — still consistent, no heal ran
+    cat.insert("t", "m", docs(20 until 40)) // replay
+    assert(cat.load("t", "m").count() == 40)
+    assertSparseMatchesData(cat)
+  }
+
+  test("phase-1 sparse failure with a landed data commit arms the marker and heals") {
+    val cat = mkCat()
+    cat.insert("t", "m", docs(0 until 24))
+    CrashHooks.arm("sparse.beforeJobs")
+    try intercept[CrashHooks.InjectedCrash] {
+      cat.insert("t", "m", docs(20 until 40))
+    } finally CrashHooks.disarm()
+    // the concurrent merge-mode data commit renamed its buckets, so the
+    // sparse tables now LAG the data table — exactly what the marker flags
+    assert(Files.exists(marker(cat)))
+    assert(cat.healTornCommit("t", "m"))
+    assertSparseMatchesData(cat) // refitted to the landed batch
+    cat.insert("t", "m", docs(20 until 40)) // replay
+    assertSparseMatchesData(cat)
+  }
+
+  test("crash before the first sparse rename heals and converges") {
+    sparseCrashScenario("sparse.beforeRenames")
+  }
+
+  test("crash after the dictionary-delta move (counts would double-apply on replay)") {
+    sparseCrashScenario("sparse.afterDeltaMove")
+  }
+
+  test("crash mid tf/doclen bucket swaps (torn per-doc tables)") {
+    sparseCrashScenario("sparse.midTfSwap")
+  }
+
+  test("crash mid data bucket swaps: partial batch survives, heal re-aligns the index") {
+    sparseCrashScenario("data.midBucketSwap")
+  }
+
+  test("delta mode: data commit aborts after the sparse commit landed — heal refits to surviving data") {
+    val cat = mkCat(extraProps = Map("ingest_mode" -> "delta"))
+    cat.insert("t", "m", docs(0 until 24))
+    CrashHooks.arm("data.beforeDeltaMove")
+    try intercept[CrashHooks.InjectedCrash] {
+      cat.insert("t", "m", docs(20 until 40))
+    } finally CrashHooks.disarm()
+    // the sparse commit (concurrent, completed) armed the marker; the data
+    // delta move never happened — batch 2 is NOT in the data table
+    assert(Files.exists(marker(cat)))
+    assert(cat.healTornCommit("t", "m"), "heal must report a torn commit")
+    assert(cat.load("t", "m").count() == 24, "aborted delta batch must not surface")
+    assertSparseMatchesData(cat) // ghost docs refitted away
+    cat.insert("t", "m", docs(20 until 40)) // replay
+    assert(cat.load("t", "m").count() == 40)
+    assertSparseMatchesData(cat)
+  }
+
+  test("IVF: crash mid cell swaps heals the clustered table against stored centroids") {
+    val cat = mkCat()
+    cat.insert("t", "m", docs(0 until 30))
+    cat.persistIndex("t", "m")
+    CrashHooks.arm("ivf.midCellSwap")
+    try intercept[CrashHooks.InjectedCrash] {
+      cat.insert("t", "m", docs(25 until 45))
+    } finally CrashHooks.disarm()
+    assert(Files.exists(marker(cat)))
+    assert(cat.healTornCommit("t", "m"))
+    assert(!Files.exists(marker(cat)))
+
+    // invariant: clustered == assign(data, STORED centroids) — no stale
+    // replaced vectors, no duplicate doc_ids, no missing rows
+    val idx = cat.loadIndex("t", "m")
+    val expected = graft.operators.Ivf.assign(
+      cat.load("t", "m").select(xxhash64(col("flouds_vector_id")).as("doc_id"),
+        col("vector").as("dv")),
+      idx.centroids, idx.metric)
+    assert(rows(idx.clustered, "doc_id", "centroid_id") ==
+      rows(expected, "doc_id", "centroid_id"),
+      "clustered table inconsistent with data after heal")
+
+    cat.insert("t", "m", docs(25 until 45)) // replay stays consistent
+    val idx2 = cat.loadIndex("t", "m")
+    val expected2 = graft.operators.Ivf.assign(
+      cat.load("t", "m").select(xxhash64(col("flouds_vector_id")).as("doc_id"),
+        col("vector").as("dv")),
+      idx2.centroids, idx2.metric)
+    assert(rows(idx2.clustered, "doc_id", "centroid_id") ==
+      rows(expected2, "doc_id", "centroid_id"))
+    // and the facade still self-matches through the healed index
+    val resp = cat.search(SearchRequest("t", "m", vec(40), limit = 3, nprobe = 4))
+    assert(resp.success && resp.data.head.content.contains("doc40"))
+  }
+
+  test("HNSW: crash mid node-bucket swaps heals the graph from the data table") {
+    val cat = mkCat(indexType = "HNSW")
+    cat.insert("t", "m", docs(0 until 30))
+    cat.persistIndex("t", "m")
+    CrashHooks.arm("hnsw.midNodeSwap")
+    try intercept[CrashHooks.InjectedCrash] {
+      cat.insert("t", "m", docs(25 until 45))
+    } finally CrashHooks.disarm()
+    assert(Files.exists(marker(cat)))
+    assert(cat.healTornCommit("t", "m"))
+
+    // graph invariants against the ground truth: node set == data docs,
+    // every edge endpoint is a live node
+    val g = cat.loadHnsw("t", "m")
+    val dataIds = rows(cat.load("t", "m")
+      .select(xxhash64(col("flouds_vector_id")).as("doc_id")), "doc_id")
+    assert(rows(g.nodes, "doc_id") == dataIds, "healed node set != data docs")
+    val nodeIds = g.nodes.select("doc_id").collect().map(_.getLong(0)).toSet
+    val endpoints = g.edges.select("src", "dst").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(endpoints.subsetOf(nodeIds), "healed graph has dangling edges")
+
+    cat.insert("t", "m", docs(25 until 45)) // replay
+    val resp = cat.search(SearchRequest("t", "m", vec(42), limit = 3))
+    assert(resp.success && resp.data.head.content.contains("doc42"))
+  }
+}
