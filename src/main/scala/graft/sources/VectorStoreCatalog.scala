@@ -364,10 +364,40 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           if (sparseIndexExists(tenant, model)) rebuildSparseIndex(tenant, model)
           if (indexExists(tenant, model)) rebuildClustered(tenant, model)
           if (hnswExists(tenant, model)) persistHnsw(tenant, model)
+          vacuum(tenant, model) // the crashed commit's phase-1 leftovers
         } finally inMutator.set(false)
         Files.deleteIfExists(commitIntentPath(tenant, model))
         true
       }
+    }
+
+  /** Remove orphaned commit debris under the collection dir: `*_tmp_*`
+    * phase-1 writes whose commit never renamed them in (aborted or
+    * crashed), `_aside_*` dirs from a swap interrupted between its two
+    * moves, Spark `_temporary` staging left by a killed overwrite job, and
+    * `*._tmp*` json spills. Debris is never referenced by any reader —
+    * every live table is reached only through its canonical directory name
+    * — so deletion is safe under the collection lock; `olderThanMs` is the
+    * retention for cross-process callers (the local analogue of a table
+    * format's VACUUM retention window). Runs from [[flush]] and the
+    * torn-commit heal. Returns the number of debris roots removed.
+    */
+  def vacuum(tenant: String, model: String, olderThanMs: Long = 0L): Int =
+    lockFor(tenant, model).synchronized {
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      def debris(p: Path): Boolean = {
+        val n = p.getFileName.toString
+        (n.contains("_tmp_") || n.startsWith("_aside_") ||
+          n.contains("._tmp") || n == "_temporary") &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }
+      def sweep(dir: Path): Int =
+        listChildren(dir).map { c =>
+          if (debris(c)) { deleteRec(c); 1 }
+          else if (Files.isDirectory(c)) sweep(c)
+          else 0
+        }.sum
+      sweep(tableDir(tenant, model))
     }
 
   /** Re-cluster the data table with the STORED centroids and quantization
@@ -797,6 +827,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   val FlushMaxFilesPerBucket = 4
 
   def flush(tenant: String, model: String): Unit = withCommitScope(tenant, model) {
+    vacuum(tenant, model)
     foldDeltas(tenant, model)
     val d = dataDir(tenant, model)
     if (!Files.exists(d)) return

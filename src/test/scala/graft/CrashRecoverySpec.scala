@@ -205,6 +205,56 @@ class CrashRecoverySpec extends SparkSpec {
     assert(resp.success && resp.data.head.content.contains("doc40"))
   }
 
+  test("vacuum removes commit debris, respects retention, never touches live tables") {
+    val cat = mkCat()
+    cat.insert("t", "m", docs(0 until 24))
+    val before = rows(cat.load("t", "m"), "flouds_vector_id", "chunk")
+
+    val table = cat.commitIntentPath("t", "m").getParent
+    // manufactured debris of every species the commit protocols can leave
+    Files.createDirectories(table.resolve("data_tmp_123"))
+    Files.createDirectories(table.resolve("data").resolve("_aside_456"))
+    Files.createDirectories(table.resolve("index").resolve("bm25")
+      .resolve("tf_tmp_789"))
+    Files.createDirectories(table.resolve("data").resolve("_temporary"))
+    Files.write(table.resolve("_schema.json._tmp42"), "x".getBytes)
+    val young = table.resolve("data_tmp_young")
+    Files.createDirectories(young)
+
+    // retention keeps the young dir (another process could own it)…
+    assert(cat.vacuum("t", "m", olderThanMs = 60000) == 0)
+    assert(Files.exists(young))
+    // …flush (retention 0, lock held) sweeps everything
+    cat.flush("t", "m")
+    assert(!Files.exists(table.resolve("data_tmp_123")))
+    assert(!Files.exists(table.resolve("data").resolve("_aside_456")))
+    assert(!Files.exists(table.resolve("index").resolve("bm25").resolve("tf_tmp_789")))
+    assert(!Files.exists(table.resolve("data").resolve("_temporary")))
+    assert(!Files.exists(table.resolve("_schema.json._tmp42")))
+    assert(!Files.exists(young))
+    // live state untouched
+    assert(rows(cat.load("t", "m"), "flouds_vector_id", "chunk") == before)
+    assertSparseMatchesData(cat)
+  }
+
+  test("heal vacuums the crashed commit's phase-1 leftovers") {
+    val cat = mkCat()
+    cat.insert("t", "m", docs(0 until 24))
+    CrashHooks.arm("sparse.beforeRenames")
+    try intercept[CrashHooks.InjectedCrash] {
+      cat.insert("t", "m", docs(20 until 40))
+    } finally CrashHooks.disarm()
+    assert(cat.healTornCommit("t", "m"))
+    val table = cat.commitIntentPath("t", "m").getParent
+    val leftover = Files.walk(table).iterator()
+    val debris = new scala.collection.mutable.ArrayBuffer[String]
+    while (leftover.hasNext) {
+      val n = leftover.next().getFileName.toString
+      if (n.contains("_tmp_") || n.startsWith("_aside_")) debris += n
+    }
+    assert(debris.isEmpty, s"debris survived heal: $debris")
+  }
+
   test("HNSW: crash mid node-bucket swaps heals the graph from the data table") {
     val cat = mkCat(indexType = "HNSW")
     cat.insert("t", "m", docs(0 until 30))
