@@ -1697,11 +1697,16 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     *
     * Reader safety is PER BUCKET DIRECTORY: each swap is move-aside →
     * move-in → delete-aside, so a lock-free concurrent reader listing one
-    * bucket dir sees either its old or its new file set, never a
-    * half-deleted window (a delete-then-move would leave one). A reader
-    * listing across SEVERAL swapped buckets can still observe a mix of old
-    * and new — multi-bucket commits are atomic per bucket, not per table
-    * (on a cluster the table format's snapshot commit supplies that).
+    * bucket dir sees its old file set, its new one, or — in the
+    * two-renames-wide window between the moves — NO dir, which explicit
+    * read schemas turn into an empty slice, never an exception and never a
+    * half-rewritten file set (a delete-then-write protocol would expose
+    * one for the whole write's duration; POSIX rename cannot atomically
+    * replace a non-empty directory, so the vanishing instant is the local
+    * floor). A reader listing across SEVERAL swapped buckets can likewise
+    * observe a mix of old and new — multi-bucket commits are atomic per
+    * bucket, not per table. On a cluster the table format's snapshot
+    * commit removes both windows.
     */
   private def replaceBuckets(tenant: String, model: String, df: DataFrame,
       touched: Seq[Long]): Unit = {
@@ -1787,9 +1792,12 @@ object VectorStoreCatalog {
     * site uses (bucket compaction, IVF cell rewrite, HNSW absorb, sparse
     * index commit, streaming merge): move `dst` aside, move `src` in (a
     * missing `src` makes this a remove), delete the aside dir. A lock-free
-    * reader listing `dst` sees either the old or the new file set, never the
-    * half-deleted window a delete-then-move would leave. The aside name has
-    * no '=' so Spark's partition discovery never parses it as a value.
+    * reader listing `dst` sees the old file set, the new one, or — between
+    * the two renames — no dir at all (an empty slice under explicit read
+    * schemas); POSIX rename cannot atomically replace a non-empty
+    * directory, so that instant is the local floor, vs the whole-write
+    * exposure a delete-then-write would have. The aside name has no '='
+    * so Spark's partition discovery never parses it as a value.
     */
   private[graft] def swapDir(src: Path, dst: Path): Unit = {
     val old = dst.resolveSibling("_aside_" + System.nanoTime())
