@@ -179,8 +179,10 @@ object SparseIndex {
       .select("term", "df")))
 
   /** A computed-but-not-yet-committed incremental upsert: `add` is the
-    * batch-only model; `termDf`/`global` are the UPDATED (post-delta)
-    * dictionary view and globals. `global` and the batch's dictionary
+    * batch-only model; `termDf` is the UPDATED (post-delta) dictionary view
+    * RESTRICTED to the batch's terms — everything the batch's encoder (its
+    * only steady-state consumer) can consult — and `global` the updated
+    * globals. `global` and the batch's dictionary
     * delta are MATERIALIZED (localCheckpoint); in steady state `termDf`
     * stays a LAZY view over immutable sources (base + explicitly-listed
     * pending deltas + the pinned batch delta — the commit only APPENDS,
@@ -320,7 +322,16 @@ object SparseIndex {
     }
     val termDfM =
       if (!foldNow)
+        // Restricted to the BATCH's terms before the merge aggregate: the
+        // only consumer of a steady-state Pending.termDf is the batch's
+        // encoder, which joins on exactly these terms — without the
+        // restriction every insert pays a full-vocabulary aggregate
+        // (O(vocab) shuffle) to produce df values it never reads. The
+        // broadcast semi-join caps the aggregate at O(batch terms); the
+        // dictionary SCAN underneath stays O(vocabulary file read) — the
+        // remaining per-insert vocabulary term, columnar and shuffle-free.
         termDfRaw(spark, dir).unionByName(termDeltaM)
+          .join(broadcast(add.termDf.select("term")), Seq("term"), "left_semi")
           .groupBy("_tbucket", "term").agg(sum("df").as("df"))
           .filter(col("df") > 0)
           .select("term", "df")
