@@ -75,11 +75,17 @@ object DedupIndex {
     refresh(docs.sparkSession, dir)
   }
 
+  /** Reads tolerate files vanishing between listing and read — a lock-free
+    * reader racing a bucket swap (see [[VectorStoreCatalog]] `pread`).
+    */
+  private def pread(spark: SparkSession) =
+    spark.read.option("ignoreMissingFiles", "true")
+
   private def sigRaw(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(sigSchema + ", _bucket LONG").parquet(s"$dir/sig")
+    pread(spark).schema(sigSchema + ", _bucket LONG").parquet(s"$dir/sig")
 
   private def bandsRaw(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema("doc_id LONG, bucket LONG, _band INT, _bb LONG")
+    pread(spark).schema("doc_id LONG, bucket LONG, _band INT, _bb LONG")
       .parquet(s"$dir/bands")
 
   /** Incremental upsert: replace the signatures/postings of `batchDocs`

@@ -36,6 +36,15 @@ object SparseIndex {
 
   def exists(dir: String): Boolean = Files.exists(Paths.get(dir, "global"))
 
+  /** All table reads tolerate files vanishing between listing and read
+    * (`ignoreMissingFiles`) — a lock-free reader racing a concurrent swap
+    * sees old, new, or absent per file (a transient undercount), never an
+    * exception. Commit-side reads run under the collection lock, where
+    * nothing vanishes — the option is inert there.
+    */
+  private def pread(spark: SparkSession) =
+    spark.read.option("ignoreMissingFiles", "true")
+
   private def bucketOf(docId: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(docId, lit(nBuckets.toLong))
 
@@ -122,15 +131,15 @@ object SparseIndex {
   private def termDfRaw(spark: SparkSession, dir: String): DataFrame = {
     val base =
       if (termDfBucketed(dir))
-        spark.read.schema("term STRING, df LONG, _tbucket LONG")
+        pread(spark).schema("term STRING, df LONG, _tbucket LONG")
           .parquet(s"$dir/termdf")
       else
-        spark.read.schema("term STRING, df LONG").parquet(s"$dir/termdf")
+        pread(spark).schema("term STRING, df LONG").parquet(s"$dir/termdf")
           .withColumn("_tbucket", termBucketCol)
     val deltas = termDeltaFiles(dir)
     if (deltas.isEmpty) base
     else base.unionByName(
-        spark.read.schema("term STRING, df LONG, _tbucket LONG")
+        pread(spark).schema("term STRING, df LONG, _tbucket LONG")
           .parquet(deltas.map(_.toString): _*))
       .groupBy("_tbucket", "term").agg(sum("df").as("df"))
       .filter(col("df") > 0)
@@ -165,12 +174,12 @@ object SparseIndex {
     * as an empty model instead of failing schema inference.
     */
   def read(spark: SparkSession, dir: String): Bm25.Model = Bm25.Model(
-    spark.read.schema("doc_id LONG, term STRING, tf LONG")
+    pread(spark).schema("doc_id LONG, term STRING, tf LONG")
       .parquet(s"$dir/tf").select("doc_id", "term", "tf"),
-    spark.read.schema("doc_id LONG, dl LONG")
+    pread(spark).schema("doc_id LONG, dl LONG")
       .parquet(s"$dir/doclen").select("doc_id", "dl"),
     termDfRaw(spark, dir).select("term", "df"),
-    spark.read.schema("n LONG, sumdl LONG").parquet(s"$dir/global"),
+    pread(spark).schema("n LONG, sumdl LONG").parquet(s"$dir/global"),
     storedStats = true,
     // per-request dictionary lookups prune to the query terms' hash
     // buckets — a static partition filter over the `_tbucket=` dirs
@@ -260,10 +269,10 @@ object SparseIndex {
 
     // Touched-bucket slices of the stored per-doc tables (partition-pruned;
     // explicit schemas so an empty index still reads)
-    val tfSlice = spark.read.schema("doc_id LONG, term STRING, tf LONG, _bucket LONG")
+    val tfSlice = pread(spark).schema("doc_id LONG, term STRING, tf LONG, _bucket LONG")
       .parquet(s"$dir/tf")
       .filter(col("_bucket").isin(touched: _*)).select("doc_id", "term", "tf")
-    val dlSlice = spark.read.schema("doc_id LONG, dl LONG, _bucket LONG")
+    val dlSlice = pread(spark).schema("doc_id LONG, dl LONG, _bucket LONG")
       .parquet(s"$dir/doclen")
       .filter(col("_bucket").isin(touched: _*)).select("doc_id", "dl")
 
@@ -298,7 +307,7 @@ object SparseIndex {
 
     // global by delta, same union-aggregate shape: n' = n - removed + added;
     // sumdl likewise.
-    val globalOut = spark.read.schema("n LONG, sumdl LONG").parquet(s"$dir/global")
+    val globalOut = pread(spark).schema("n LONG, sumdl LONG").parquet(s"$dir/global")
       .unionByName(removedDl.select(lit(-1L).as("n"), (-col("dl")).as("sumdl")))
       .unionByName(add.docLen.select(lit(1L).as("n"), col("dl").as("sumdl")))
       .agg(coalesce(sum("n"), lit(0L)).as("n"),

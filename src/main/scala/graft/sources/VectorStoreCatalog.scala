@@ -197,7 +197,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val d = dataDir(tenant, model)
     val base =
       if (VectorStoreCatalog.listChildren(d).nonEmpty)
-        spark.read.schema(rawSchema(tenant, model)).parquet(d.toString)
+        pread.schema(rawSchema(tenant, model)).parquet(d.toString)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         rawSchema(tenant, model))
     val pending = listDirs(deltaDir(tenant, model))
@@ -279,6 +279,16 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(tenant: String, model: String): Object =
     tableLocks.computeIfAbsent(s"$tenant/$model", _ => new Object)
+
+  /** All table reads tolerate files vanishing between listing and read
+    * (`ignoreMissingFiles`) — a lock-free reader racing a concurrent
+    * bucket/cell swap sees old, new, or absent per file (a transient
+    * undercount), never a FileNotFoundException. Commit-side reads run
+    * under the collection lock, where nothing vanishes — the option is
+    * inert there. On a cluster the table format's snapshot isolation
+    * replaces this.
+    */
+  private def pread = spark.read.option("ignoreMissingFiles", "true")
 
   // ---- torn-commit detection + recovery (`_commit_intent` marker) ----
   //
@@ -1346,11 +1356,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   }
 
   private def hnswNodesRaw(tenant: String, model: String): DataFrame =
-    spark.read.schema("doc_id LONG, dv ARRAY<DOUBLE>, _bucket LONG")
+    pread.schema("doc_id LONG, dv ARRAY<DOUBLE>, _bucket LONG")
       .parquet(hnswDir(tenant, model).resolve("nodes").toString)
 
   private def hnswEdgesRaw(tenant: String, model: String): DataFrame =
-    spark.read.schema("src LONG, dst LONG, _bucket LONG")
+    pread.schema("src LONG, dst LONG, _bucket LONG")
       .parquet(hnswDir(tenant, model).resolve("edges").toString)
 
   /** One-time migration for graphs persisted before the bucketed layout:
@@ -1385,7 +1395,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       val t = d.resolve(table)
       if (!topLevelParquet(t)) return
       val tmp = d.resolve(s"_tmp_mig_${table}_" + System.nanoTime())
-      dedup(spark.read.schema(schema).parquet(parquetFilesUnder(t): _*))
+      dedup(pread.schema(schema).parquet(parquetFilesUnder(t): _*))
         .withColumn("_bucket", pmod(col(idCol), lit(nB)))
         .repartition(col("_bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp.toString)
@@ -1402,7 +1412,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     Hnsw.Graph(
       hnswNodesRaw(tenant, model).drop("_bucket"),
       hnswEdgesRaw(tenant, model).drop("_bucket"),
-      spark.read.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+      pread.schema("doc_id LONG, dv ARRAY<DOUBLE>")
         .parquet(d.resolve("entries").toString),
       properties(tenant, model)("metric_type"))
   }
@@ -1499,7 +1509,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val p = indexDir(tenant, model).resolve("sq8")
     if (!Files.exists(p)) None
     else {
-      val rows = spark.read.parquet(p.toString).orderBy("pos").collect()
+      val rows = pread.parquet(p.toString).orderBy("pos").collect()
       Some((rows.map(_.getDouble(1)).toIndexedSeq, rows.map(_.getDouble(2)).toIndexedSeq))
     }
   }
@@ -1509,7 +1519,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val p = indexDir(tenant, model).resolve("pq")
     if (!Files.exists(p)) None
     else {
-      val rows = spark.read.parquet(p.toString).orderBy("sub", "code").collect()
+      val rows = pread.parquet(p.toString).orderBy("sub", "code").collect()
       Some(rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
         rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
       })
@@ -1525,7 +1535,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       if (Files.exists(d.resolve("sq8"))) "codes ARRAY<INT>"
       else if (Files.exists(d.resolve("pq"))) "pqcodes ARRAY<INT>"
       else "dv ARRAY<DOUBLE>"
-    spark.read.schema(s"doc_id LONG, $payload, centroid_id INT")
+    pread.schema(s"doc_id LONG, $payload, centroid_id INT")
       .parquet(d.resolve("clustered").toString)
   }
 
@@ -1536,7 +1546,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   def loadIndex(tenant: String, model: String): Ivf.Index = {
     val d = indexDir(tenant, model)
-    val centroids = spark.read.parquet(d.resolve("centroids").toString)
+    val centroids = pread.parquet(d.resolve("centroids").toString)
     val metric = properties(tenant, model)("metric_type")
     // explicit clustered schema per index type: an empty collection's index
     // has no parquet files to infer from

@@ -1,0 +1,78 @@
+package graft
+
+import graft.api._
+import graft.sources.VectorStoreCatalog
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Lock-free serving under a storm of commits.
+  *
+  * Readers take no lock (S4/A1 contract: they see pre- or post-swap state).
+  * The failure mode that breaks lock-free serving locally is the
+  * listing-to-read gap: a reader lists a bucket dir, the commit swaps it and
+  * deletes the old files, the reader then opens a vanished file →
+  * FileNotFoundException mid-request. Every catalog read therefore runs with
+  * `ignoreMissingFiles` (old, new, or absent per file — a transient
+  * undercount, never a failed request); this spec hammers exactly that race
+  * and asserts ZERO reader failures while upsert churn rewrites the same
+  * buckets, then exact convergence once the storm ends.
+  */
+class ConcurrentServingSpec extends SparkSpec {
+
+  private def vec(seed: Int, dim: Int = 8): Seq[Double] =
+    (0 until dim).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+
+  private def docs(r: Range): Seq[EmbeddedVector] = r.map(i =>
+    EmbeddedVector(s"k$i", s"alpha beta doc$i shared words tail${i % 7}", "m",
+      Map("g" -> s"c${i % 3}"), vec(i)))
+
+  test("readers never fail during commit churn; state converges after") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_conc").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
+    cat.insert("t", "m", docs(0 until 40))
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    @volatile var stop = false
+    val readers = (0 until 2).map { r =>
+      new Thread(() => {
+        while (!stop) {
+          try {
+            // both read shapes: the raw table view and the full search
+            // pipeline over the sparse + dense paths
+            val n = cat.load("t", "m").count()
+            assert(n >= 0 && n <= 60)
+            val resp = cat.search(SearchRequest("t", "m", vec(3 + r),
+              limit = 3, hybridSearch = true, textFilter = Some("alpha")))
+            assert(resp != null)
+          } catch {
+            case t: Throwable => errors.add(t); stop = true
+          }
+        }
+      }, s"reader-$r")
+    }
+    readers.foreach(_.start())
+
+    // 12 commits rewriting overlapping key ranges — every one swaps data
+    // buckets, sparse tf/doclen buckets, the dictionary delta and globals
+    // under the readers' feet
+    for (i <- 0 until 12)
+      cat.insert("t", "m", docs((i % 4) * 5 until (i % 4) * 5 + 20))
+
+    stop = true
+    readers.foreach(_.join(30000))
+    assert(errors.isEmpty,
+      s"reader failures under commit churn: ${errors.asScala.take(3).map(_.toString)}")
+
+    // storm over: exact state, exact search
+    assert(cat.load("t", "m").count() == 40)
+    val resp = cat.search(SearchRequest("t", "m", vec(7), limit = 5,
+      hybridSearch = true, textFilter = Some("alpha")))
+    assert(resp.success && resp.data.nonEmpty)
+    val got = cat.load("t", "m").select(col("flouds_vector_id"), col("chunk"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == docs(0 until 40).map(d => d.key -> d.chunk).toMap)
+  }
+}
