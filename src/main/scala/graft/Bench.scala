@@ -21,6 +21,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC") // NTZ ts read as UTC instants
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       // the cleaner only drops dead checkpoint/broadcast/shuffle blocks

@@ -419,9 +419,9 @@ object SparkEntry {
 
     // ---- events: tumbling-window agg + JSON props ----
     "q_events_hourly" -> ((s, dir) =>
-      Tables.load(s, dir, "events")
+      Tables.tsMicros(Tables.load(s, dir, "events")) // ts -> epoch us, any physical type
         .groupBy(col("event_type"),
-          expr("ts DIV 3600000000000").as("hour_bucket")) // ts = int64 nanos (nanosAsLong)
+          expr("ts DIV 3600000000").as("hour_bucket"))
         .agg(count(lit(1)).as("n_events"),
           sum(dec("value")).cast("double").as("total_value"))),
     "q_events_json" -> ((s, dir) =>
@@ -478,7 +478,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       // DuckDB timestamps are us-precision: compare in microseconds
       Sessionize.sessions(
-        Tables.load(s, dir, "events").withColumn("ts", expr("ts DIV 1000")),
+        Tables.tsMicros(Tables.load(s, dir, "events")),
         gapNs = 30L * 60 * 1000000L)),
 
     // ---- relational coverage: agg / join / window ----

@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata plus deterministic synthetic columns.
   *
@@ -25,6 +26,30 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Normalize a timestamp-ish column to epoch MICROSECONDS as LONG,
+    * whatever physical type the parquet writer chose. The driver has shipped
+    * `events.ts` as int64 nanoseconds (read as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong`), as Timestamp(NANOS), and —
+    * since the r7 regeneration — as Timestamp(MICROS) with
+    * isAdjustedToUTC=false (Spark reads that as TimestampNTZType).
+    * All unit/representation flips collapse here so the `ts`-consuming
+    * queries stay schema-adaptive.
+    *
+    * NTZ wall-clock values are interpreted as UTC instants: every graft
+    * entrypoint pins `spark.sql.session.timeZone=UTC`, matching DuckDB's
+    * `epoch_us(ts)` on naive timestamps.
+    */
+  def tsMicros(df: DataFrame, name: String = "ts"): DataFrame = {
+    val micros = df.schema(name).dataType match {
+      case LongType         => expr(s"$name DIV 1000") // int64 nanos -> us
+      case TimestampType    => unix_micros(col(name))
+      case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      case dt => throw new IllegalArgumentException(
+        s"column `$name` has unsupported timestamp representation $dt")
+    }
+    df.withColumn(name, micros)
+  }
 
   /** Deterministic integer-valued vector for a row key (as array<double>). */
   def synthVec(key: Column, dim: Int = Dim): Column =
