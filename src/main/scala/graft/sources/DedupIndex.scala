@@ -40,6 +40,85 @@ object DedupIndex {
     */
   val BandBuckets = 64
 
+  // ---- torn-commit detection + recovery (`_commit_intent` marker) ----
+  //
+  // Same protocol as [[VectorStoreCatalog]]: jobs-then-renames makes any
+  // Spark-JOB failure a clean abort, but the rename SEQUENCE itself is not
+  // atomic locally — a hard crash between the sig-bucket swaps and the
+  // band-dir swaps leaves `bands/` postings referencing signatures that
+  // were already replaced, which silently changes dedup results (est_sim is
+  // computed from the NEW signatures joined through OLD postings). The
+  // marker is armed immediately before the first rename, cleared only when
+  // every rename landed; a marker found on entry heals by re-deriving
+  // `bands/` — a pure function of `sig/` — and swapping it in whole. A
+  // torn `sig/` itself is a PARTIALLY APPLIED batch (per-bucket swaps are
+  // atomic): the documented at-least-once contract, converged by replaying
+  // the crashed upsert. On a cluster both dirs are one table-format
+  // transaction and this never fires.
+  private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: String): Object =
+    dirLocks.computeIfAbsent(Paths.get(dir).toAbsolutePath.toString, _ => new Object)
+
+  private[graft] def commitIntentPath(dir: String): Path =
+    Paths.get(dir, "_commit_intent")
+
+  private def armIntent(dir: String): Unit = {
+    val p = commitIntentPath(dir)
+    if (!Files.exists(p))
+      try Files.write(p, java.time.Instant.now().toString.getBytes("UTF-8"))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  /** Cheap read-path probe (one stat), mirrored from the catalog's. */
+  private def healIfTorn(spark: SparkSession, dir: String): Unit =
+    if (Files.exists(commitIntentPath(dir))) healTornCommit(spark, dir)
+
+  /** Heal a torn commit: rebuild `bands/` from `sig/` (the ground truth —
+    * postings are a pure derivation of signatures), sweep commit debris,
+    * and clear the marker LAST so a crash mid-heal re-heals on the next
+    * access. Idempotent. Returns true if a torn commit was found.
+    */
+  def healTornCommit(spark: SparkSession, dir: String): Boolean =
+    lockFor(dir).synchronized {
+      if (!Files.exists(commitIntentPath(dir))) false
+      else {
+        val base = Paths.get(dir)
+        if (exists(dir)) {
+          // one whole-dir swap: the healed postings land atomically
+          val tmp = base.resolve("bands_tmp_" + System.nanoTime())
+          bandsOf(sigRaw(spark, dir).drop("_bucket"))
+            .repartition(col("_band"), col("_bb"))
+            .write.mode(SaveMode.Overwrite).partitionBy("_band", "_bb")
+            .parquet(tmp.toString)
+          swap(tmp, base.resolve("bands"))
+          refresh(spark, dir)
+        }
+        // else: crashed before the first sig swap of an initial build —
+        // nothing committed, only debris to sweep
+        vacuum(dir)
+        Files.deleteIfExists(commitIntentPath(dir))
+        true
+      }
+    }
+
+  /** Remove orphaned commit debris (`*_tmp_*` phase-1 writes, `_aside_*`
+    * from interrupted swaps, Spark `_temporary` staging) under the index
+    * dir. Debris is never referenced by a reader. Returns roots removed.
+    */
+  def vacuum(dir: String): Int = lockFor(dir).synchronized {
+    def debris(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.contains("_tmp_") || n.startsWith("_aside_") || n == "_temporary"
+    }
+    def sweep(d: Path): Int =
+      VectorStoreCatalog.listChildren(d).map { c =>
+        if (debris(c)) { VectorStoreCatalog.deleteRec(c); 1 }
+        else if (Files.isDirectory(c)) sweep(c)
+        else 0
+      }.sum
+    sweep(Paths.get(dir))
+  }
+
   /** Query signature sets at or below this row count join as broadcast
     * local relations (a signature row is 9 longs — 100k rows ≈ 7 MB).
     */
@@ -63,17 +142,35 @@ object DedupIndex {
     }.reduce(_.unionByName(_))
       .withColumn("_bb", pmod(col("bucket"), lit(BandBuckets.toLong)))
 
-  /** Full build from a (doc_id, text) corpus. One file per partition dir. */
-  def build(docs: DataFrame, dir: String, nBuckets: Int = 16): Unit = {
-    val sig = Dedup.minhashSignatures(docs)
-    sig.withColumn("_bucket", sigBucket(col("doc_id"), nBuckets))
-      .repartition(col("_bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(s"$dir/sig")
-    bandsOf(sig).repartition(col("_band"), col("_bb"))
-      .write.mode(SaveMode.Overwrite).partitionBy("_band", "_bb")
-      .parquet(s"$dir/bands")
-    refresh(docs.sparkSession, dir)
-  }
+  /** Full build from a (doc_id, text) corpus. One file per partition dir.
+    * Same jobs-then-renames + marker protocol as [[upsert]] so a rebuild
+    * over a LIVE index is crash-safe (the old index serves until the swaps,
+    * and a torn swap pair heals).
+    */
+  def build(docs: DataFrame, dir: String, nBuckets: Int = 16): Unit =
+    lockFor(dir).synchronized {
+      val spark = docs.sparkSession
+      healIfTorn(spark, dir)
+      val base = Paths.get(dir)
+      Files.createDirectories(base)
+      val sig = Dedup.minhashSignatures(docs)
+      CrashHooks.maybe("dedup.beforeJobs")
+      val sigTmp = base.resolve("sig_tmp_" + System.nanoTime())
+      sig.withColumn("_bucket", sigBucket(col("doc_id"), nBuckets))
+        .repartition(col("_bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(sigTmp.toString)
+      val bandTmp = base.resolve("bands_tmp_" + System.nanoTime())
+      bandsOf(sig).repartition(col("_band"), col("_bb"))
+        .write.mode(SaveMode.Overwrite).partitionBy("_band", "_bb")
+        .parquet(bandTmp.toString)
+      armIntent(dir)
+      CrashHooks.maybe("dedup.beforeRenames")
+      swap(sigTmp, base.resolve("sig"))
+      CrashHooks.maybe("dedup.midSwap")
+      swap(bandTmp, base.resolve("bands"))
+      refresh(spark, dir)
+      Files.deleteIfExists(commitIntentPath(dir))
+    }
 
   /** Reads tolerate files vanishing between listing and read — a lock-free
     * reader racing a bucket swap (see [[VectorStoreCatalog]] `pread`).
@@ -93,8 +190,10 @@ object DedupIndex {
     * corpus (DedupIndexSpec). Cost: O(batch + touched partition dirs).
     */
   def upsert(spark: SparkSession, dir: String, batchDocs: DataFrame,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16): Unit = lockFor(dir).synchronized {
     if (!exists(dir)) { build(batchDocs, dir, nBuckets); return }
+    healIfTorn(spark, dir) // a prior hard crash heals before we mutate
+    CrashHooks.maybe("dedup.beforeJobs")
     val batchSig = Dedup.minhashSignatures(batchDocs).localCheckpoint()
     val batchIds = broadcast(batchSig.select("doc_id"))
     val touched = batchSig
@@ -136,16 +235,25 @@ object DedupIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("_band", "_bb")
       .parquet(bandTmp.toString)
 
+    // Phase 2 — RENAMES only. Each per-directory move is atomic; the
+    // sequence is not: arm the marker first, clear it only after the last
+    // swap, so a hard crash anywhere in between is detected and healed
+    // (bands re-derived from sig) on the next access.
+    armIntent(dir)
+    CrashHooks.maybe("dedup.beforeRenames")
     touched.foreach { b =>
       swap(sigTmp.resolve(s"_bucket=$b"), base.resolve("sig").resolve(s"_bucket=$b"))
+      CrashHooks.maybe("dedup.midSigSwap")
     }
     affected.foreach { case (b, bb) =>
       val rel = Paths.get(s"_band=$b", s"_bb=$bb")
       Files.createDirectories(base.resolve("bands").resolve(s"_band=$b"))
       swap(bandTmp.resolve(rel), base.resolve("bands").resolve(rel))
+      CrashHooks.maybe("dedup.midBandSwap")
     }
     VectorStoreCatalog.deleteRec(sigTmp); VectorStoreCatalog.deleteRec(bandTmp)
     refresh(spark, dir)
+    Files.deleteIfExists(commitIntentPath(dir))
   }
 
   /** Near-dup candidates of a NEW batch against the stored corpus:
@@ -157,6 +265,7 @@ object DedupIndex {
     */
   def queryBatch(spark: SparkSession, dir: String, newDocs: DataFrame,
       nBuckets: Int = 16): DataFrame = {
+    healIfTorn(spark, dir) // one stat per query batch; heals before serving
     // ONE job materializes the increment's signatures (|batch| rows × 9
     // longs — driver-sized for any request-shaped increment); the band
     // keys for the partition filter then come for free instead of costing
@@ -216,6 +325,7 @@ object DedupIndex {
   def ingestDeduped(spark: SparkSession, dir: String, batch: DataFrame,
       threshold: Double = 0.75, nBuckets: Int = 16): DataFrame = {
     val b = batch.select("doc_id", "text").localCheckpoint()
+    healIfTorn(spark, dir)
     val survivors =
       if (!exists(dir)) b
       else {

@@ -1,0 +1,145 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.{CrashHooks, DedupIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Hard-crash consistency of the DedupIndex commit protocol (r7 verdict #2).
+  *
+  * A crash between the sig-bucket swaps and the band-dir swaps used to leave
+  * `bands/` postings referencing already-replaced signatures — silently
+  * wrong dedup results with no detection. These specs inject a crash at each
+  * rename window and assert the `_commit_intent` protocol: detection on the
+  * next access, heal by re-deriving `bands/` from `sig/`, and replay
+  * convergence to the crash-free twin.
+  */
+class DedupIndexCrashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(i: Long, tag: String) =
+    (i, s"shared prefix tokens $tag alpha beta doc$i gamma delta common tail words")
+
+  private def docs(ids: Seq[Long], tag: String = "v1") =
+    ids.map(doc(_, tag)).toDF("doc_id", "text")
+
+  private def canon(df: DataFrame) = df.collect().map(_.toSeq).toSet
+
+  private def sig(d: String) = spark.read.parquet(s"$d/sig").drop("_bucket")
+  private def bands(d: String) = spark.read.parquet(s"$d/bands")
+    .select("doc_id", "bucket", "_band", "_bb")
+
+  /** The heal invariant: `bands/` is exactly the LSH banding of `sig/`
+    * (2 hashes per band, bucket = h·P + h', _bb = bucket mod 64) — whatever
+    * partial batch the torn `sig/` holds.
+    */
+  private def assertBandsMatchSig(dir: String): Unit = {
+    val s = sig(dir)
+    val expected = (0 until Dedup.NumHashes / 2).map { bd =>
+      s.select(col("doc_id"), lit(bd).as("_band"),
+        (col(s"h${2 * bd}") * Dedup.P + col(s"h${2 * bd + 1}")).as("bucket"))
+    }.reduce(_.unionByName(_))
+      .withColumn("_bb", pmod(col("bucket"), lit(DedupIndex.BandBuckets.toLong)))
+      .select("doc_id", "bucket", "_band", "_bb")
+    assert(canon(bands(dir)) == canon(expected), "bands != banding(sig)")
+  }
+
+  /** Crash an upsert at `point`; assert detection, read-path heal, and
+    * replay convergence against a crash-free twin.
+    */
+  private def crashScenario(point: String): Unit = {
+    val dir = Files.createTempDirectory("graft_dedupcrash").toString
+    DedupIndex.build(docs(0L until 40L), dir, nBuckets = 8)
+    CrashHooks.arm(point)
+    try intercept[CrashHooks.InjectedCrash] {
+      // overlapping range: replaces docs (old postings must be retired)
+      DedupIndex.upsert(spark, dir, docs(30L until 60L, tag = "v2"), nBuckets = 8)
+    } finally CrashHooks.disarm()
+    assert(Files.exists(DedupIndex.commitIntentPath(dir)),
+      s"$point: marker must be armed")
+
+    // the next query detects the torn commit and heals before serving
+    val probe = DedupIndex.queryBatch(spark, dir, docs(Seq(1000L), tag = "v2"),
+      nBuckets = 8)
+    probe.count() // force
+    assert(!Files.exists(DedupIndex.commitIntentPath(dir)),
+      s"$point: heal must clear the marker")
+    assertBandsMatchSig(dir)
+
+    // at-least-once replay converges to the crash-free twin
+    DedupIndex.upsert(spark, dir, docs(30L until 60L, tag = "v2"), nBuckets = 8)
+    val twin = Files.createTempDirectory("graft_deduptwin").toString
+    DedupIndex.build(docs(0L until 40L), twin, nBuckets = 8)
+    DedupIndex.upsert(spark, twin, docs(30L until 60L, tag = "v2"), nBuckets = 8)
+    assert(canon(sig(dir)) == canon(sig(twin)),
+      s"$point: healed+replayed signatures diverge from the crash-free twin")
+    assert(canon(bands(dir)) == canon(bands(twin)),
+      s"$point: healed+replayed postings diverge from the crash-free twin")
+    val q = docs(35L until 45L, tag = "v2")
+    assert(canon(DedupIndex.queryBatch(spark, dir, q, nBuckets = 8)) ==
+      canon(DedupIndex.queryBatch(spark, twin, q, nBuckets = 8)),
+      s"$point: query results diverge from the crash-free twin")
+    // heal + commits leave no debris behind
+    assert(DedupIndex.vacuum(dir) == 0, s"$point: commit debris survived")
+  }
+
+  test("phase-1 abort arms nothing and mutates nothing") {
+    val dir = Files.createTempDirectory("graft_dedupcrash").toString
+    DedupIndex.build(docs(0L until 40L), dir, nBuckets = 8)
+    val sigBefore = canon(sig(dir)); val bandsBefore = canon(bands(dir))
+    CrashHooks.arm("dedup.beforeJobs")
+    try intercept[CrashHooks.InjectedCrash] {
+      DedupIndex.upsert(spark, dir, docs(30L until 60L, tag = "v2"), nBuckets = 8)
+    } finally CrashHooks.disarm()
+    assert(!Files.exists(DedupIndex.commitIntentPath(dir)),
+      "a failure before any rename must not arm the marker")
+    assert(canon(sig(dir)) == sigBefore && canon(bands(dir)) == bandsBefore,
+      "clean abort must apply nothing")
+    DedupIndex.upsert(spark, dir, docs(30L until 60L, tag = "v2"), nBuckets = 8)
+    assertBandsMatchSig(dir)
+  }
+
+  test("crash after arming, before any rename, heals and converges") {
+    crashScenario("dedup.beforeRenames")
+  }
+
+  test("crash mid sig-bucket swaps (postings reference replaced signatures)") {
+    crashScenario("dedup.midSigSwap")
+  }
+
+  test("crash mid band-dir swaps (torn posting partitions)") {
+    crashScenario("dedup.midBandSwap")
+  }
+
+  test("rebuild over a live index: crash between the two whole-dir swaps heals") {
+    val dir = Files.createTempDirectory("graft_dedupcrash").toString
+    DedupIndex.build(docs(0L until 40L), dir, nBuckets = 8)
+    CrashHooks.arm("dedup.midSwap")
+    try intercept[CrashHooks.InjectedCrash] {
+      DedupIndex.build(docs(0L until 50L, tag = "v2"), dir, nBuckets = 8)
+    } finally CrashHooks.disarm()
+    assert(Files.exists(DedupIndex.commitIntentPath(dir)))
+    // sig/ swapped to v2, bands/ still v1 — heal re-derives and converges
+    assert(DedupIndex.healTornCommit(spark, dir))
+    assertBandsMatchSig(dir)
+    val twin = Files.createTempDirectory("graft_deduptwin").toString
+    DedupIndex.build(docs(0L until 50L, tag = "v2"), twin, nBuckets = 8)
+    assert(canon(sig(dir)) == canon(sig(twin)))
+    assert(canon(bands(dir)) == canon(bands(twin)))
+  }
+
+  test("mutators self-heal on entry instead of compounding a torn state") {
+    val dir = Files.createTempDirectory("graft_dedupcrash").toString
+    DedupIndex.build(docs(0L until 40L), dir, nBuckets = 8)
+    CrashHooks.arm("dedup.midSigSwap")
+    try intercept[CrashHooks.InjectedCrash] {
+      DedupIndex.upsert(spark, dir, docs(30L until 60L, tag = "v2"), nBuckets = 8)
+    } finally CrashHooks.disarm()
+    // no read in between: the NEXT upsert must heal first, then commit
+    DedupIndex.upsert(spark, dir, docs(55L until 70L, tag = "v3"), nBuckets = 8)
+    assert(!Files.exists(DedupIndex.commitIntentPath(dir)))
+    assertBandsMatchSig(dir)
+  }
+}
