@@ -264,33 +264,50 @@ object DedupIndex {
     * buckets.
     */
   def queryBatch(spark: SparkSession, dir: String, newDocs: DataFrame,
-      nBuckets: Int = 16): DataFrame = {
+      nBuckets: Int = 16,
+      maxBroadcast: Int = MaxBroadcastQuerySigs): DataFrame = {
     healIfTorn(spark, dir) // one stat per query batch; heals before serving
-    // ONE job materializes the increment's signatures (|batch| rows × 9
-    // longs — driver-sized for any request-shaped increment); the band
-    // keys for the partition filter then come for free instead of costing
-    // a second collect job, and the query side of every join below is a
-    // local relation Spark broadcasts without stats guessing. (The r6
-    // first cut localCheckpoint'ed + ran a distinct-collect: two extra
-    // fixed job latencies on a serving path whose floor IS job latency.)
-    val sigRows = Dedup.minhashSignatures(newDocs).collect()
-    val small = sigRows.length <= MaxBroadcastQuerySigs
-    val qSig = spark.createDataFrame(
-      spark.sparkContext.parallelize(sigRows.toIndexedSeq,
-        if (small) 1 else spark.sparkContext.defaultParallelism),
-      org.apache.spark.sql.types.StructType.fromDDL(sigSchema))
-    // increments past the broadcast bound keep shuffle joins (a multi-MB
-    // local relation is a bad broadcast side); increments past driver
-    // memory are not this entry point's shape — dedup them as a corpus
-    // slice through the batch operator instead
-    def bq(df: DataFrame) = if (small) broadcast(df) else df
+    // ONE job materializes the increment's signatures UP TO the driver cap
+    // (`limit(cap+1)` — never more than cap+1 rows × 9 longs land on the
+    // driver, so the bound holds BEFORE any collect instead of after, the
+    // r7 fix); for a request-shaped increment that single job yields the
+    // band keys for the partition filter for free, and the query side of
+    // every join below is a local relation Spark broadcasts without stats
+    // guessing. (The r6 first cut localCheckpoint'ed + ran a
+    // distinct-collect: two extra fixed job latencies on a serving path
+    // whose floor IS job latency.)
+    val capped = Dedup.minhashSignatures(newDocs).limit(maxBroadcast + 1).collect()
+    if (capped.length <= maxBroadcast) {
+      val qSig = spark.createDataFrame(
+        spark.sparkContext.parallelize(capped.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(sigSchema))
+      val keys = capped.iterator.flatMap { r =>
+        (0 until Dedup.NumHashes / 2).map { bd =>
+          val bucket = r.getLong(1 + 2 * bd) * Dedup.P + r.getLong(2 + 2 * bd)
+          (bd, java.lang.Math.floorMod(bucket, BandBuckets.toLong))
+        }
+      }.toIndexedSeq.distinct
+      answerPruned(spark, dir, nBuckets, qSig, keys, broadcast)
+    } else {
+      // past the cap the signatures NEVER land on the driver: recompute
+      // them distributed (checkpointed once), collect only the ≤ 4·64
+      // DISTINCT band keys for the same partition-pruned scan, and keep
+      // shuffle joins (a multi-MB local relation is a bad broadcast side)
+      val qSig = Dedup.minhashSignatures(newDocs).localCheckpoint()
+      val keys = bandsOf(qSig).select("_band", "_bb").distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toIndexedSeq
+      answerPruned(spark, dir, nBuckets, qSig, keys, identity[DataFrame] _)
+    }
+  }
+
+  /** The band-pruned candidate join shared by both [[queryBatch]] sizes:
+    * identical plan shape, only the query side's physicality (broadcast
+    * local relation vs checkpointed distributed) differs.
+    */
+  private def answerPruned(spark: SparkSession, dir: String, nBuckets: Int,
+      qSig: DataFrame, keys: Seq[(Int, Long)],
+      bq: DataFrame => DataFrame): DataFrame = {
     val qBands = bandsOf(qSig)
-    val keys = sigRows.iterator.flatMap { r =>
-      (0 until Dedup.NumHashes / 2).map { bd =>
-        val bucket = r.getLong(1 + 2 * bd) * Dedup.P + r.getLong(2 + 2 * bd)
-        (bd, java.lang.Math.floorMod(bucket, BandBuckets.toLong))
-      }
-    }.toIndexedSeq.distinct
     val prunedBands = prunedBandScan(spark, dir, keys)
     val cands = prunedBands.as("s")
       .join(bq(qBands.as("q")),

@@ -168,4 +168,17 @@ class DedupIndexSpec extends SparkSpec {
     }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
+
+  test("over-cap queryBatch keeps signatures off the driver and matches the fast path") {
+    val dir = Files.createTempDirectory("graft_dedupcap").toString
+    DedupIndex.build(docs(0L until 80L), dir, nBuckets = 8)
+    val batch = docs(200L until 230L).unionByName(docs(Seq(5L, 17L, 42L), tag = "v3"))
+    // cap of 4 forces the distributed path for this 33-doc batch; the
+    // result must be bit-identical to the broadcast fast path (same
+    // band-pruned join shape, different physicality only)
+    val slow = DedupIndex.queryBatch(spark, dir, batch, nBuckets = 8, maxBroadcast = 4)
+    val fast = DedupIndex.queryBatch(spark, dir, batch, nBuckets = 8)
+    assert(canon(fast).nonEmpty, "fixture must produce candidate pairs")
+    assert(canon(slow) == canon(fast), "distributed path diverges from broadcast path")
+  }
 }
