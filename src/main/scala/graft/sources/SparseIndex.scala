@@ -113,11 +113,27 @@ object SparseIndex {
     // the touched-bucket isolation spec treats dictionary files as the
     // small always-updatable tables)
     val p = Paths.get(dir, "termdf_delta_seq")
-    val next =
-      if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
-      else 1L
+    // a corrupt/unparseable counter (torn write by a pre-atomic version,
+    // disk fault) must not wedge every subsequent insert: recover as
+    // max(existing d*)+1 — collision-free against every LIVE delta file,
+    // which is the only collision that loses data (folded generations are
+    // deleted, so name reuse across folds is inert). The same max() also
+    // heals a stale-but-parseable counter lagging the delta dir.
+    val maxLive = termDeltaFiles(dir)
+      .flatMap(d => scala.util.Try(d.getFileName.toString.drop(1).toLong).toOption)
+      .maxOption.getOrElse(0L)
+    val stored =
+      if (Files.exists(p))
+        scala.util.Try(new String(Files.readAllBytes(p), "UTF-8").trim.toLong).toOption
+      else None
+    val next = math.max(stored.getOrElse(1L), maxLive + 1)
     Files.createDirectories(p.getParent)
-    Files.write(p, (next + 1).toString.getBytes("UTF-8"))
+    // tmp + atomic rename: the reservation itself can never tear (the
+    // `._tmp` name is vacuum-swept debris if a crash strands it)
+    val tmp = p.resolveSibling(p.getFileName.toString + "._tmp" + System.nanoTime())
+    Files.write(tmp, (next + 1).toString.getBytes("UTF-8"))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     next
   }
 

@@ -255,6 +255,31 @@ class CrashRecoverySpec extends SparkSpec {
     assert(debris.isEmpty, s"debris survived heal: $debris")
   }
 
+  test("corrupt dictionary delta-seq reservation recovers instead of wedging inserts") {
+    val cat = mkCat()
+    cat.insert("t", "m", docs(0 until 24))
+    cat.insert("t", "m", docs(24 until 30)) // incremental: reserves a delta seq
+    val seq = java.nio.file.Paths.get(cat.sparseDirOf("t", "m"), "termdf_delta_seq")
+    assert(Files.exists(seq), "fixture must have reserved a delta seq")
+
+    // torn write (garbage bytes): the next reservation must recover as
+    // max(existing d*)+1 — inserts keep working, counts stay exact
+    Files.write(seq, Array[Byte](0x67, 0x61, 0x72, 0x62, 0x00, 0x7f))
+    cat.insert("t", "m", docs(30 until 40))
+    assertSparseMatchesData(cat)
+
+    // truncate-to-empty mid-flight: same recovery
+    Files.write(seq, Array.emptyByteArray)
+    cat.insert("t", "m", docs(40 until 50))
+    assertSparseMatchesData(cat)
+
+    // stale-but-parseable counter (lagging the delta dir) also heals: a
+    // reused name would silently overwrite a live delta's counts
+    Files.write(seq, "1".getBytes("UTF-8"))
+    cat.insert("t", "m", docs(50 until 60))
+    assertSparseMatchesData(cat)
+  }
+
   test("HNSW: crash mid node-bucket swaps heals the graph from the data table") {
     val cat = mkCat(indexType = "HNSW")
     cat.insert("t", "m", docs(0 until 30))
