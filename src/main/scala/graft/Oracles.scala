@@ -835,22 +835,28 @@ object Oracles {
       |              (acc, x) -> (acc * 31 + x) % 997) AS BIGINT) AS checksum
       |FROM documents""".stripMargin
 
-  /** Predicted decode of the synthesized BMP/WAV containers (mirror of
-    * [[graft.operators.Multimodal.synthBmp]]/`synthWav` size and header
-    * formulas). The Spark side PARSES real bytes; agreement here proves the
-    * parsers round-trip the containers correctly.
+  /** Predicted decode of the synthesized PNG/BMP/WAV containers (mirror of
+    * [[graft.operators.Multimodal.synthPng]]/`synthBmp`/`synthWav` size and
+    * header formulas — PNG total = 68 fixed container bytes + the stored-
+    * deflate scanline payload h*(1+3w)). The Spark side PARSES real bytes;
+    * agreement here proves the parsers round-trip the containers correctly.
     */
   val mediaDecode: String =
     """SELECT doc_id,
-      |       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
-      |       CAST(CASE WHEN doc_id % 2 = 0
-      |         THEN 54 + (((4 + doc_id % 13) * 3 + 3) // 4) * 4 * (3 + doc_id % 7)
+      |       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+      |            ELSE 'audio/wav' END AS media_type,
+      |       CAST(CASE doc_id % 3
+      |         WHEN 0 THEN 68 + (2 + doc_id % 5) * (1 + 3 * (2 + doc_id % 11))
+      |         WHEN 1 THEN 54 + (((4 + doc_id % 13) * 3 + 3) // 4) * 4 * (3 + doc_id % 7)
       |         ELSE 44 + (16 + doc_id % 32) * (1 + (doc_id // 2) % 2) * 2
       |       END AS BIGINT) AS n_bytes,
-      |       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 END AS BIGINT) AS width,
-      |       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 END AS BIGINT) AS height,
-      |       CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 5) * 4000 END AS BIGINT) AS sample_rate,
-      |       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + (doc_id // 2) % 2 END AS BIGINT) AS channels
+      |       CAST(CASE doc_id % 3 WHEN 0 THEN 2 + doc_id % 11
+      |            WHEN 1 THEN 4 + doc_id % 13 END AS BIGINT) AS width,
+      |       CAST(CASE doc_id % 3 WHEN 0 THEN 2 + doc_id % 5
+      |            WHEN 1 THEN 3 + doc_id % 7 END AS BIGINT) AS height,
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 5) * 4000 END AS BIGINT) AS sample_rate,
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + (doc_id // 2) % 2 END AS BIGINT) AS channels,
+      |       CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 16 END AS BIGINT) AS bit_depth
       |FROM documents""".stripMargin
 
   /** n-token shingle CTE via lead() windows (requires toksp) — the oracle

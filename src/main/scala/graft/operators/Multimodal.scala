@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in distributed per-partition batches.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] derives deterministic fake features from the
-  * bytes. Everything around the stub — schema, binary column handling,
-  * partition-batched imperative processing (`mapPartitions`, the Scala
-  * analogue of a Pandas-UDF `mapInPandas` batch), feature schema — is the
-  * real Spark-side pipeline a production decoder would drop into.
+  * Two decode tiers, both real:
+  *  - [[byteFeatures]] computes format-agnostic byte statistics (size,
+  *    first byte, rolling checksum, byte histogram) — the features that
+  *    exist for ANY payload, container-valid or not;
+  *  - [[extractMediaFeatures]] parses genuine container headers (PNG IHDR,
+  *    BMP BITMAPINFOHEADER, RIFF/WAVE fmt) with pure-JVM decoders.
+  * Both use the same partition-batched imperative shape (`mapPartitions`,
+  * the Scala analogue of a Pandas-UDF `mapInPandas` batch) a native
+  * image/audio library would drop into.
   */
 object Multimodal {
 
@@ -33,13 +36,15 @@ object Multimodal {
     docs.withColumn("payload", col(textCol).cast("binary"))
       .withColumn("media_type", lit("image/fake"))
 
-  /** ??? real decoder goes here — STUB: deterministic pseudo-features from
-    * raw bytes (n_bytes, first byte, rolling checksum mod 997, an 8-dim
-    * byte-histogram-ish feature). The mapPartitions batch shape (iterate a
-    * whole partition, emit one feature row per asset) is exactly what a
-    * JNI/image-lib decoder would use.
+  /** Format-agnostic byte features of a binary payload: n_bytes, first
+    * byte, rolling checksum mod 997, an 8-bin byte histogram. These are
+    * real features of the real bytes (not placeholders) — the tier of
+    * feature that exists for any payload regardless of container validity;
+    * header-level decode is [[extractMediaFeatures]]. The mapPartitions
+    * batch shape (iterate a whole partition, emit one feature row per
+    * asset) is exactly what a JNI/image-lib decoder would use.
     */
-  def decodeStub(assets: DataFrame): DataFrame = {
+  def byteFeatures(assets: DataFrame): DataFrame = {
     val schema = assets.schema
     val idIdx  = schema.fieldIndex("doc_id")
     val mtIdx  = schema.fieldIndex("media_type")
@@ -65,19 +70,88 @@ object Multimodal {
     }
   }
 
-  /** End-to-end: docs → binary payload → partition-batched decode →
-    * features. The distributed shape (schema, binary flow, batching) is
-    * real; only the inner decode is fake.
+  /** End-to-end: docs → binary payload → partition-batched byte-feature
+    * extraction. Oracle-gated by q_multimodal (the DuckDB side recomputes
+    * the same statistics from the text the payload encodes).
     */
   def extractFeatures(docs: DataFrame): DataFrame =
-    decodeStub(withBinaryPayload(docs).select("doc_id", "media_type", "payload"))
+    byteFeatures(withBinaryPayload(docs).select("doc_id", "media_type", "payload"))
 
   // ==== REAL container decode (pure JVM — no native libs needed) ==========
-  // BMP and RIFF/WAVE headers are simple little-endian structures; parsing
-  // them is a genuine decode of real container formats, replacing the stub
-  // for these two types. The same mapPartitions batch shape carries it.
+  // PNG, BMP, and RIFF/WAVE headers are simple binary structures; parsing
+  // them is a genuine decode of real container formats. The same
+  // mapPartitions batch shape carries it.
 
   import java.nio.{ByteBuffer, ByteOrder}
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse a PNG IHDR: returns (width, height, bitDepth) or None if the
+    * signature/first chunk is wrong. (8-byte signature, then the IHDR chunk
+    * MUST come first: u32 length @8, 'IHDR' @12, u32 width @16, u32 height
+    * @20, u8 bit depth @24 — PNG integers are big-endian.)
+    */
+  def decodePngHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 33 ||
+        !PngSignature.indices.forall(i => bytes(i) == PngSignature(i)) ||
+        bytes(12) != 'I' || bytes(13) != 'H' || bytes(14) != 'D' || bytes(15) != 'R')
+      None
+    else {
+      val bb = ByteBuffer.wrap(bytes) // default BIG_ENDIAN, per spec
+      Some((bb.getInt(16), bb.getInt(20), bytes(24) & 0xff))
+    }
+  }
+
+  private def pngChunk(bb: ByteBuffer, chunkType: String, data: Array[Byte]): Unit = {
+    bb.putInt(data.length).put(chunkType.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(chunkType.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+  }
+
+  /** Deterministic 8-bit RGB PNG for a doc id: width 2+id%11, height
+    * 2+id%5, pixel (x,y) channels (id+x+y)%256. A fully valid file —
+    * correct chunk CRCs, zlib stream (stored-deflate, so the byte count is
+    * a closed-form the oracle can predict: 68 + height*(1+3*width)) — that
+    * `javax.imageio` round-trips (spec-pinned).
+    */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = (2 + id % 11).toInt; val h = (2 + id % 5).toInt
+    // raw scanlines: per row one filter byte (0 = None) + w RGB triples
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var p = 0
+    for (y <- 0 until h) {
+      raw(p) = 0; p += 1
+      for (x <- 0 until w; _ <- 0 until 3) {
+        raw(p) = ((id + x + y) % 256).toByte; p += 1
+      }
+    }
+    // zlib with one stored (uncompressed) deflate block: 2-byte header,
+    // 5-byte block header, raw, 4-byte Adler32 (raw is far under the
+    // 65535-byte stored-block limit at these dimensions)
+    val zlib = ByteBuffer.allocate(raw.length + 11)
+    zlib.put(0x78.toByte).put(0x01.toByte)
+    zlib.put(1.toByte) // BFINAL=1, BTYPE=00 (stored)
+    zlib.order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(raw.length.toShort).putShort((~raw.length).toShort)
+    zlib.put(raw)
+    val adler = new java.util.zip.Adler32
+    adler.update(raw)
+    zlib.order(ByteOrder.BIG_ENDIAN).putInt(adler.getValue.toInt)
+
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(2.toByte)  // color type: truecolor RGB
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    val out = ByteBuffer.allocate(8 + 25 + (12 + zlib.capacity) + 12)
+    out.put(PngSignature)
+    pngChunk(out, "IHDR", ihdr.array())
+    pngChunk(out, "IDAT", zlib.array())
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.array()
+  }
 
   /** Parse a BMP header: returns (width, height, bitsPerPixel) or None if
     * the magic/size is wrong. (BITMAPINFOHEADER layout: 'BM' magic, i32
@@ -149,13 +223,15 @@ object Multimodal {
     StructField("width", LongType),
     StructField("height", LongType),
     StructField("sample_rate", LongType),
-    StructField("channels", LongType)))
+    StructField("channels", LongType),
+    StructField("bit_depth", LongType)))
 
-  /** Synthesize per-doc media payloads (even ids → BMP, odd → WAV), then
-    * REALLY decode each container's header in the partition-batched pass.
-    * The decoded fields come from parsing the bytes — if the parsers were
-    * wrong, the DuckDB oracle (which predicts them from the synthesis
-    * formulas) would catch it.
+  /** Synthesize per-doc media payloads (ids mod 3: 0 → PNG, 1 → BMP,
+    * 2 → WAV), then REALLY decode each container's header in the
+    * partition-batched pass. Every emitted field — including bit_depth —
+    * comes from parsing the bytes, not from the synthesis parameters; if a
+    * parser were wrong, the DuckDB oracle (which predicts the fields from
+    * the synthesis formulas) would catch it.
     */
   def extractMediaFeatures(docs: DataFrame): DataFrame = {
     val ids = docs.select("doc_id")
@@ -165,16 +241,25 @@ object Multimodal {
     ids.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idIdx)
-        if (id % 2 == 0) {
-          val bytes = synthBmp(id)
-          val (w, h, _) = decodeBmpHeader(bytes).getOrElse(
-            throw new IllegalStateException(s"undecodable BMP for doc $id"))
-          Row(id, "image/bmp", bytes.length.toLong, w.toLong, h.toLong, null, null)
-        } else {
-          val bytes = synthWav(id)
-          val (rate, ch, _) = decodeWavHeader(bytes).getOrElse(
-            throw new IllegalStateException(s"undecodable WAV for doc $id"))
-          Row(id, "audio/wav", bytes.length.toLong, null, null, rate.toLong, ch.toLong)
+        (id % 3) match {
+          case 0 =>
+            val bytes = synthPng(id)
+            val (w, h, depth) = decodePngHeader(bytes).getOrElse(
+              throw new IllegalStateException(s"undecodable PNG for doc $id"))
+            Row(id, "image/png", bytes.length.toLong, w.toLong, h.toLong,
+              null, null, depth.toLong)
+          case 1 =>
+            val bytes = synthBmp(id)
+            val (w, h, bpp) = decodeBmpHeader(bytes).getOrElse(
+              throw new IllegalStateException(s"undecodable BMP for doc $id"))
+            Row(id, "image/bmp", bytes.length.toLong, w.toLong, h.toLong,
+              null, null, bpp.toLong)
+          case _ =>
+            val bytes = synthWav(id)
+            val (rate, ch, bits) = decodeWavHeader(bytes).getOrElse(
+              throw new IllegalStateException(s"undecodable WAV for doc $id"))
+            Row(id, "audio/wav", bytes.length.toLong, null, null,
+              rate.toLong, ch.toLong, bits.toLong)
         }
       }
     }

@@ -630,7 +630,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavHeader(Multimodal.synthBmp(2L)).isEmpty)
   }
 
-  test("binary payload plumbing produces deterministic stub features") {
+  test("PNG IHDR parser decodes JDK-encoded files; synthPng is a valid PNG") {
+    // independent encoder: ImageIO's own PNG writer
+    val img = new java.awt.image.BufferedImage(23, 11,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val pos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", pos))
+    assert(Multimodal.decodePngHeader(pos.toByteArray).map(t => (t._1, t._2))
+      .contains((23, 11)))
+
+    // our synthesized file round-trips our parser…
+    assert(Multimodal.decodePngHeader(Multimodal.synthPng(9L))
+      .contains((11, 6, 8))) // w = 2+9%11 = 11, h = 2+9%5 = 6, depth 8
+    // …and is a REAL decodable PNG: ImageIO reads it back, dims and a
+    // pixel agree with the synthesis formula ((id+x+y)%256 on all channels)
+    val rt = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.synthPng(9L)))
+    assert(rt != null && rt.getWidth == 11 && rt.getHeight == 6)
+    val px = rt.getRaster.getPixel(3, 2, null.asInstanceOf[Array[Int]])
+    assert(px.toSeq == Seq(14, 14, 14)) // (9+3+2)%256
+    // garbage (and a non-PNG container) is rejected, not misparsed
+    assert(Multimodal.decodePngHeader("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodePngHeader(Multimodal.synthBmp(2L)).isEmpty)
+  }
+
+  test("extractMediaFeatures decodes all three containers with parsed bit depth") {
+    val docs = (0L until 9L).toDF("doc_id")
+    val rows = Multimodal.extractMediaFeatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[String]("media_type") == "image/png")
+    assert(rows(0L).getAs[Long]("bit_depth") == 8)
+    assert(rows(0L).getAs[Long]("width") == 2 && rows(0L).getAs[Long]("height") == 2)
+    assert(rows(1L).getAs[String]("media_type") == "image/bmp")
+    assert(rows(1L).getAs[Long]("bit_depth") == 24)
+    assert(rows(2L).getAs[String]("media_type") == "audio/wav")
+    assert(rows(2L).getAs[Long]("bit_depth") == 16)
+    assert(rows(2L).getAs[Long]("sample_rate") == 8000 + (2 % 5) * 4000)
+  }
+
+  test("binary payload plumbing produces deterministic byte features") {
     val docs = Seq((7L, "abc"), (8L, "")).toDF("doc_id", "text")
     val f = Multimodal.extractFeatures(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
