@@ -53,6 +53,17 @@ object Bench {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$prepDir/ivf/clustered")
     prepIdx.centroids.write.mode("overwrite").parquet(s"$prepDir/ivf/centroids")
+    // second persisted IVF over the embedding-backed corpus — the dense leg
+    // of the indexed hybrid (b4c), same collection as the BM25 sparse leg
+    val prepDocsIdx = Ivf.build(
+      docsCorpus.select(col("doc_id"), col("qv").as("dv")), nlist = 256, maxIter = 5)
+    prepDocsIdx.clustered.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$prepDir/ivf_docs/clustered")
+    prepDocsIdx.centroids.write.mode("overwrite").parquet(s"$prepDir/ivf_docs/centroids")
+    def persistedDocsIvf = Ivf.Index(
+      spark.read.parquet(s"$prepDir/ivf_docs/centroids"),
+      spark.read.parquet(s"$prepDir/ivf_docs/clustered"), "COSINE")
     val prepPq = Ivf.quantizePq(prepIdx, mSub = 8, ksub = 64, maxIter = 3)
     prepPq.clustered.write.mode("overwrite").parquet(s"$prepDir/pq/clustered")
     def persistedPq = Ivf.Pq(prepIdx.centroids,
@@ -152,6 +163,22 @@ object Bench {
         val queries = docsCorpus.filter(col("doc_id") < 8)
           .select(col("doc_id").as("qid"), col("qv"))
         Hybrid.search(corpus, queries, persistedBm25,
+          (0L until 8L).map(_ -> "spark join window merge data"),
+          SearchParams(limit = 10))
+      }),
+      // the 100 TB hybrid: BOTH legs index-pruned (persisted-IVF dense leg,
+      // persisted-BM25 sparse leg). At sf0.1 this RUNS SLOWER than b4b's
+      // exact dense leg — the probe's routing+pruning job chain is pure
+      // fixed latency over a 2k-doc corpus — which is exactly why both are
+      // benched: b4b is the small-corpus request shape, b4c the shape whose
+      // cost stays flat when the corpus doesn't fit a scan (measured
+      // ScaleBench slopes 0.11 at 10×, 0.018 at 100× vs b1's ~0.7 linear).
+      "b4c_hybrid_indexed" -> (() => {
+        val queries = docsCorpus.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("qid"), col("qv"))
+        val dense = Ivf.probePersisted(persistedDocsIvf, queries, nprobe = 16, k = 50)
+          .select(col("qid"), col("doc_id"), col("score").as("rawScore"))
+        Hybrid.searchScored(dense, persistedBm25,
           (0L until 8L).map(_ -> "spark join window merge data"),
           SearchParams(limit = 10))
       }),

@@ -273,4 +273,33 @@ class PlanShapeSpec extends SparkSpec {
     val b = Ivf.probePersisted(idx, qs, nprobe = 2, k = 3).collect().map(_.toSeq).toSet
     assert(a == b, "bulk probe diverges from probePersisted")
   }
+
+  test("indexed hybrid keeps the dense leg cell-pruned through the fusion plan") {
+    // the b4c/ScaleBench shape: persisted-IVF dense leg + BM25 sparse leg
+    // fused by searchScored — RRF fusion must not defeat the dense leg's
+    // centroid_id partition pruning
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_hybprune").toString)
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 8))
+    cat.insert("t", "m", (0 until 200).map(i =>
+      EmbeddedVector(s"k$i", s"alpha beta doc$i common words", "m", Map(), vec(i))))
+    cat.persistIndex("t", "m")
+    val idx = cat.loadIndex("t", "m")
+    import spark.implicits._
+    val queries = Seq((0L, vec(5))).toDF("qid", "qv")
+    val dense = Ivf.probePersisted(idx, queries, nprobe = 1, k = 50)
+      .select(col("qid"), col("doc_id"), col("score").as("rawScore"))
+    val fused = graft.operators.Hybrid.searchScored(dense,
+      graft.operators.Bm25.fit(cat.load("t", "m").select(
+        org.apache.spark.sql.functions.xxhash64(col("flouds_vector_id")).as("doc_id"),
+        col("chunk").as("text"))),
+      Seq(0L -> "alpha doc5"), SearchParams(limit = 10))
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan(fused)).map(_.group(1)).toSeq
+    assert(pf.exists(_.contains("centroid_id")),
+      s"dense leg lost cell pruning inside the fused plan: $pf")
+    assert(fused.count() > 0, "fixture must fuse at least one hit")
+  }
 }
