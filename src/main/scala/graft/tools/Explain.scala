@@ -30,6 +30,34 @@ object Explain {
 
     println("==== bm25 topk ====")
     graft.SparkEntry.queries("q_bm25_topk")(spark, dir).explain("formatted")
+
+    println("==== indexed hybrid (persisted-IVF dense leg + BM25, RRF) ====")
+    locally {
+      import graft.operators.{Bm25, Hybrid, Ivf}
+      val corpus = Tables.docsCorpus(spark, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("qv").as("dv"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_explain").toString
+      val built = Ivf.build(corpus, nlist = 16, maxIter = 3)
+      built.clustered
+        .repartition(org.apache.spark.sql.functions.col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$tmp/clustered")
+      built.centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
+      val idx = Ivf.Index(spark.read.parquet(s"$tmp/centroids"),
+        spark.read.parquet(s"$tmp/clustered"), "COSINE")
+      val queries = Tables.docsCorpus(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 4)
+        .select(org.apache.spark.sql.functions.col("doc_id").as("qid"),
+          org.apache.spark.sql.functions.col("qv"))
+      val dense = Ivf.probePersisted(idx, queries, nprobe = 4, k = 50)
+        .select(org.apache.spark.sql.functions.col("qid"),
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("score").as("rawScore"))
+      Hybrid.searchScored(dense, Bm25.fit(Tables.load(spark, dir, "documents")),
+        (0L until 4L).map(_ -> "spark join data"),
+        SearchParams(limit = 10)).explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -130,6 +130,26 @@ class DedupIndexCrashSpec extends SparkSpec {
     assert(canon(bands(dir)) == canon(bands(twin)))
   }
 
+  test("concurrent upserts to one index serialize under the per-dir lock") {
+    val dir = Files.createTempDirectory("graft_dedupconc").toString
+    DedupIndex.build(docs(0L until 40L), dir, nBuckets = 8)
+    // two disjoint batches race; the lock serializes their commits, so the
+    // end state must equal the sequential twin (either order — the batches
+    // touch disjoint doc_ids, so both orders converge to the same state)
+    val t1 = new Thread(() =>
+      DedupIndex.upsert(spark, dir, docs(100L until 130L, tag = "a"), nBuckets = 8))
+    val t2 = new Thread(() =>
+      DedupIndex.upsert(spark, dir, docs(200L until 230L, tag = "b"), nBuckets = 8))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val twin = Files.createTempDirectory("graft_deduptwin").toString
+    DedupIndex.build(docs(0L until 40L), twin, nBuckets = 8)
+    DedupIndex.upsert(spark, twin, docs(100L until 130L, tag = "a"), nBuckets = 8)
+    DedupIndex.upsert(spark, twin, docs(200L until 230L, tag = "b"), nBuckets = 8)
+    assert(canon(sig(dir)) == canon(sig(twin)), "racing upserts lost signatures")
+    assert(canon(bands(dir)) == canon(bands(twin)), "racing upserts lost postings")
+    assert(!Files.exists(DedupIndex.commitIntentPath(dir)))
+  }
+
   test("mutators self-heal on entry instead of compounding a torn state") {
     val dir = Files.createTempDirectory("graft_dedupcrash").toString
     DedupIndex.build(docs(0L until 40L), dir, nBuckets = 8)
