@@ -151,7 +151,18 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   private def nextDeltaSeq(tenant: String, model: String): Long = {
     val p = tableDir(tenant, model).resolve("_delta_seq.json")
-    val next = if (Files.exists(p)) readJson(p)("next").toLong else 1L
+    // a corrupt/missing/stale counter (disk fault — writeJson itself is
+    // atomic) must neither wedge inserts nor collide with a LIVE pending
+    // delta file: recover as max(existing d*)+1, the SparseIndex delta-seq
+    // discipline. Reuse after a fold is inert — folded rows drop `_dseq`,
+    // and last-wins ordering only ever compares the pending set.
+    val maxLive = listDirs(deltaDir(tenant, model))
+      .flatMap(d => scala.util.Try(d.getFileName.toString.drop(1).toLong).toOption)
+      .maxOption.getOrElse(0L)
+    val stored =
+      if (Files.exists(p)) scala.util.Try(readJson(p)("next").toLong).toOption
+      else None
+    val next = math.max(stored.getOrElse(1L), maxLive + 1)
     writeJson(p, Map("next" -> (next + 1).toString))
     next
   }
@@ -227,7 +238,19 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   private def reserveAutoIds(tenant: String, model: String, n: Int): Long = {
     val p = tableDir(tenant, model).resolve("_autoid.json")
-    val next = if (Files.exists(p)) readJson(p)("next").toLong else 1L
+    // a corrupt or lost counter must NEVER re-issue a live id (restarting
+    // at 1 silently replaces existing rows): the ids ARE the stored INT64
+    // PKs, so re-derive as max(pk)+1 over base + pending deltas — one
+    // recovery-only job (also the first-insert path of a fresh collection,
+    // where the scan is empty)
+    val stored =
+      if (Files.exists(p)) scala.util.Try(readJson(p)("next").toLong).toOption
+      else None
+    val next = stored.getOrElse {
+      val m = loadRaw(tenant, model)
+        .agg(org.apache.spark.sql.functions.max(col("flouds_vector_id"))).head()
+      if (m.isNullAt(0)) 1L else m.getLong(0) + 1
+    }
     writeJson(p, Map("next" -> (next + n).toString))
     next
   }

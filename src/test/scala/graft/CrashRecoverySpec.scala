@@ -280,6 +280,50 @@ class CrashRecoverySpec extends SparkSpec {
     assertSparseMatchesData(cat)
   }
 
+  test("corrupt data delta-seq counter recovers past the live pending deltas") {
+    val cat = mkCat(extraProps = Map("ingest_mode" -> "delta"))
+    cat.insert("t", "m", docs(0 until 24))
+    cat.insert("t", "m", docs(24 until 30)) // pending delta d1
+    val seq = cat.commitIntentPath("t", "m").getParent.resolve("_delta_seq.json")
+    assert(Files.exists(seq))
+    Files.write(seq, Array[Byte](0x7b, 0x00, 0x01)) // torn json
+    cat.insert("t", "m", docs(30 until 40)) // must not wedge or collide
+    // stale-but-parseable (lags the live delta files): same recovery —
+    // a reused name would make Files.move throw or shadow a commit
+    Files.writeString(seq, """{"next":"1"}""")
+    cat.insert("t", "m", docs(40 until 50))
+    assert(cat.load("t", "m").count() == 50)
+    assertSparseMatchesData(cat)
+    // merge-on-read still resolves last-wins per key after recovery
+    cat.insert("t", "m", docs(45 until 55)) // replaces 45-49
+    assert(cat.load("t", "m").count() == 55)
+    assertSparseMatchesData(cat)
+  }
+
+  test("corrupt auto_id counter re-derives from the stored PKs, never reusing ids") {
+    val cat = mkCat()
+    cat.generateSchema(SchemaSpec("t", "auto", dimension = 8, nlist = 4,
+      indexType = "IVF_FLAT", primaryKeyDataType = "INT64"))
+    def autoDocs(n: Int) = (0 until n).map(i =>
+      EmbeddedVector("", s"auto doc $i", "auto", Map(), vec(i)))
+    cat.insert("t", "auto", autoDocs(20)) // ids 1..20
+    val ctr = cat.commitIntentPath("t", "auto").getParent.resolve("_autoid.json")
+    assert(Files.exists(ctr))
+
+    Files.write(ctr, "not json at all".getBytes("UTF-8"))
+    cat.insert("t", "auto", autoDocs(5)) // must continue at 21, not restart at 1
+    val ids = cat.load("t", "auto").select("flouds_vector_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 25L), s"ids reused or lost after recovery: $ids")
+
+    // a DELETED counter with live data must also re-derive, not restart
+    Files.deleteIfExists(ctr)
+    cat.insert("t", "auto", autoDocs(3))
+    val ids2 = cat.load("t", "auto").select("flouds_vector_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids2 == (1L to 28L), s"lost counter replaced rows: $ids2")
+  }
+
   test("HNSW: crash mid node-bucket swaps heals the graph from the data table") {
     val cat = mkCat(indexType = "HNSW")
     cat.insert("t", "m", docs(0 until 30))
