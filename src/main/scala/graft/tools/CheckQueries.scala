@@ -5,9 +5,10 @@ import java.nio.file.{Files, Paths}
 
 /** Selective Verify: run only the named SparkEntry queries (all when no
   * names given) against a sf dir, dumping result parquet + the matching
-  * oracle-SQL subset. Pairs with tools/check_oracle.py for a fast local
-  * correctness loop while iterating on one query, instead of the full
-  * 60-query Verify sweep.
+  * oracle-SQL subset in Verify's exact output format — so
+  * `python3 tools/validate.py <sfDir> <outDir>` compares the subset the
+  * same way the driver compares the full sweep. The fast local loop while
+  * iterating on one query, instead of the full 60-query Verify run.
   *
   * Usage: runMain graft.tools.CheckQueries <sfDir> <outDir> [name ...]
   */
