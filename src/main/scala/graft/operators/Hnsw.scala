@@ -99,7 +99,7 @@ object Hnsw {
 
     // Long-range bridges: multi-table hyperplane-LSH bucket pairs (keyed on
     // (table, bucket)) — connects near-duplicate regions across cells.
-    val dim = corpus.select(size(col("dv"))).head.getInt(0)
+    val dim = corpus.select(size(col("dv"))).head().getInt(0)
     val b0 = AnnLsh.withBuckets(corpus.select(col("doc_id"), col("dv").as("qv")),
       "doc_id", nTables, nPlanes, dim)
     val b = bridgeBuckets(b0, maxBridgeBucket)

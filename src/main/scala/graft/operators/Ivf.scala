@@ -222,7 +222,7 @@ object Ivf {
   /** Train per-subspace codebooks and quantize a built (flat) index. */
   def quantizePq(idx: Index, mSub: Int = 8, ksub: Int = 256,
       seed: Long = 42L, maxIter: Int = 10): Pq = {
-    val dim = idx.clustered.select(size(col("dv"))).head.getInt(0)
+    val dim = idx.clustered.select(size(col("dv"))).head().getInt(0)
     require(dim % mSub == 0, s"dim $dim not divisible by mSub $mSub")
     val dsub = dim / mSub
     val codebooks = (0 until mSub).map { m =>

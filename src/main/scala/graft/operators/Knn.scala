@@ -297,7 +297,7 @@ object Knn {
       } else scored(corpus.select("doc_id", "dv"), queries, p.metric)
     if (needed.isEmpty) pipeline(narrow, p)
     else pipeline(narrow, p,
-      payload = Some(corpus.select(("doc_id" +: needed).map(col): _*)))
+      payload = Some(corpus.select(("doc_id" +: needed).map(col).toIndexedSeq: _*)))
   }
 
   /** The reference's post-scoring pipeline over ANY pre-scored

@@ -589,7 +589,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         lit(8L * dim) +
         coalesce(length(to_json(col("metadata"))).cast("long"), lit(2L)) +
         lit(64L)).as("est_bytes")
-    ).head
+    ).head()
     require(v.getAs[Long]("bad_key") == 0, s"${v.getAs[Long]("bad_key")} rows with invalid keys")
     require(v.getAs[Long]("bad_chunk") == 0, s"${v.getAs[Long]("bad_chunk")} rows with oversize/null chunks")
     require(v.getAs[Long]("bad_vec") == 0, s"${v.getAs[Long]("bad_vec")} rows with invalid vectors (dim $dim)")
@@ -1792,7 +1792,7 @@ object VectorStoreCatalog {
       else {
         val node = jsonMapper.readTree(s)
         if (node == null || !node.isObject) Map.empty
-        else node.fields().asScala.map { e =>
+        else node.properties().asScala.iterator.map { e =>
           e.getKey -> (if (e.getValue.isTextual) e.getValue.asText
                        else e.getValue.toString)
         }.toMap
@@ -1842,7 +1842,7 @@ object VectorStoreCatalog {
   private[graft] def readJson(p: Path): Map[String, String] = {
     val node = jsonMapper.readTree(Files.readString(p))
     if (node == null || !node.isObject) Map.empty
-    else node.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    else node.properties().asScala.iterator.map(e => e.getKey -> e.getValue.asText).toMap
   }
 
   private[graft] def deleteRec(p: Path): Unit = {
