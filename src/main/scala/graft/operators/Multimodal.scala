@@ -29,12 +29,12 @@ object Multimodal {
     StructField("checksum", LongType),
     StructField("feature", ArrayType(DoubleType, containsNull = false))))
 
-  /** Attach a binary payload column (here: utf-8 of a text column — the
-    * deterministic stand-in for real image bytes) + media metadata.
+  /** Attach a binary payload column (utf-8 bytes of a text column — typed
+    * accordingly) + media metadata.
     */
   def withBinaryPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("payload", col(textCol).cast("binary"))
-      .withColumn("media_type", lit("image/fake"))
+      .withColumn("media_type", lit("text/plain"))
 
   /** Format-agnostic byte features of a binary payload: n_bytes, first
     * byte, rolling checksum mod 997, an 8-bin byte histogram. These are
