@@ -859,6 +859,45 @@ object Oracles {
       |       CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 16 END AS BIGINT) AS bit_depth
       |FROM documents""".stripMargin
 
+  /** Predicted nearest-neighbor BMP downscale (mirror of
+    * [[graft.operators.Multimodal.resizeBmp]] over `synthBmp` inputs):
+    * source pixel byte (px,c,y) = (id + px·3 + c + y) mod 256; the resized
+    * byte samples sx = px'·w/w2, sy = y'·h/h2. The Spark side re-parses its
+    * own re-encoded output, so a wrong resizer OR encoder mismatches.
+    */
+  val mediaResize: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+      |         greatest(1, (4 + doc_id % 13) // 2) AS w2,
+      |         greatest(1, (3 + doc_id % 7) // 2) AS h2
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, w2, h2, x.range AS px, y.range AS py, c.range AS c
+      |  FROM dims, range(0, 8) x, range(0, 4) y, range(0, 3) c
+      |  WHERE x.range < w2 AND y.range < h2)
+      |SELECT doc_id, CAST(w2 AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height,
+      |       CAST(54 + ((w2*3+3)//4)*4*h2 AS BIGINT) AS n_bytes,
+      |       CAST(SUM((doc_id + ((px*w)//w2)*3 + c + ((py*h)//h2)) % 256) AS BIGINT) AS pix_checksum
+      |FROM px GROUP BY doc_id, w2, h2""".stripMargin
+
+  /** Predicted every-4th-frame WAV sampling (mirror of
+    * [[graft.operators.Multimodal.sampleWavFrames]] over `synthWav`):
+    * sample i carries amplitude ((id + i) mod 64)·512, frame f spans
+    * samples [f·ch, (f+1)·ch).
+    */
+  val mediaFrames: String =
+    """WITH d AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS n, 1 + (doc_id // 2) % 2 AS ch
+      |  FROM documents),
+      |fr AS (SELECT doc_id, n, ch, f.range AS f
+      |       FROM d, range(0, 48) f WHERE f.range < n AND f.range % 4 = 0),
+      |sm AS (SELECT doc_id, n, ch, f, j.range AS j
+      |       FROM fr, range(0, 2) j WHERE j.range < ch)
+      |SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_frames,
+      |       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sampled,
+      |       CAST(SUM(((doc_id + f*ch + j) % 64) * 512) AS BIGINT) AS amp_checksum
+      |FROM sm GROUP BY doc_id""".stripMargin
+
   /** n-token shingle CTE via lead() windows (requires toksp) — the oracle
     * side of [[graft.operators.Dedup.shinglesN]]: same polynomial fold with
     * mod-P after every multiply-add past the first.

@@ -474,6 +474,14 @@ object SparkEntry {
     "q_media_decode" -> ((s, dir) =>
       Multimodal.extractMediaFeatures(Tables.load(s, dir, "documents"))),
 
+    // ---- REAL media transforms: BMP nearest-neighbor resize (parse →
+    //      sample pixels → re-encode → re-parse own output) and WAV
+    //      every-4th-frame sampling (fmt/data-chunk parse) ----
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.resizeImages(Tables.load(s, dir, "documents"))),
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Tables.load(s, dir, "documents"))),
+
     // ---- gap-based sessionization over the event stream ----
     "q_sessionize" -> ((s, dir) =>
       // DuckDB timestamps are us-precision: compare in microseconds
@@ -584,6 +592,8 @@ object SparkEntry {
       minWords = 2),
     "q_multimodal"    -> Oracles.multimodal,
     "q_media_decode"  -> Oracles.mediaDecode,
+    "q_media_resize"  -> Oracles.mediaResize,
+    "q_media_frames"  -> Oracles.mediaFrames,
     "q1_agg"          -> Oracles.q1Agg,
     "q_join_agg"      -> Oracles.joinAgg,
     "q_window_top3"   -> Oracles.windowTop3,

@@ -216,6 +216,52 @@ object Multimodal {
     bb.array()
   }
 
+  /** Nearest-neighbor resize of a 24bpp BMP — a REAL pixel transform:
+    * parse the header, sample source pixels, re-encode a valid BMP with
+    * fresh padding. Returns None if the input is not a 24bpp BMP.
+    */
+  def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
+    decodeBmpHeader(bytes).collect { case (w, h, 24) =>
+      val srcRow = ((w * 3 + 3) / 4) * 4
+      val dstRow = ((newW * 3 + 3) / 4) * 4
+      val out = ByteBuffer.allocate(54 + dstRow * newH).order(ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + dstRow * newH)
+        .putInt(0).putInt(54)
+      out.putInt(40).putInt(newW).putInt(newH).putShort(1).putShort(24)
+      out.putInt(0).putInt(dstRow * newH).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      for (y <- 0 until newH; bx <- 0 until dstRow) {
+        val v =
+          if (bx < newW * 3) {
+            val px = bx / 3; val c = bx % 3
+            val sx = px * w / newW; val sy = y * h / newH
+            bytes(54 + sy * srcRow + sx * 3 + c)
+          } else 0.toByte
+        out.put(v)
+      }
+      out.array()
+    }
+
+  /** Every-k-th frame of a PCM16 WAV — the frame-sampling primitive a
+    * video/audio pipeline runs per asset: parse the fmt chunk (channels,
+    * bits) and the data chunk, keep frames 0, k, 2k, …, and fold the kept
+    * samples into a checksum. Returns (totalFrames, sampledFrames,
+    * amplitudeSum) or None for a non-canonical container.
+    */
+  def sampleWavFrames(bytes: Array[Byte], every: Int): Option[(Int, Int, Long)] =
+    decodeWavHeader(bytes).collect { case (_, ch, 16) =>
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val dataLen = bb.getInt(40)
+      val frames = dataLen / (ch * 2)
+      var f = 0; var kept = 0; var sum = 0L
+      while (f < frames) {
+        var j = 0
+        while (j < ch) { sum += bb.getShort(44 + (f * ch + j) * 2); j += 1 }
+        kept += 1; f += every
+      }
+      (frames, kept, sum)
+    }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("media_type", StringType),
@@ -225,6 +271,64 @@ object Multimodal {
     StructField("sample_rate", LongType),
     StructField("channels", LongType),
     StructField("bit_depth", LongType)))
+
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_bytes", LongType),
+    StructField("pix_checksum", LongType)))
+
+  /** Image resize over the corpus: synthesize each doc's BMP, downscale by
+    * `den` (floor, min 1) with [[resizeBmp]], then re-PARSE the re-encoded
+    * output for every emitted field (dims from the new header, checksum
+    * from the new pixel bytes) — a wrong resizer or encoder hash-mismatches
+    * the oracle, which predicts the fields from the synthesis formulas.
+    */
+  def resizeImages(docs: DataFrame, den: Int = 2): DataFrame = {
+    val ids = docs.select("doc_id")
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(resizeSchema))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val src = synthBmp(id)
+        val (w, h, _) = decodeBmpHeader(src).get
+        val resized = resizeBmp(src, math.max(1, w / den), math.max(1, h / den))
+          .getOrElse(throw new IllegalStateException(s"unresizable BMP for doc $id"))
+        val (w2, h2, _) = decodeBmpHeader(resized).getOrElse(
+          throw new IllegalStateException(s"re-encoded BMP unparseable for doc $id"))
+        val row = ((w2 * 3 + 3) / 4) * 4
+        var sum = 0L
+        for (y <- 0 until h2; bx <- 0 until w2 * 3)
+          sum += resized(54 + y * row + bx) & 0xff
+        Row(id, w2.toLong, h2.toLong, resized.length.toLong, sum)
+      }
+    }
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", LongType),
+    StructField("n_sampled", LongType),
+    StructField("amp_checksum", LongType)))
+
+  /** Frame sampling over the corpus: synthesize each doc's WAV, keep every
+    * `every`-th frame via [[sampleWavFrames]] (real fmt/data-chunk parse).
+    */
+  def sampleFrames(docs: DataFrame, every: Int = 4): DataFrame = {
+    val ids = docs.select("doc_id")
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(frameSchema))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (frames, kept, sum) = sampleWavFrames(synthWav(id), every)
+          .getOrElse(throw new IllegalStateException(s"unsampleable WAV for doc $id"))
+        Row(id, frames.toLong, kept.toLong, sum)
+      }
+    }
+  }
 
   /** Synthesize per-doc media payloads (ids mod 3: 0 → PNG, 1 → BMP,
     * 2 → WAV), then REALLY decode each container's header in the

@@ -668,6 +668,32 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L).getAs[Long]("sample_rate") == 8000 + (2 % 5) * 4000)
   }
 
+  test("BMP resize emits a valid container with correctly sampled pixels") {
+    val id = 6L // w = 10, h = 9 → resized 5×4
+    val resized = Multimodal.resizeBmp(Multimodal.synthBmp(id), 5, 4).get
+    assert(Multimodal.decodeBmpHeader(resized).contains((5, 4, 24)))
+    // independent decoder: ImageIO reads the re-encoded file
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img != null && img.getWidth == 5 && img.getHeight == 4)
+    // nearest-neighbor: resized pixel (2, 1) samples source (2*10/5, 1*9/4)
+    // = (4, 2); BMP rows are bottom-up, so ask ImageIO for y = h-1-1 = 2.
+    // source bytes (B,G,R) = (id + 4*3 + c + 2) % 256 for c = 0,1,2
+    val px = img.getRaster.getPixel(2, 2, null.asInstanceOf[Array[Int]])
+    assert(px.toSeq == Seq(22, 21, 20), s"got ${px.toSeq}") // ImageIO gives RGB
+    // non-BMP input is rejected, not mangled
+    assert(Multimodal.resizeBmp(Multimodal.synthWav(3L), 2, 2).isEmpty)
+  }
+
+  test("WAV frame sampling parses the data chunk and honors channel count") {
+    val id = 7L // rate 16000, ch 2, n = 23 frames
+    val (frames, kept, sum) = Multimodal.sampleWavFrames(Multimodal.synthWav(id), 4).get
+    assert(frames == 23 && kept == 6) // frames 0,4,8,12,16,20
+    val expected = (0 until 23 by 4).flatMap(f =>
+      (0 until 2).map(j => ((id + f * 2 + j) % 64) * 512)).sum
+    assert(sum == expected)
+    assert(Multimodal.sampleWavFrames(Multimodal.synthBmp(2L), 4).isEmpty)
+  }
+
   test("binary payload plumbing produces deterministic byte features") {
     val docs = Seq((7L, "abc"), (8L, "")).toDF("doc_id", "text")
     val f = Multimodal.extractFeatures(docs).collect()
