@@ -258,6 +258,8 @@ object Bench {
         Knn.search(corpus, queries, SearchParams(limit = 10, outputFields = Nil))
       }),
       "b12_media_decode" -> (() => Multimodal.extractMediaFeatures(docs)),
+      "b12b_media_resize" -> (() => Multimodal.resizeImages(docs)),
+      "b12c_media_frames" -> (() => Multimodal.sampleFrames(docs)),
       // PQ scoring paths over one prebuilt index: decode-then-dot vs the
       // ADC table-lookup kernel (same candidates, mSub reads per pair)
       "b15_pq_probe_decode" -> (() =>
