@@ -166,6 +166,22 @@ object SparkEntry {
       graft.sources.DedupIndex.queryBatch(s, tmp,
         docs.filter(col("doc_id") % 5 === 0), nBuckets = 8)
     }),
+    // the SAME increment forced down the over-cap path (maxBroadcast=4):
+    // query signatures stay distributed, only band keys reach the driver —
+    // the plan the index serves when an increment outgrows a broadcast.
+    // Shares q_dedup_incr's oracle: the two physical paths must agree with
+    // DuckDB independently.
+    "q_dedup_incr_big" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_idxb").toString
+      graft.sources.DedupIndex.build(corpus.filter(col("doc_id") % 2 === 1),
+        tmp, nBuckets = 8)
+      graft.sources.DedupIndex.upsert(s, tmp,
+        corpus.filter(col("doc_id") % 2 === 0), nBuckets = 8)
+      graft.sources.DedupIndex.queryBatch(s, tmp,
+        docs.filter(col("doc_id") % 5 === 0), nBuckets = 8, maxBroadcast = 4)
+    }),
     // the ONLINE dedup gate over the same split: the increment's survivors
     // after dropping est_sim ≥ 0.5 matches against the stored corpus
     "q_dedup_gate" -> ((s, dir) => {
@@ -550,6 +566,7 @@ object SparkEntry {
     "q_dedup_lsh_pairs" -> Oracles.dedupLshPairs,
     "q_dedup_verified" -> Oracles.dedupMinhashVerified(0.7),
     "q_dedup_incr"    -> Oracles.dedupIncr,
+    "q_dedup_incr_big" -> Oracles.dedupIncr,
     "q_dedup_gate"    -> Oracles.dedupGate(0.5),
     "q_dedup_components" -> Oracles.dedupComponents(0.7),
     "q_dedup_keep"    -> Oracles.dedupKeep(0.7),
