@@ -297,6 +297,15 @@ object Bench {
           .select(col("doc_id").as("qid"), col("qv"))
         Hnsw.searchBulk(g, queries, k = 10, ef = 64)
       }),
+      // decontamination pair: the exact operator distincts + shuffles the
+      // full train shingle set; the bloom variant prunes the train side
+      // map-side behind a broadcast filter of the (small) test shingles and
+      // must return the identical rows (shared oracle)
+      "b16_contam_exact" -> (() => SparkEntry.queries("q_contamination")(spark, sfDir)),
+      "b16b_contam_bloom" -> (() => SparkEntry.queries("q_contam_bloom")(spark, sfDir)),
+      // SemDeDup: seeded-medoid clustering + intra-cluster cosine drop —
+      // the pair join is bounded by cluster size, never corpus²
+      "b17_semantic_dedup" -> (() => SparkEntry.queries("q_semantic_dedup")(spark, sfDir)),
     )
 
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=b15_pq_probe_decode,b15b_pq_probe_adc

@@ -575,6 +575,66 @@ object Oracles {
        |  SELECT doc_a, doc_b, dot / (sqrt(na) * sqrt(nb)) AS cos_sim FROM p)
        |WHERE cos_sim >= $threshold""".stripMargin
 
+  /** SemDeDup kept set (mirror of [[graft.operators.Dedup.semanticDedup]]):
+    * seeded-medoid assignment (centroids = quantized embeddings of vec_id
+    * < k, argmax cosine, ties → lowest centroid id), then within each
+    * cluster drop docs ≥ threshold cosine-similar to a lower id.
+    */
+  def semanticDedup(k: Int, threshold: Double): String =
+    s"""WITH qe AS (
+       |  SELECT vec_id, i, round(CAST(e AS DOUBLE) * 1000) AS x
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |               generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)),
+       |cents AS (SELECT vec_id AS cid, i, x FROM qe WHERE vec_id < $k),
+       |sims AS (
+       |  SELECT q.vec_id AS doc_id, c.cid,
+       |         CAST(SUM(q.x * c.x) AS DOUBLE) AS dot,
+       |         CAST(SUM(q.x * q.x) AS DOUBLE) AS nd,
+       |         CAST(SUM(c.x * c.x) AS DOUBLE) AS nc
+       |  FROM qe q JOIN cents c ON q.i = c.i
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT doc_id, cluster FROM (
+       |    SELECT doc_id, cid AS cluster,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY dot / (sqrt(nd) * sqrt(nc)) DESC, cid) AS r
+       |    FROM sims) WHERE r = 1),
+       |dups AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT b.doc_id AS doc_id
+       |    FROM assigned a JOIN assigned b
+       |      ON a.cluster = b.cluster AND a.doc_id < b.doc_id
+       |    JOIN qe qa ON qa.vec_id = a.doc_id
+       |    JOIN qe qb ON qb.vec_id = b.doc_id AND qb.i = qa.i
+       |    GROUP BY a.doc_id, b.doc_id
+       |    HAVING CAST(SUM(qa.x * qb.x) AS DOUBLE) /
+       |           (sqrt(CAST(SUM(qa.x * qa.x) AS DOUBLE)) *
+       |            sqrt(CAST(SUM(qb.x * qb.x) AS DOUBLE))) >= $threshold))
+       |SELECT a.doc_id, a.cluster FROM assigned a
+       |WHERE a.doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin
+
+  /** Per-source cap (mirror of [[graft.operators.TextAnalysis.sourceCap]]). */
+  def sourceCap(cap: Int): String =
+    s"""SELECT doc_id, source, n_chars, rk FROM (
+       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $cap""".stripMargin
+
+  /** Deterministic shuffle shards (mirror of
+    * [[graft.operators.TextAnalysis.shuffleShards]]): Knuth multiplicative
+    * hash order, shard = h mod n, 1-based position within shard.
+    */
+  def shuffleShards(n: Int): String =
+    s"""SELECT doc_id,
+       |       CAST(h % $n AS BIGINT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % $n
+       |         ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+       |      FROM documents)""".stripMargin
+
   val langId: String = {
     val scores = graft.operators.TextAnalysis.LangMarkers.map { case (l, ms) =>
       val set = ms.map(m => s"'$m'").mkString(", ")

@@ -221,6 +221,14 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "lang", 0.8)),
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.docsCorpus(s, dir), "label", 0.4)),
+    // SemDeDup (Abbas et al. 2023): seeded-medoid clusters, intra-cluster
+    // cosine near-dup drop, kept set — the pair join never leaves a cluster.
+    "q_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"),
+            Tables.quantize(col("embedding")).as("qv")),
+        k = 16, threshold = 0.4)),
 
     // ---- text analysis over documents ----
     "q_lang_id" -> ((s, dir) =>
@@ -239,6 +247,20 @@ object SparkEntry {
       Dedup.contamination(docs,
         TextAnalysis.split(docs, "doc_id", 0.8, 0.1).select("doc_id", "split"))
     }),
+    // Bloom-prefiltered decontamination: bit-identical output to
+    // q_contamination (same oracle SQL) — the train side is pruned map-side
+    // by a broadcast Bloom filter of the test shingles before any shuffle.
+    "q_contam_bloom" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.contaminationBloom(docs,
+        TextAnalysis.split(docs, "doc_id", 0.8, 0.1).select("doc_id", "split"))
+    }),
+    // Per-source cap: no source may contribute more than N docs to the mix.
+    "q_source_cap" -> ((s, dir) =>
+      TextAnalysis.sourceCap(Tables.load(s, dir, "documents"), cap = 10)),
+    // Deterministic global shuffle into training shards.
+    "q_shuffle_shards" -> ((s, dir) =>
+      TextAnalysis.shuffleShards(Tables.load(s, dir, "documents"), nShards = 8)),
     "q_curation" -> ((s, dir) =>
       TextAnalysis.curate(Tables.load(s, dir, "documents"), 0.5)),
 
@@ -574,12 +596,16 @@ object SparkEntry {
     "q_dedup_simhash" -> Oracles.dedupSimhash,
     "q_dedup_jaccard" -> Oracles.dedupJaccard(0.8),
     "q_dedup_embed"   -> Oracles.dedupEmbed(0.4),
+    "q_semantic_dedup" -> Oracles.semanticDedup(16, 0.4),
     "q_lang_id"       -> Oracles.langId,
     "q_quality"       -> Oracles.quality,
     "q_token_counts"  -> Oracles.tokenCounts,
     "q_split"         -> Oracles.split(0.8, 0.1),
     "q_len_hist"      -> Oracles.lenHist,
     "q_contamination" -> Oracles.contamination(0.8, 0.1),
+    "q_contam_bloom"  -> Oracles.contamination(0.8, 0.1),
+    "q_source_cap"    -> Oracles.sourceCap(10),
+    "q_shuffle_shards" -> Oracles.shuffleShards(8),
     "q_curation"      -> Oracles.curate(0.5),
     "q_lm_score"      -> Oracles.lmScore,
     "q_stratified"    -> Oracles.stratified(Map("en" -> 0.5, "de" -> 0.25), 0.1),

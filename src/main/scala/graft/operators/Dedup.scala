@@ -327,4 +327,85 @@ object Dedup {
         Vec.cosine(col("a.qv"), col("b.qv")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Bloom-prefiltered decontamination — bit-identical to [[contamination]],
+    * built for the asymmetric 100 TB case where `train` is the enormous side
+    * and `test` (the benchmark suite being protected) is small.
+    *
+    * [[contamination]] distincts the FULL train shingle set and shuffles it
+    * into the overlap join — at 100 TB that distinct is the dominant
+    * all-corpus shuffle. Here the test side's distinct shingles (small) feed
+    * a driver-built Bloom filter, broadcast once; the train side is pruned
+    * MAP-SIDE to shingles that might occur in the test set before any
+    * distinct/shuffle. False positives are shingles NOT in the test set, so
+    * they match nothing in the exact (equi-join) overlap step that follows —
+    * the output is provably identical to the unfiltered operator, only the
+    * shuffled volume changes (≈ true overlap + fpp·|train distinct|).
+    *
+    * The one driver-side aggregate is over the SMALL side (test shingle
+    * count, to size the filter); the filter itself is a few MB for millions
+    * of entries at fpp=1e-2.
+    */
+  def contaminationBloom(docs: DataFrame, splitDf: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val sh = shingles(docs).distinct().join(splitDf, "doc_id")
+    val test = sh.filter(col("split") === "test")
+    val testShingles = test.select("shingle").distinct()
+    val expected = math.max(testShingles.count(), 1L)
+    val bf = testShingles.stat.bloomFilter("shingle", expected, fpp)
+    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightMatch = udf((s: Long) => bfB.value.mightContainLong(s))
+    val trainSeen = sh.filter(col("split") === "train")
+      .filter(mightMatch(col("shingle")))
+      .select("shingle").distinct()
+      .withColumn("seen", lit(1L))
+    test.join(trainSeen, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .withColumn("contamination",
+        col("n_seen").cast("double") / col("n_shingles"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then within each
+    * cluster drop every doc that is ≥ `threshold` cosine-similar to a
+    * lower-id doc of the same cluster. Returns the KEPT docs as
+    * (doc_id, cluster).
+    *
+    * Clustering is seeded-medoid assignment — centroids are the (quantized)
+    * embeddings of the `k` lowest doc ids, assignment is argmax cosine with
+    * ties to the lowest centroid id — deterministic and integer-exact, so
+    * the DuckDB oracle reproduces it bit-for-bit (same device as the
+    * q_ivf_knn seeded codebook).
+    *
+    * Scale shape: the N×k assignment broadcasts the k centroids and
+    * collapses map-side (groupBy doc_id gets partial-agg combine before any
+    * shuffle); the only self-join is keyed on the cluster id, so candidate
+    * pairs are bounded by max cluster size² — the paper's own device: k
+    * grows with the corpus (k≈√N) to hold cluster sizes, and so the pair
+    * volume per cluster, constant.
+    */
+  def semanticDedup(emb: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val e = emb.select(col("doc_id"), col("qv"))
+    val cents = e.filter(col("doc_id") < k)
+      .select(col("doc_id").as("cid"), col("qv").as("cv"))
+    // argmax cosine via max(struct(sim, -cid)): highest sim, ties -> lowest
+    // cid. groupBy (not a window) so partial aggregation prunes the N×k
+    // rows back to N map-side.
+    val assigned = e.join(broadcast(cents))
+      .select(col("doc_id"), col("cid"),
+        Vec.cosine(col("qv"), col("cv")).as("sim"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("doc_id"), (-col("m.ncid")).as("cluster"))
+      .join(e, "doc_id")
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(Vec.cosine(col("a.qv"), col("b.qv")) >= threshold)
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    assigned.join(dups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("cluster"))
+  }
 }

@@ -228,4 +228,44 @@ object TextAnalysis {
       clean.as("clean"),
       length(clean).cast("long").as("clean_len"))
   }
+
+  /** Per-source document cap (Common-Crawl-style curation: no domain may
+    * dominate the mix): keep the `cap` longest docs per source, ties to the
+    * lowest doc_id. Returns (doc_id, source, n_chars, rk).
+    *
+    * Plain `row_number` window — Spark 4 plants WindowGroupLimit partials
+    * BEFORE the shuffle for rank-limit filters, so each map task forwards at
+    * most `cap` rows per source it saw; the exchange carries
+    * ≤ cap·|sources|·partitions rows, not the corpus.
+    */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+  }
+
+  /** Deterministic global shuffle into training shards: every doc gets a
+    * pseudo-random rank from the same multiplicative hash as [[split]]
+    * (Knuth, 2654435761 mod 2³²), shard = rank mod nShards, and an explicit
+    * 1-based position in hash order within its shard. Returns
+    * (doc_id, shard, pos).
+    *
+    * This is the "global shuffle before training" pass: the hash order is
+    * uncorrelated with ingest order, reproducible across runs/engines, and
+    * each shard sorts independently (the window keys the exchange on
+    * `shard`, so a 100 TB corpus sorts as nShards parallel
+    * corpus/nShards-sized sorts — in production the same frame writes via
+    * `repartition(shard).sortWithinPartitions(h)`).
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .withColumn("h", (col("doc_id") * 2654435761L) % 4294967296L)
+      .withColumn("shard", (col("h") % nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
 }
