@@ -990,6 +990,91 @@ object Oracles {
        |       CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / p.n_grams AS dup_frac
        |FROM per p LEFT JOIN dup d USING (doc_id)""".stripMargin
 
+  /** n-token shingles WITH their 1-based start position (mirror of
+    * Dedup.positionedShingles) — shinglesNCte keeping `pos`.
+    */
+  def positionedShinglesNCte(n: Int): String = {
+    val P = graft.operators.Dedup.P
+    val leads = (1 until n).map(k => s"lead(term, $k) OVER w AS t$k")
+      .mkString(",\n           ")
+    def c(k: Int) = s"(${Text.tokenCodeSql(s"t$k")} % $P)"
+    var acc = s"(${c(0)} * 131 + ${c(1)})"
+    for (k <- 2 until n) acc = s"(($acc % $P) * 131 + ${c(k)})"
+    s"""shnp AS (
+       |  SELECT doc_id, pos, (($acc) % $P) AS shingle FROM (
+       |    SELECT doc_id, pos, term AS t0,
+       |           $leads
+       |    FROM toksp WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE t${n - 1} IS NOT NULL)""".stripMargin
+  }
+
+  /** Corpus-wide duplicated n-run start positions (requires toksp):
+    * mirror of Dedup.dupStartPositions.
+    */
+  private def dupStartCte(n: Int): String =
+    s"""${positionedShinglesNCte(n)},
+       |dupsh AS (SELECT shingle FROM shnp GROUP BY shingle HAVING COUNT(*) > 1),
+       |m AS (SELECT s.doc_id, s.pos FROM shnp s JOIN dupsh USING (shingle))""".stripMargin
+
+  /** Exact-substring duplicated spans (mirror of Dedup.duplicatedSpans):
+    * gaps-and-islands merge of [pos, pos+n-1] covers.
+    */
+  def substrSpans(n: Int): String =
+    s"""WITH $toksp, ${dupStartCte(n)},
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+       |              THEN 0 ELSE 1 END AS new_span
+       |  FROM m),
+       |sp AS (SELECT doc_id, pos,
+       |              SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |       FROM isl)
+       |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |       CAST(MAX(pos) + ${n - 1} AS BIGINT) AS span_end,
+       |       CAST(MAX(pos) + ${n - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
+       |FROM sp GROUP BY doc_id, span_id""".stripMargin
+
+  /** Span-removed corpus (mirror of Dedup.dropDuplicatedSpans). */
+  def substrClean(n: Int): String =
+    s"""WITH $toksp, ${dupStartCte(n)},
+       |cov AS (
+       |  SELECT DISTINCT m.doc_id, m.pos + u.off AS pos
+       |  FROM m CROSS JOIN (SELECT unnest(generate_series(0, ${n - 1})) AS off) u),
+       |kept AS (
+       |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         string_agg(t.term, ' ' ORDER BY t.pos) AS clean_text
+       |  FROM toksp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  WHERE c.pos IS NULL
+       |  GROUP BY t.doc_id),
+       |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |        FROM toksp GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.n_tokens,
+       |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |       CAST(tot.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       |       COALESCE(k.clean_text, '') AS clean_text
+       |FROM tot LEFT JOIN kept k ON tot.doc_id = k.doc_id""".stripMargin
+
+  /** Gopher duplicate-n-gram character fraction (mirror of
+    * Dedup.dupNgramCharFraction — intra-doc union coverage).
+    */
+  def gopherDup(n: Int): String =
+    s"""WITH $toksp, ${positionedShinglesNCte(n)},
+       |dupin AS (SELECT doc_id, shingle FROM shnp
+       |          GROUP BY doc_id, shingle HAVING COUNT(*) > 1),
+       |cov AS (
+       |  SELECT DISTINCT s.doc_id, s.pos + u.off AS pos
+       |  FROM shnp s JOIN dupin USING (doc_id, shingle)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${n - 1})) AS off) u),
+       |tk AS (SELECT doc_id, pos, length(term) AS clen FROM toksp),
+       |tot AS (SELECT doc_id, SUM(clen) AS tok_chars FROM tk GROUP BY doc_id),
+       |dupc AS (SELECT t.doc_id, SUM(t.clen) AS dup_chars
+       |         FROM tk t JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |         GROUP BY t.doc_id)
+       |SELECT t.doc_id, CAST(t.tok_chars AS BIGINT) AS tok_chars,
+       |       CAST(COALESCE(d.dup_chars, 0) AS BIGINT) AS dup_chars,
+       |       CAST(COALESCE(d.dup_chars, 0) AS DOUBLE) / t.tok_chars AS dup_char_frac
+       |FROM tot t LEFT JOIN dupc d ON t.doc_id = d.doc_id""".stripMargin
+
   /** Unigram-LM log-prob quality proxy (mirror of
     * TextAnalysis.unigramLogProb — add-one smoothing, fixed-point sums).
     */

@@ -294,6 +294,19 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       Dedup.repetition(Tables.load(s, dir, "documents"))),
 
+    // ---- exact-substring span dedup (Lee et al. 2022 ExactSubstr,
+    //      relational form): corpus-duplicated 4-token runs merged into
+    //      maximal per-doc spans, and the span-removed corpus ----
+    "q_substr_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.load(s, dir, "documents"), n = 4)),
+    "q_substr_clean" -> ((s, dir) =>
+      Dedup.dropDuplicatedSpans(Tables.load(s, dir, "documents"), n = 4)),
+
+    // ---- Gopher duplicate-n-gram character fraction (union coverage of
+    //      intra-doc repeated 2-grams; n scaled to the corpus' doc sizes) ----
+    "q_gopher_dup" -> ((s, dir) =>
+      Dedup.dupNgramCharFraction(Tables.load(s, dir, "documents"), n = 2)),
+
     // ---- PII scrub: deterministic synthetic PII injected, then counted
     //      and redacted (regex parity Spark <-> DuckDB) ----
     "q_pii_scrub" -> ((s, dir) => {
@@ -613,6 +626,9 @@ object SparkEntry {
     "q_chunk"         -> Oracles.chunkDocs(40L, 32, 8),
     "q_ngram_overlap" -> Oracles.ngramOverlap(8),
     "q_repetition"    -> Oracles.repetition,
+    "q_substr_spans"  -> Oracles.substrSpans(4),
+    "q_substr_clean"  -> Oracles.substrClean(4),
+    "q_gopher_dup"    -> Oracles.gopherDup(2),
     "q_pii_scrub"     -> Oracles.piiScrub,
     "q_fingerprint"   -> Oracles.fingerprint,
     "q_upsert"        -> Oracles.upsert,

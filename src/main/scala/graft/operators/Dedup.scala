@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{Text, Vec}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines: exact,
@@ -407,5 +408,122 @@ object Dedup {
       .select(col("b.doc_id").as("doc_id")).distinct()
     assigned.join(dups, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("cluster"))
+  }
+
+  /** n-token shingle ids WITH their 1-based start position:
+    * (doc_id, pos, shingle). Same zero-shuffle in-array fold as
+    * [[shinglesN]]; `posexplode` keeps the start offset the plain explode
+    * drops, at no extra cost.
+    */
+  def positionedShingles(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "shingle size >= 2")
+    val cods = transform(Text.tokens(col("text")), t => Text.tokenCode(t) % P)
+    val len = size(cods) - (n - 1)
+    var acc = slice(cods, lit(1), len)
+    for (k <- 2 to n) {
+      val ck = slice(cods, lit(k), len)
+      acc = if (k == 2) zip_with(acc, ck, (a, c) => a * 131 + c)
+            else        zip_with(acc, ck, (a, c) => a % P * 131 + c)
+    }
+    val sh = when(size(cods) >= n, transform(acc, a => a % P))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col("doc_id"), posexplode(sh))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("shingle"))
+  }
+
+  /** Duplicated start positions for [[duplicatedSpans]]/[[dropDuplicatedSpans]]:
+    * every (doc_id, pos) whose n-token run occurs MORE THAN ONCE in the whole
+    * corpus (any document, its own included) — the duplication criterion of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": substrings repeated anywhere in the
+    * training set). The only shuffle is keyed on the shingle id.
+    */
+  private def dupStartPositions(ps: DataFrame): DataFrame = {
+    val dup = ps.groupBy("shingle").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    ps.join(dup.select("shingle"), Seq("shingle"), "left_semi")
+      .select("doc_id", "pos")
+  }
+
+  /** Exact-substring duplicated SPANS (the span analogue of Lee et al.'s
+    * suffix-array ExactSubstr, re-expressed relationally): each duplicated
+    * n-token run covers tokens [pos, pos+n-1]; overlapping or adjacent
+    * covers merge into maximal per-doc spans via gaps-and-islands — a new
+    * island starts when the next duplicated start is more than n past the
+    * previous one. Output: (doc_id, span_start, span_end, span_tokens),
+    * positions 1-based inclusive.
+    *
+    * Scale shape: duplicate detection shuffles on the shingle id (never
+    * doc×doc); the island window partitions by doc_id — per-doc sort,
+    * bounded by the 60k-char doc contract, no global order.
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    val marked = dupStartPositions(positionedShingles(docs, n))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("new_span",
+        when(col("pos") - lag("pos", 1).over(w) <= n, lit(0L)).otherwise(lit(1L)))
+      .withColumn("span_id", sum("new_span").over(w))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"), (max("pos") + (n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Span-REMOVED corpus: drop every token covered by a duplicated n-run
+    * and reassemble the survivors in order. One row per input doc (docs
+    * whose text is entirely duplicated keep an empty clean_text — dropping
+    * the row is the caller's policy decision, not the operator's).
+    *
+    * The rebuild is a per-doc groupBy whose collect_list is bounded by the
+    * doc-size contract; `array_sort` on (pos, term) structs restores token
+    * order without a window.
+    */
+  def dropDuplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    val covered = dupStartPositions(positionedShingles(docs, n))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = tokenTable(docs)
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            x => x("term")), " ").as("clean_text"))
+    toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Gopher's duplicate-n-gram CHARACTER fraction (Rae et al. 2021 repetition
+    * filter family): the share of a doc's token characters covered by any
+    * n-gram that repeats WITHIN the doc — union coverage, each token counted
+    * once however many duplicated runs cross it. (The paper runs n=5..10 over
+    * web pages; callers pick n for their corpus.) Complements [[repetition]],
+    * which reports only the single most-repeated gram's count share.
+    */
+  def dupNgramCharFraction(docs: DataFrame, n: Int): DataFrame = {
+    val ps = positionedShingles(docs, n)
+    val dupIn = ps.groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val covered = ps.join(dupIn.select("doc_id", "shingle"),
+        Seq("doc_id", "shingle"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = tokenTable(docs).withColumn("clen", length(col("term")))
+    val dupc = toks.join(covered, Seq("doc_id", "pos"), "left_semi")
+      .groupBy("doc_id").agg(sum("clen").as("dup_chars"))
+    toks.groupBy("doc_id").agg(sum("clen").as("tok_chars"))
+      .join(dupc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tok_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        (coalesce(col("dup_chars"), lit(0L)).cast("double") / col("tok_chars"))
+          .as("dup_char_frac"))
   }
 }
