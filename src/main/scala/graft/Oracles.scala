@@ -1123,6 +1123,49 @@ object Oracles {
        |       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_toks
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Sequence packing (mirror of TextAnalysis.packSequences): two-phase
+    * prefix sum — per-source running totals + a |sources|-row offset
+    * cumsum — cut into seqLen-token training sequences.
+    */
+  def packSequences(seqLen: Long): String =
+    s"""WITH $toksp,
+       |tl AS (
+       |  SELECT d.doc_id, d.source AS grp,
+       |         CAST(COUNT(t.term) AS BIGINT) AS toks
+       |  FROM documents d JOIN toksp t USING (doc_id)
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT doc_id, grp, toks,
+       |         SUM(toks) OVER (PARTITION BY grp ORDER BY doc_id) AS cum_end
+       |  FROM tl WHERE toks > 0),
+       |offs AS (
+       |  SELECT grp,
+       |         CAST(COALESCE(SUM(gtoks) OVER (ORDER BY grp
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS goff
+       |  FROM (SELECT grp, SUM(toks) AS gtoks FROM c GROUP BY grp))
+       |SELECT c.doc_id, c.grp AS grp, c.toks,
+       |       CAST(o.goff + c.cum_end - c.toks AS BIGINT) AS tok_start,
+       |       CAST((o.goff + c.cum_end - c.toks) // $seqLen AS BIGINT) AS seq_first,
+       |       CAST((o.goff + c.cum_end - 1) // $seqLen AS BIGINT) AS seq_last
+       |FROM c JOIN offs o ON c.grp = o.grp""".stripMargin
+
+  /** Temperature-scaled source balancing (mirror of
+    * TextAnalysis.temperatureSample: sqrt(n_s/n_max) keep fraction,
+    * Knuth-hash membership).
+    */
+  val temperatureSample: String =
+    s"""WITH c AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |           FROM documents GROUP BY source),
+       |mx AS (SELECT MAX(n_docs) AS n_max FROM c),
+       |k AS (
+       |  SELECT d.source AS grp, CAST(COUNT(*) AS BIGINT) AS n_kept
+       |  FROM documents d JOIN c ON d.source = c.grp CROSS JOIN mx
+       |  WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+       |        < sqrt(CAST(c.n_docs AS DOUBLE) / mx.n_max) * 4294967296.0
+       |  GROUP BY d.source)
+       |SELECT c.grp, c.n_docs, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+       |FROM c LEFT JOIN k ON c.grp = k.grp""".stripMargin
+
   /** Sliding-window chunking (mirror of TextAnalysis.chunkDocs): chunk c
     * covers positions [c·stride+1, c·stride+size]; a token at pos lands in
     * chunks firstC..lastC (integer arithmetic identical to the operator).

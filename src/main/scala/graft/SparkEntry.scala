@@ -280,6 +280,15 @@ object SparkEntry {
         .groupBy("grp", "shard_id")
         .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_toks"))),
 
+    // ---- sequence packing: concat-and-chunk into 512-token training
+    //      sequences via a two-phase (per-source, then offsets) prefix sum ----
+    "q_pack_seqs" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.load(s, dir, "documents"), seqLen = 512L)),
+
+    // ---- temperature-scaled source balancing (sqrt flattening) ----
+    "q_temperature" -> ((s, dir) =>
+      TextAnalysis.temperatureSample(Tables.load(s, dir, "documents"))),
+
     // ---- sliding-window chunking (size 32, overlap 8): the ingestion step
     //      that turns long docs into overlapping retrieval units ----
     "q_chunk" -> ((s, dir) =>
@@ -624,6 +633,8 @@ object SparkEntry {
     "q_stratified"    -> Oracles.stratified(Map("en" -> 0.5, "de" -> 0.25), 0.1),
     "q_token_shards"  -> Oracles.tokenShards(2000L),
     "q_chunk"         -> Oracles.chunkDocs(40L, 32, 8),
+    "q_pack_seqs"     -> Oracles.packSequences(512L),
+    "q_temperature"   -> Oracles.temperatureSample,
     "q_ngram_overlap" -> Oracles.ngramOverlap(8),
     "q_repetition"    -> Oracles.repetition,
     "q_substr_spans"  -> Oracles.substrSpans(4),

@@ -268,4 +268,66 @@ object TextAnalysis {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("doc_id", "shard", "pos")
   }
+
+  /** Fixed-length SEQUENCE PACKING: assign every document a contiguous
+    * global token range, then cut the concatenated stream into training
+    * sequences of exactly `seqLen` tokens (docs crossing a boundary span
+    * sequences — standard concat-and-chunk packing, no padding waste).
+    * Returns (doc_id, grp, toks, tok_start 0-based, seq_first, seq_last).
+    *
+    * The global prefix sum is TWO-PHASE so no window ever sees the corpus:
+    * per-group running sums (parallel across groups, each a doc_id-ordered
+    * partition-local sort) plus a group-offset table of |groups| rows whose
+    * own cumsum is the only unpartitioned window — group count, not corpus
+    * size. Same shape a 100 TB packing job would use with file-level
+    * partitions as groups. Zero-token docs are dropped (they occupy no
+    * range; emitting them would need a degenerate empty span).
+    */
+  def packSequences(docs: DataFrame, seqLen: Long,
+      grpCol: String = "source"): DataFrame = {
+    require(seqLen > 0, "seqLen > 0")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("doc_id")
+    val wG = org.apache.spark.sql.expressions.Window
+      .orderBy("grp")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perDoc = docs.select(col("doc_id"), col(grpCol).as("grp"),
+        size(Text.tokens(col("text"))).cast("long").as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("cum_end", sum("toks").over(wIn))
+    val offsets = perDoc.groupBy("grp").agg(sum("toks").as("gtoks"))
+      .withColumn("goff", coalesce(sum("gtoks").over(wG), lit(0L)))
+      .select("grp", "goff")
+    perDoc.join(broadcast(offsets), "grp")
+      .withColumn("tok_start", col("goff") + col("cum_end") - col("toks"))
+      .withColumn("seq_first", expr(s"tok_start div $seqLen"))
+      .withColumn("seq_last", expr(s"(goff + cum_end - 1) div $seqLen"))
+      .select("doc_id", "grp", "toks", "tok_start", "seq_first", "seq_last")
+  }
+
+  /** Temperature-scaled source balancing (the multilingual-training mixing
+    * device, exponent fixed at 1/2): source s keeps a
+    * sqrt(n_s / n_max) fraction of its docs, so the largest source passes
+    * whole while smaller sources are progressively LESS downsampled than
+    * proportional mixing would — flattening the source distribution. The
+    * exponent is sqrt and not a free power because IEEE sqrt is correctly
+    * rounded in both engines while pow(x, 0.7) need not be — the oracle
+    * compare demands bit-identical membership decisions. Selection is the
+    * same Knuth-hash threshold as [[stratifiedSample]]. Returns per-source
+    * (grp, n_docs, n_kept).
+    */
+  def temperatureSample(docs: DataFrame, grpCol: String = "source"): DataFrame = {
+    val counts = docs.groupBy(col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nMax = counts.agg(max("n_docs").as("n_max"))
+    val h = (col("doc_id") * 2654435761L) % 4294967296L
+    val kept = docs.select(col("doc_id"), col(grpCol).as("grp"))
+      .join(broadcast(counts), "grp").crossJoin(broadcast(nMax))
+      .filter(h.cast("double") <
+        sqrt(col("n_docs").cast("double") / col("n_max")) * 4294967296.0)
+      .groupBy("grp").agg(count(lit(1)).as("n_kept"))
+    counts.join(kept, Seq("grp"), "left")
+      .select(col("grp"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }
