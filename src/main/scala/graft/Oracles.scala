@@ -1092,6 +1092,29 @@ object Oracles {
        |       CAST(SUM(s) AS DOUBLE) / 1000000000.0 / COUNT(*) AS avg_logprob
        |FROM lp GROUP BY doc_id""".stripMargin
 
+  /** Bigram-LM conditional log-prob (mirror of TextAnalysis.bigramLogProb:
+    * add-one over the unigram vocab, successor-counted contexts, fixed-point
+    * ln sums).
+    */
+  val bigramLm: String =
+    s"""WITH $toksp,
+       |bi AS (SELECT a.doc_id, a.term AS prev, b.term AS cur
+       |       FROM toksp a JOIN toksp b
+       |         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |cbi AS (SELECT prev, cur, COUNT(*) AS cbi FROM bi GROUP BY prev, cur),
+       |cctx AS (SELECT prev, COUNT(*) AS cctx FROM bi GROUP BY prev),
+       |g AS (SELECT COUNT(DISTINCT term) AS v_size FROM toksp),
+       |lp AS (
+       |  SELECT t.doc_id,
+       |         CAST(round(ln(CAST(c.cbi + 1 AS DOUBLE) /
+       |              CAST(x.cctx + g.v_size AS DOUBLE)) * 1000000000.0) AS BIGINT) AS s
+       |  FROM bi t
+       |  JOIN cbi c ON t.prev = c.prev AND t.cur = c.cur
+       |  JOIN cctx x ON t.prev = x.prev, g)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |       CAST(SUM(s) AS DOUBLE) / 1000000000.0 / COUNT(*) AS avg_logprob
+       |FROM lp GROUP BY doc_id""".stripMargin
+
   /** Stratified-sampling keep counts (mirror of TextAnalysis.stratifiedSample:
     * multiplicative doc_id hash vs per-stratum fraction of the 2^32 space).
     */

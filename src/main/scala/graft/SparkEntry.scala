@@ -268,6 +268,10 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.load(s, dir, "documents"))),
 
+    // ---- bigram-LM conditional log-prob (transition perplexity proxy) ----
+    "q_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.load(s, dir, "documents"))),
+
     // ---- data mixing: deterministic stratified sampling by language ----
     "q_stratified" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.load(s, dir, "documents"), "lang",
@@ -630,6 +634,7 @@ object SparkEntry {
     "q_shuffle_shards" -> Oracles.shuffleShards(8),
     "q_curation"      -> Oracles.curate(0.5),
     "q_lm_score"      -> Oracles.lmScore,
+    "q_bigram_lm"     -> Oracles.bigramLm,
     "q_stratified"    -> Oracles.stratified(Map("en" -> 0.5, "de" -> 0.25), 0.1),
     "q_token_shards"  -> Oracles.tokenShards(2000L),
     "q_chunk"         -> Oracles.chunkDocs(40L, 32, 8),

@@ -150,6 +150,41 @@ object TextAnalysis {
         (sum("s").cast("double") / 1e9 / count(lit(1))).as("avg_logprob"))
   }
 
+  /** Bigram-LM conditional log-probability — the next step up from
+    * [[unigramLogProb]] on the cheap-perplexity ladder (docs whose token
+    * TRANSITIONS are improbable under the corpus bigram distribution score
+    * low, catching shuffled-word and template text a unigram model cannot).
+    * Add-one smoothing over the unigram vocabulary:
+    * p(cur|prev) = (c(prev,cur)+1) / (c_ctx(prev)+V), c_ctx counting only
+    * prev occurrences with a successor so probabilities sum to 1 per
+    * context. Same fixed-point ln device as the unigram scorer. Bigrams are
+    * assembled inside the token array (slice + zip_with — zero shuffles);
+    * docs with fewer than 2 tokens have no bigram and are absent.
+    * Returns (doc_id, n_bigrams, avg_logprob).
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val tokArr = Text.tokens(col("text"))
+    val pairT = "array<struct<prev:string,cur:string>>"
+    val pairs = docs.select(col("doc_id"),
+        explode(when(size(tokArr) >= 2,
+          zip_with(slice(tokArr, lit(1), size(tokArr) - 1),
+            slice(tokArr, lit(2), size(tokArr) - 1),
+            (p, c) => struct(p.as("prev"), c.as("cur"))))
+          .otherwise(array().cast(pairT))).as("pc"))
+      .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+    val cbi = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cbi"))
+    val cctx = pairs.groupBy("prev").agg(count(lit(1)).as("cctx"))
+    val g = Dedup.tokenTable(docs).agg(count_distinct(col("term")).as("v_size"))
+    pairs.join(cbi, Seq("prev", "cur")).join(cctx, Seq("prev"))
+      .crossJoin(broadcast(g))
+      .withColumn("s", round(
+        log((col("cbi") + 1).cast("double") /
+          (col("cctx") + col("v_size")).cast("double")) * 1e9, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum("s").cast("double") / 1e9 / count(lit(1))).as("avg_logprob"))
+  }
+
   /** Deterministic stratified sampling — the data-mixing primitive of a
     * training pipeline (keep fraction f(stratum) of each stratum, stable
     * across runs/partitioning): keep iff hash(doc_id)/2^32 < f. Same

@@ -46,6 +46,18 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("bigramLogProb: add-one conditionals against a hand computation") {
+    // corpus = "a b a b" + "solo": bigrams (a,b)x2, (b,a)x1; contexts a=2,
+    // b=1; V=3 ("solo" counts toward the unigram vocab). p(b|a)=(2+1)/(2+3),
+    // p(a|b)=(1+1)/(1+3); avg = (2 ln 3/5 + ln 1/2)/3.
+    val docs = Seq((1L, "a b a b"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 1L) // no bigram in doc 2
+    assert(out.head.getLong(1) === 3L)
+    // fixed-point rounding keeps us within 1e-9 of the real-valued mean
+    assert(math.abs(out.head.getDouble(2) - (-0.5715994760306423)) < 1e-8)
+  }
+
   test("temperatureSample keeps the largest source whole, flattens the rest") {
     // A has 4 docs (n_max) -> keep fraction 1.0; B has 1 doc -> sqrt(1/4)=0.5
     // and doc 1's Knuth hash lands in the upper half -> dropped.
