@@ -1291,4 +1291,111 @@ object Oracles {
       |                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rank
       |  FROM orders)
       |WHERE rank <= 3""".stripMargin
+
+  /** Gopher quality rules (mirror of TextAnalysis.gopherRules: same token
+    * split, '#'/'...' symbol counts, line rules, required-stopword hits,
+    * greatest(n,1) denominators, identical rule thresholds).
+    */
+  def gopherRules(minWords: Long, maxWords: Long): String = {
+    val stopHits = graft.operators.TextAnalysis.GopherReqStops
+      .map(w => s"CAST(list_contains(l, '$w') AS BIGINT)").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l,
+       |         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+       |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_cnt,
+       |         CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) // 3 AS ell_cnt
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |         CAST(len(l) AS BIGINT) AS n_words,
+       |         CAST(COALESCE(list_sum(list_transform(l, x -> length(x))), 0) AS BIGINT) AS char_sum,
+       |         CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+       |         hash_cnt + ell_cnt AS sym_cnt,
+       |         CAST(len(lines) AS BIGINT) AS n_lines,
+       |         CAST(len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %')) AS BIGINT) AS bullet_lines,
+       |         CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT) AS ellipsis_lines,
+       |         $stopHits AS stop_hits
+       |  FROM base),
+       |r AS (
+       |  SELECT doc_id, n_words,
+       |         CAST(char_sum AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+       |         CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) AS alpha_frac,
+       |         CAST(sym_cnt AS DOUBLE) / greatest(n_words, 1) AS symbol_ratio,
+       |         CAST(bullet_lines AS DOUBLE) / greatest(n_lines, 1) AS bullet_frac,
+       |         CAST(ellipsis_lines AS DOUBLE) / greatest(n_lines, 1) AS ellipsis_frac,
+       |         stop_hits
+       |  FROM sig)
+       |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+       |       bullet_frac, ellipsis_frac, stop_hits,
+       |       CAST(n_words >= $minWords AND n_words <= $maxWords
+       |            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |            AND symbol_ratio < 0.1
+       |            AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+       |            AND alpha_frac > 0.8
+       |            AND stop_hits >= ${graft.operators.TextAnalysis.GopherMinStopHits}
+       |            AS BIGINT) AS keep
+       |FROM r""".stripMargin
+  }
+
+  /** C4 heuristic clean (mirror of TextAnalysis.c4Rules: same line split,
+    * terminal-punct + word-count + javascript line keeps, sentence-ender
+    * count, lorem/brace page gates, kept-lines char length).
+    */
+  def c4Rules(minLineWords: Int, minSentences: Int): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, text, lines,
+       |         list_filter(lines, l ->
+       |           (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+       |              OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+       |           AND len(list_filter(string_split_regex(lower(l), '[^a-z0-9]+'),
+       |                               x -> x <> '')) >= $minLineWords
+       |           AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM base),
+       |sig AS (
+       |  SELECT doc_id,
+       |         CAST(len(lines) AS BIGINT) AS n_lines,
+       |         CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       |         CAST(length(text) - length(replace(replace(replace(text, '.', ''),
+       |              '!', ''), '?', '')) AS BIGINT) AS n_sentences,
+       |         CAST(contains(lower(text), 'lorem ipsum') AS BIGINT) AS has_lorem,
+       |         CAST(contains(text, '{') AS BIGINT) AS has_brace,
+       |         CAST(COALESCE(length(array_to_string(kept, chr(10))), 0) AS BIGINT) AS clean_chars
+       |  FROM k)
+       |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+       |       clean_chars,
+       |       CAST(n_sentences >= $minSentences AND has_lorem = 0
+       |            AND has_brace = 0 AND n_kept_lines >= 1 AS BIGINT) AS keep
+       |FROM sig""".stripMargin
+
+  /** CCNet perplexity terciles (mirror of TextAnalysis.perplexityBuckets:
+    * the lmScore fixed-point scorer, then per-lang NTILE(3) ordered by
+    * avg_logprob DESC with doc_id tie-break).
+    */
+  val perplexityBuckets: String =
+    s"""WITH $toksp,
+       |tf AS (SELECT term, COUNT(*) AS ctf FROM toksp GROUP BY term),
+       |g AS (SELECT (SELECT COUNT(*) FROM toksp) AS t_total,
+       |             (SELECT COUNT(*) FROM tf) AS v_size),
+       |lpr AS (
+       |  SELECT t.doc_id,
+       |         CAST(round(ln(CAST(f.ctf + 1 AS DOUBLE) /
+       |              CAST(g.t_total + g.v_size AS DOUBLE)) * 1000000000.0) AS BIGINT) AS s
+       |  FROM toksp t JOIN tf f USING (term), g),
+       |lp AS (SELECT doc_id,
+       |              CAST(SUM(s) AS DOUBLE) / 1000000000.0 / COUNT(*) AS avg_logprob
+       |       FROM lpr GROUP BY doc_id),
+       |t AS (
+       |  SELECT d.doc_id, d.lang, lp.avg_logprob,
+       |         CAST(ntile(3) OVER (PARTITION BY d.lang
+       |                             ORDER BY lp.avg_logprob DESC, d.doc_id) AS BIGINT) AS tercile
+       |  FROM documents d JOIN lp USING (doc_id))
+       |SELECT doc_id, lang, avg_logprob, tercile,
+       |       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM t""".stripMargin
 }

@@ -293,6 +293,19 @@ object SparkEntry {
     "q_temperature" -> ((s, dir) =>
       TextAnalysis.temperatureSample(Tables.load(s, dir, "documents"))),
 
+    // ---- Gopher quality-rule gate (word/line/symbol/stopword heuristics;
+    //      minWords lowered to the corpus's scale so the gate splits it) ----
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.load(s, dir, "documents"), minWords = 20L)),
+
+    // ---- CCNet perplexity terciles (per-lang head/middle/tail cut) ----
+    "q_ppx_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(Tables.load(s, dir, "documents"))),
+
+    // ---- C4 heuristic clean (line keeps + lorem/brace/sentence gates) ----
+    "q_c4_rules" -> ((s, dir) =>
+      TextAnalysis.c4Rules(Tables.load(s, dir, "documents"))),
+
     // ---- sliding-window chunking (size 32, overlap 8): the ingestion step
     //      that turns long docs into overlapping retrieval units ----
     "q_chunk" -> ((s, dir) =>
@@ -640,6 +653,9 @@ object SparkEntry {
     "q_chunk"         -> Oracles.chunkDocs(40L, 32, 8),
     "q_pack_seqs"     -> Oracles.packSequences(512L),
     "q_temperature"   -> Oracles.temperatureSample,
+    "q_gopher_rules"  -> Oracles.gopherRules(20L, 100000L),
+    "q_ppx_buckets"   -> Oracles.perplexityBuckets,
+    "q_c4_rules"      -> Oracles.c4Rules(5, 3),
     "q_ngram_overlap" -> Oracles.ngramOverlap(8),
     "q_repetition"    -> Oracles.repetition,
     "q_substr_spans"  -> Oracles.substrSpans(4),

@@ -365,4 +365,132 @@ object TextAnalysis {
       .select(col("grp"), col("n_docs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** The Gopher required-stopword list (Rae et al. 2021, table A1): a doc
+    * must contain at least [[GopherMinStopHits]] distinct words from it.
+    */
+  val GopherReqStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2
+
+  /** Gopher quality-rule document filter (Rae et al. 2021, table A1 — the
+    * standard pretraining heuristic gate). Per-doc signals plus the
+    * conjunction verdict, all column arithmetic (no UDFs) with
+    * DuckDB-replicable semantics:
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10] chars
+    *   - symbol-to-word ratio ('#' chars + non-overlapping '...' runs) < 0.1
+    *   - < 90% of non-empty lines bullet-led ("- " / "* "), < 30% ending "..."
+    *   - >= 80% of words containing an alphabetic character
+    *   - >= 2 distinct hits from the required-stopword list
+    * Ratio denominators use greatest(n,1) so symbol-only docs produce exact
+    * zeros instead of NULL/NaN (they fail the word-count rule regardless).
+    * Every ratio is an exact-integer division — bit-identical in the oracle.
+    * Single map-side projection per doc: no shuffle, no join; at 100 TB this
+    * runs embarrassingly parallel over file splits.
+    * Returns (doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+    * bullet_frac, ellipsis_frac, stop_hits, keep 0/1).
+    */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame = {
+    val toks  = Text.tokens(col("text"))
+    val lines = filter(
+      org.apache.spark.sql.functions.split(col("text"), "\n", -1), l => l =!= "")
+    val hashCnt = (length(col("text")) -
+      length(replace(col("text"), lit("#"), lit("")))).cast("long")
+    val ellCnt = ((length(col("text")) -
+      length(replace(col("text"), lit("..."), lit("")))) / lit(3)).cast("long")
+    val sig = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("char_sum"),
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("alpha_words"),
+      (hashCnt + ellCnt).as("sym_cnt"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.like("- %") || l.like("* %")))
+        .cast("long").as("bullet_lines"),
+      size(filter(lines, l => l.like("%..."))).cast("long").as("ellipsis_lines"),
+      GopherReqStops.map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+        .reduce(_ + _).as("stop_hits"))
+    sig
+      .withColumn("mean_word_len",
+        col("char_sum").cast("double") / greatest(col("n_words"), lit(1L)))
+      .withColumn("alpha_frac",
+        col("alpha_words").cast("double") / greatest(col("n_words"), lit(1L)))
+      .withColumn("symbol_ratio",
+        col("sym_cnt").cast("double") / greatest(col("n_words"), lit(1L)))
+      .withColumn("bullet_frac",
+        col("bullet_lines").cast("double") / greatest(col("n_lines"), lit(1L)))
+      .withColumn("ellipsis_frac",
+        col("ellipsis_lines").cast("double") / greatest(col("n_lines"), lit(1L)))
+      .withColumn("keep",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_frac") < 0.9 && col("ellipsis_frac") < 0.3 &&
+          col("alpha_frac") > 0.8 &&
+          col("stop_hits") >= GopherMinStopHits).cast("long"))
+      .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
+        "symbol_ratio", "bullet_frac", "ellipsis_frac", "stop_hits", "keep")
+  }
+
+  /** C4 heuristic clean (Raffel et al. 2020 §2.2 — the public filter set):
+    * line-level keeps (terminal punctuation, >= minLineWords words, no
+    * "javascript") and page-level gates (>= minSentences sentence enders,
+    * no "lorem ipsum", no '{'). Sentence counting is the documented
+    * approximation (terminal-punct chars), not a sentence splitter. Like
+    * [[gopherRules]] this is one map-side projection per doc — no shuffle,
+    * no join — and every output is integer-exact for the oracle.
+    * Returns (doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    * has_brace, clean_chars, keep 0/1) where clean_chars is the length of
+    * the kept-lines text the pipeline would emit.
+    */
+  def c4Rules(docs: DataFrame, minLineWords: Int = 5,
+      minSentences: Int = 3): DataFrame = {
+    val F = org.apache.spark.sql.functions
+    val lines = filter(F.split(col("text"), "\n", -1), l => l =!= "")
+    def lineWords(l: Column) =
+      size(filter(F.split(lower(l), "[^a-z0-9]+"), t => t =!= ""))
+    val kept = filter(lines, l =>
+      (rtrim(l).like("%.") || rtrim(l).like("%!") ||
+        rtrim(l).like("%?") || rtrim(l).like("%\"")) &&
+        lineWords(l) >= minLineWords && !lower(l).contains("javascript"))
+    val punct = (length(col("text")) - length(
+      replace(replace(replace(col("text"), lit("."), lit("")),
+        lit("!"), lit("")), lit("?"), lit("")))).cast("long")
+    docs.select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        punct.as("n_sentences"),
+        lower(col("text")).contains("lorem ipsum").cast("long").as("has_lorem"),
+        col("text").contains("{").cast("long").as("has_brace"),
+        length(array_join(kept, "\n")).cast("long").as("clean_chars"))
+      .withColumn("keep",
+        (col("n_sentences") >= minSentences &&
+          col("has_lorem") === 0L && col("has_brace") === 0L &&
+          col("n_kept_lines") >= 1L).cast("long"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    * language, rank documents by LM score and cut into head/middle/tail
+    * terciles — the standard device for quality-stratifying a crawl before
+    * mixing. The scorer is [[unigramLogProb]] (already fixed-point and
+    * hash-exact across engines); higher avg_logprob = lower perplexity =
+    * head. NTILE over (lang) partitions with a doc_id tie-break makes the
+    * assignment total and deterministic even for duplicate texts. The only
+    * window is per-language — at 100 TB this is a per-lang sort, the same
+    * shape CCNet itself shards by language. Docs with zero tokens have no
+    * LM score and are absent (inner join), as in the scorer.
+    * Returns (doc_id, lang, avg_logprob, tercile 1-3, bucket).
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val lp = unigramLogProb(docs).select(col("doc_id"), col("avg_logprob"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("avg_logprob").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("lang")).join(lp, "doc_id")
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .withColumn("bucket",
+        when(col("tercile") === 1L, "head")
+          .when(col("tercile") === 2L, "middle").otherwise("tail"))
+      .select("doc_id", "lang", "avg_logprob", "tercile", "bucket")
+  }
 }

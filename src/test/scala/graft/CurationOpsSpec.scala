@@ -93,4 +93,107 @@ class CurationOpsSpec extends SparkSpec {
       assert(byPos.map(r => h(r._1)).toSeq == byPos.map(r => h(r._1)).sorted.toSeq)
     }
   }
+
+  private def gopherRow(df: org.apache.spark.sql.DataFrame, id: Long) =
+    df.filter(col("doc_id") === id).collect().head
+
+  test("gopherRules signals hand-computed on a clean doc") {
+    val d = Seq((0L, "the cat sat with the dog and that was it"))
+      .toDF("doc_id", "text")
+    val r = gopherRow(TextAnalysis.gopherRules(d, minWords = 5L), 0L)
+    assert(r.getAs[Long]("n_words") == 10L)
+    assert(r.getAs[Double]("mean_word_len") == 31.0 / 10)
+    assert(r.getAs[Double]("alpha_frac") == 1.0)
+    assert(r.getAs[Double]("symbol_ratio") == 0.0)
+    assert(r.getAs[Long]("stop_hits") == 4L) // the, and, that, with
+    assert(r.getAs[Long]("keep") == 1L)
+  }
+
+  test("gopherRules fails each rule independently") {
+    val d = Seq(
+      // symbol-heavy: 4 '#' over 6 words = 0.667 > 0.1
+      (1L, "# # # # the and with that be of"),
+      // all lines bullet-led -> bullet_frac 1.0 >= 0.9
+      (2L, "- the cat and dog\n- that was with it\n- be of the end"),
+      // every line ends '...' -> ellipsis_frac 1.0 > 0.3
+      (3L, "the cat and dog that...\nwas with it be of..."),
+      // numeric tokens: alpha_frac 2/7 < 0.8
+      (4L, "1 2 3 4 5 the and"),
+      // only one required stopword present
+      (5L, "cats sit quietly near windows the whole day"),
+      // word count below the floor
+      (6L, "the and that with"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(d, minWords = 5L)
+    assert(out.filter(col("keep") === 1L).count() == 0)
+    assert(gopherRow(out, 1L).getAs[Double]("symbol_ratio") == 4.0 / 6)
+    assert(gopherRow(out, 2L).getAs[Double]("bullet_frac") == 1.0)
+    assert(gopherRow(out, 3L).getAs[Double]("ellipsis_frac") == 1.0)
+    assert(gopherRow(out, 4L).getAs[Double]("alpha_frac") == 2.0 / 7)
+    assert(gopherRow(out, 5L).getAs[Long]("stop_hits") == 1L)
+    assert(gopherRow(out, 6L).getAs[Long]("n_words") == 4L)
+  }
+
+  test("gopherRules counts '...' runs non-overlapping and '#' per char") {
+    // 5 dots = one non-overlapping '...' run (replace eats left-to-right)
+    val d = Seq((0L, "a..... b ## c")).toDF("doc_id", "text")
+    val r = gopherRow(TextAnalysis.gopherRules(d, minWords = 1L), 0L)
+    assert(r.getAs[Double]("symbol_ratio") == 3.0 / 3) // 2 '#' + 1 run over 3 words
+  }
+
+  test("perplexityBuckets cuts per-lang terciles with head = most probable") {
+    // one language, 6 docs: doc 0 repeats the corpus-dominant token (highest
+    // avg logprob -> head); doc 5 is all-unique tokens (tail); 1..4 mix.
+    val d = Seq(
+      (0L, "aa aa aa aa", "en"),
+      (1L, "aa aa bb bb", "en"),
+      (2L, "aa bb cc dd", "en"),
+      (3L, "aa bb ee ff", "en"),
+      (4L, "gg hh ii aa", "en"),
+      (5L, "jj kk ll mm", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tercile"), r.getAs[String]("bucket"))).toMap
+    assert(out(0L) == (1L, "head"))
+    assert(out(5L) == (3L, "tail"))
+    assert(out.values.map(_._1).groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2)) // NTILE(3) over 6 docs = 2/2/2
+  }
+
+  test("c4Rules keeps punctuated >=5-word lines and gates pages") {
+    val l1 = "This is a good line with seven words."
+    val l2 = "Another fine line stands right here today!"
+    val l3 = "Short one."
+    val l4 = "A third full sentence line ends here?"
+    val d = Seq(
+      (0L, s"$l1\n$l2\n$l3\n$l4"),                       // clean page
+      (1L, "Please enable javascript to view this page."), // js line dropped
+      (2L, "Lorem ipsum dolor sit amet etc etc.\nMore words follow in this line today.\nAnd a third sentence is right here."),
+      (3L, "function foo() { return 1; }\nA normal sentence with enough words here.\nAnother normal sentence with enough words too.\nA third normal sentence with enough words now."),
+      (4L, "One line with plenty of words ends here."),   // 1 sentence < 3
+      (5L, "this line just ends without punctuation\nso does this one here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Rules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_kept_lines") == 3L) // short line dropped
+    assert(out(0L).getAs[Long]("n_sentences") == 4L)
+    assert(out(0L).getAs[Long]("clean_chars") == s"$l1\n$l2\n$l4".length.toLong)
+    assert(out(0L).getAs[Long]("keep") == 1L)
+    assert(out(1L).getAs[Long]("n_kept_lines") == 0L) // javascript filter
+    assert(out(2L).getAs[Long]("has_lorem") == 1L)
+    assert(out(3L).getAs[Long]("has_brace") == 1L)
+    assert(out(4L).getAs[Long]("n_sentences") == 1L)
+    assert(out(5L).getAs[Long]("n_kept_lines") == 0L) // no terminal punct
+    assert((1L to 5L).forall(out(_).getAs[Long]("keep") == 0L))
+  }
+
+  test("perplexityBuckets breaks duplicate-text ties by doc_id") {
+    val d = Seq(
+      (7L, "aa aa", "en"), (3L, "aa aa", "en"), (5L, "aa aa", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tercile")).toMap
+    assert(out == Map(3L -> 1L, 5L -> 2L, 7L -> 3L))
+  }
 }
