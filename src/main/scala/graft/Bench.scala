@@ -306,6 +306,13 @@ object Bench {
       // SemDeDup: seeded-medoid clustering + intra-cluster cosine drop —
       // the pair join is bounded by cluster size, never corpus²
       "b17_semantic_dedup" -> (() => SparkEntry.queries("q_semantic_dedup")(spark, sfDir)),
+      // named corpus filters: Gopher + C4 are pure map-side scans (the
+      // curation throughput floor — cost is tokenize-bound); CCNet buckets
+      // add the LM-score joins + one per-lang window
+      "b18_gopher_c4" -> (() =>
+        SparkEntry.queries("q_gopher_rules")(spark, sfDir)
+          .join(SparkEntry.queries("q_c4_rules")(spark, sfDir), "doc_id")),
+      "b18b_ppx_buckets" -> (() => SparkEntry.queries("q_ppx_buckets")(spark, sfDir)),
     )
 
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=b15_pq_probe_decode,b15b_pq_probe_adc

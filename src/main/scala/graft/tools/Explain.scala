@@ -58,6 +58,13 @@ object Explain {
         (0L until 4L).map(_ -> "spark join data"),
         SearchParams(limit = 10)).explain("formatted")
     }
+
+    // map-side curation filters: expect ONE scan, zero exchanges, one
+    // WholeStageCodegen span each
+    for (q <- Seq("q_gopher_rules", "q_c4_rules", "q_ppx_buckets")) {
+      println(s"==== $q ====")
+      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }
