@@ -82,7 +82,7 @@ class DedupIndexSpec extends SparkSpec {
         .map { case (q, m, sim) => (q - Off, m, sim) }
         .filter { case (q, m, _) => q != m }
     }.toSet
-    assert(canon(got) == want.map(t => Seq(t._1, t._2, t._3)),
+    assert(canon(got) == want.map(t => Seq(t._1.toDouble, t._2.toDouble, t._3)),
       s"got ${canon(got).size} pairs, want ${want.size}")
     assert(want.nonEmpty, "fixture must produce cross pairs")
   }

@@ -157,7 +157,7 @@ class CatalogSpec extends SparkSpec {
     cat.insert("t8", "m1",
       Seq(EmbeddedVector("", "auto chunk 20", "m1", Map(), vec(42))))
     assert(cat.load("t8", "m1").count() == 21)
-    assert(cat.load("t8", "m1").agg(max("flouds_vector_id")).head.getLong(0) == 21L)
+    assert(cat.load("t8", "m1").agg(max("flouds_vector_id")).head().getLong(0) == 21L)
     // search round-trip over the long-PK store
     val hit = cat.search(SearchRequest("t8", "m1", vec(3), limit = 3))
     assert(hit.success && hit.data.head.content == "auto chunk 3")
@@ -230,7 +230,7 @@ class StreamingSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("graft_stream_b").resolve("tbl")
     def bucketOf(k: Long): Int = spark.range(1)
-      .select(pmod(xxhash64(lit(k.toString)), lit(16L)).cast("int")).head.getInt(0)
+      .select(pmod(xxhash64(lit(k.toString)), lit(16L)).cast("int")).head().getInt(0)
     def snapshot(): Map[String, Long] =
       Files.walk(dir).iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
@@ -307,7 +307,7 @@ class VectorIngestStreamSpec extends SparkSpec {
       // the incrementally-maintained sparse index followed the stream
       val m = graft.sources.SparseIndex.read(spark,
         java.nio.file.Paths.get(cat.sparseDirOf("t", "m")).toString)
-      assert(m.global.head.getLong(0) == 20)
+      assert(m.global.head().getLong(0) == 20)
     } finally q.stop()
   }
 
@@ -336,7 +336,7 @@ class VectorIngestStreamSpec extends SparkSpec {
       // ONE commit per trigger: the sparse stats moved to exactly n=10000
       val m = graft.sources.SparseIndex.read(spark,
         java.nio.file.Paths.get(cat.sparseDirOf("t", "m")).toString)
-      assert(m.global.head.getLong(0) == 10000)
+      assert(m.global.head().getLong(0) == 10000)
     } finally q.stop()
   }
 
@@ -367,7 +367,7 @@ class VectorIngestStreamSpec extends SparkSpec {
     def stats(c: VectorStoreCatalog) = {
       val m = graft.sources.SparseIndex.read(spark,
         java.nio.file.Paths.get(c.sparseDirOf("t", "m")).toString)
-      (m.global.head.toSeq, m.termDf.collect().map(_.toString).sorted.toSeq,
+      (m.global.head().toSeq, m.termDf.collect().map(_.toString).sorted.toSeq,
         m.tf.collect().map(_.toString).sorted.toSeq)
     }
     assert(stats(catA) == stats(catB), "sparse index state diverges")
@@ -417,7 +417,7 @@ class VectorIngestStreamSpec extends SparkSpec {
       .withColumn("metadata", lit(null).cast("map<string,string>"))
     assert(cat.insertDf("t", "m", nullMeta) == 1L)
     val storedMeta = cat.load("t", "m")
-      .filter(col("flouds_vector_id") === "kn").select("meta").head.getString(0)
+      .filter(col("flouds_vector_id") === "kn").select("meta").head().getString(0)
     assert(storedMeta == "{}", s"NULL metadata stored as '$storedMeta'")
 
     // a NULL vector ELEMENT fails validation (the exists() predicate must

@@ -202,7 +202,7 @@ class HnswSpec extends SparkSpec {
         Seq(EmbeddedVector(s"k$ki", s"chunk $ki", "m", Map(), vec(77))))
       val dv = cat.loadHnsw("t", "m").entries
         .filter(col("doc_id") === lit(keyHash.map(_.swap).apply(ki)))
-        .select("dv").head.getSeq[Double](0)
+        .select("dv").head().getSeq[Double](0)
       assert(dv == vec(77), "entry medoid must carry its upserted vector")
     }
 
@@ -221,7 +221,7 @@ class HnswSpec extends SparkSpec {
         Seq(EmbeddedVector("bkt-probe", "bucket probe doc", "m", Map(), vec(44))))
       val after = snapshot()
       val bkt = spark.range(1)
-        .select(pmod(xxhash64(lit("bkt-probe")), lit(16L))).head.getLong(0)
+        .select(pmod(xxhash64(lit("bkt-probe")), lit(16L))).head().getLong(0)
       // exact path segment: "_bucket=1" must not also exclude _bucket=10..15
       val untouched = before.keySet.filterNot(_.startsWith(s"_bucket=$bkt/"))
       assert(untouched.nonEmpty, "need untouched buckets for the assertion")

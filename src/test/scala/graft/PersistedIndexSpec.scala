@@ -74,9 +74,9 @@ class PersistedIndexSpec extends SparkSpec {
     val after = snapshot(tableDir)
 
     val dataBucket = spark.range(1)
-      .select(pmod(xxhash64(lit("k7")), lit(16L))).head.getLong(0)
+      .select(pmod(xxhash64(lit("k7")), lit(16L))).head().getLong(0)
     val sparseBucket = spark.range(1)
-      .select(pmod(xxhash64(lit("k7")), lit(16L))).head.getLong(0)
+      .select(pmod(xxhash64(lit("k7")), lit(16L))).head().getLong(0)
 
     val changed = (before.keySet ++ after.keySet)
       .filter(p => before.get(p) != after.get(p))
@@ -105,7 +105,7 @@ class PersistedIndexSpec extends SparkSpec {
 
     // readback correctness after the partial rewrite
     val got = cat.load("t", "m").filter(col("flouds_vector_id") === "k7")
-      .select("chunk").head.getString(0)
+      .select("chunk").head().getString(0)
     assert(got == "replaced text entirely")
     assert(cat.load("t", "m").count() == 40)
   }
@@ -171,7 +171,7 @@ class PersistedIndexSpec extends SparkSpec {
 
     // the clustered table holds exactly one row per doc, none stale
     val idx = cat.loadIndex("t", "m")
-    val k7 = spark.range(1).select(xxhash64(lit("k7"))).head.getLong(0)
+    val k7 = spark.range(1).select(xxhash64(lit("k7"))).head().getLong(0)
     val rows = idx.clustered.filter(col("doc_id") === k7).collect()
     assert(rows.length == 1, s"expected 1 clustered row for k7, got ${rows.length}")
     assert(rows.head.getSeq[Double](rows.head.fieldIndex("dv")) ==

@@ -111,7 +111,7 @@ class SearchKnobsSpec extends SparkSpec {
     val m = graft.sources.SparseIndex.read(spark,
       java.nio.file.Paths.get(cat.sparseDirOf("t", "m")).toString)
     assert(m.docLen.count() == 200)
-    assert(m.global.head.getLong(0) == 200)
+    assert(m.global.head().getLong(0) == 200)
     // and every writer's docs are searchable
     val hit = cat.search(SearchRequest("t", "m", vec(307), limit = 3))
     assert(hit.success && hit.data.head.content == "writer 3 doc 7 alpha")
@@ -144,7 +144,7 @@ class SearchKnobsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(outside.nonEmpty, "probe covered every cell; test needs more rows")
     val hashOf = (0 until 400).map(i =>
-      i -> spark.range(1).select(xxhash64(lit(s"k$i"))).head.getLong(0)).toMap
+      i -> spark.range(1).select(xxhash64(lit(s"k$i"))).head().getLong(0)).toMap
     val target = (0 until 400).find(i => outside.contains(hashOf(i))).get
 
     // hybrid search: dense leg probes 4 cells (target's cell excluded), the

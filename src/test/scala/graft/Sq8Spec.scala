@@ -38,7 +38,7 @@ class Sq8Spec extends SparkSpec {
       .join(corpus.withColumnRenamed("dv", "orig"), "doc_id")
       .select(aggregate(zip_with(col("dv"), col("orig"), (a, b) => abs(a - b)),
         lit(0.0), (acc, x) => greatest(acc, x)).as("maxerr"))
-      .agg(max("maxerr")).head.getDouble(0)
+      .agg(max("maxerr")).head().getDouble(0)
     val maxScale = sq.scales.max
     assert(dec <= maxScale * 0.5 + 1e-9, s"decode error $dec > half-step ${maxScale * 0.5}")
   }
@@ -60,7 +60,7 @@ class Sq8Spec extends SparkSpec {
     assert(rPq >= 0.4, s"PQ recall $rPq unreasonably low")
 
     // decode reconstructs each subvector to its codebook center exactly
-    val dec = Ivf.decodePq(pq).clustered.select(size(col("dv"))).head.getInt(0)
+    val dec = Ivf.decodePq(pq).clustered.select(size(col("dv"))).head().getInt(0)
     assert(dec == 64)
 
     // ADC scoring == decode-then-dot scoring: at k = |corpus| every probed
