@@ -35,16 +35,22 @@ object CurateStream {
 
   /** Start the curation stream. `stream` needs (doc_id, text) plus any
     * payload columns, which survive to the curated table.
+    *
+    * The quality gate is the [[TextAnalysis.quality]] score by default;
+    * passing `gopherMinWords` switches it to the [[TextAnalysis.gopherRules]]
+    * conjunction (the published heuristic gate) with that word-count floor —
+    * still map-side either way.
     */
   def start(spark: SparkSession, stream: DataFrame, indexDir: String,
       curatedPath: String, minQuality: Double = 0.5, threshold: Double = 0.75,
-      checkpoint: Option[String] = None, nBuckets: Int = 16): StreamingQuery = {
+      checkpoint: Option[String] = None, nBuckets: Int = 16,
+      gopherMinWords: Option[Long] = None): StreamingQuery = {
     val writer = stream.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         curateBatch(spark, batch.toDF(), indexDir, curatedPath, minQuality,
-          threshold, nBuckets)
+          threshold, nBuckets, gopherMinWords)
       }
     checkpoint.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
   }
@@ -52,16 +58,22 @@ object CurateStream {
   /** One curation micro-batch (also the batch-backfill entry point). */
   def curateBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
       curatedPath: String, minQuality: Double, threshold: Double,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, gopherMinWords: Option[Long] = None): Unit = {
     if (batch.isEmpty) return
     val scrubbed = batch.withColumn("text",
       regexp_replace(
         regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>"),
         TextAnalysis.PhoneRe, "<PHONE>"))
-    val good = scrubbed
-      .join(TextAnalysis.quality(scrubbed).select("doc_id", "quality"), "doc_id")
-      .filter(col("quality") >= minQuality).drop("quality")
-      .localCheckpoint()
+    val gated = gopherMinWords match {
+      case Some(minWords) => scrubbed.join(
+        TextAnalysis.gopherRules(scrubbed, minWords = minWords)
+          .filter(col("keep") === 1L).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      case None => scrubbed
+        .join(TextAnalysis.quality(scrubbed).select("doc_id", "quality"), "doc_id")
+        .filter(col("quality") >= minQuality).drop("quality")
+    }
+    val good = gated.localCheckpoint()
     val survivors = DedupIndex.ingestDeduped(spark, indexDir,
       good.select("doc_id", "text"), threshold, nBuckets)
     val out = good.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")

@@ -151,7 +151,10 @@ object ScaleBench {
       .select("doc_id", "text")
       .filter(col("doc_id") % 5 === 0 && col("doc_id") < 2560)
     def headliners(sfDir: String, tag: String): Seq[(String, () => DataFrame)] = {
-      val p = prep(sfDir, tag)
+      // lazy: with SPARK_GRAFT_SCALE_ONLY restricted to queries that read
+      // no persisted index (e.g. the map-side curation filters), the index
+      // prep never runs at all
+      lazy val p = prep(sfDir, tag)
       Seq(
         "b1_knn_cos_64q" -> (() => Knn.search(Tables.ordersCorpus(spark, sfDir),
           q64, SearchParams(limit = 10, outputFields = Nil))),
@@ -190,6 +193,13 @@ object ScaleBench {
           Dedup.minhashSignatures(Tables.load(spark, sfDir, "documents")))),
         "b7c_dedup_incr_query" -> (() => graft.sources.DedupIndex.queryBatch(
           spark, p.ddDir, dedupIncrement, nBuckets = 16)),
+        // curation throughput floor: the Gopher+C4 map-side gates over the
+        // whole corpus — linear by design (every doc is read once); the
+        // claim under measure is constant PER-DOC cost (slope ≈ 1/f · t1/t0
+        // stays ~flat) with no shuffle at any scale
+        "b18_gopher_c4" -> (() =>
+          graft.SparkEntry.queries("q_gopher_rules")(spark, sfDir)
+            .join(graft.SparkEntry.queries("q_c4_rules")(spark, sfDir), "doc_id")),
       ).filter { case (name, _) => withDedup || name != "b7_dedup_full_recompute" }
     }
 
@@ -205,9 +215,15 @@ object ScaleBench {
       ts.min
     }
 
+    // iteration aid (mirrors Bench's SPARK_GRAFT_BENCH_ONLY): time just the
+    // named queries — combined with the lazy prep this lets cheap map-side
+    // rows be measured at factors whose index prep would cost hours
+    val onlySet = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
     val base   = headliners(src, "sf01").toMap
     val scaled = headliners(out, s"sfx$factor").toMap
-    val rows = base.keys.toSeq.sorted.map { name =>
+    val rows = base.keys.toSeq.sorted
+      .filter(name => onlySet.forall(_.contains(name)))
+      .map { name =>
       val t0 = time(base(name))
       val t1 = time(scaled(name))
       val slope = t1 / t0 / factor

@@ -63,4 +63,29 @@ class StreamingCurateSpec extends SparkSpec {
     val ids = spark.read.parquet(tbl).select("doc_id").as[Long].collect().toSet
     assert(ids === Set(1L, 6L))
   }
+
+  test("gopher gate replaces the quality score when configured") {
+    val idx = Files.createTempDirectory("graft_curate_idx3").toString + "/idx"
+    val tbl = Files.createTempDirectory("graft_curate_tbl3").toString + "/tbl"
+    // passes Gopher: 32 words, 2 required stopwords, mean word length in
+    // range; the junk docs WOULD pass the score gate at minQuality=0 —
+    // their rejection proves the Gopher path is the active gate
+    def gopherText(tag: String) =
+      "the and " + (1 to 30).map(i => s"${tag}doc$i").mkString(" ")
+    CurateStream.curateBatch(spark,
+      Seq((1L, gopherText("alpha"), "s0"),
+          (2L, "no required stopwords here at all", "s0"),
+          (3L, "junk", "s0")).toDF("doc_id", "text", "src"),
+      idx, tbl, minQuality = 0.0, threshold = 0.75,
+      gopherMinWords = Some(10L))
+    // second run, same stores: near-copy gated by the persisted index,
+    // novel doc admitted
+    CurateStream.curateBatch(spark,
+      Seq((4L, gopherText("alpha"), "s1"),
+          (5L, gopherText("beta"), "s1")).toDF("doc_id", "text", "src"),
+      idx, tbl, minQuality = 0.0, threshold = 0.75,
+      gopherMinWords = Some(10L))
+    val ids = spark.read.parquet(tbl).select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 5L))
+  }
 }
