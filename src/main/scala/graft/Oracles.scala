@@ -1372,6 +1372,35 @@ object Oracles {
        |            AND has_brace = 0 AND n_kept_lines >= 1 AS BIGINT) AS keep
        |FROM sig""".stripMargin
 
+  /** Line-level boilerplate removal (mirror of Dedup.boilerplateLines over
+    * the q_boilerplate synthetic multi-line corpus: text + a universal
+    * footer + the 40-char prefix as three lines; a line in > maxDf distinct
+    * docs is struck).
+    */
+  def boilerplate(maxDf: Long): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         text || chr(10) || 'all rights reserved footer'
+       |              || chr(10) || substr(text, 1, 40) AS text
+       |  FROM documents),
+       |lines AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+       |  FROM d),
+       |boiler AS (
+       |  SELECT line FROM lines GROUP BY line
+       |  HAVING COUNT(DISTINCT doc_id) > $maxDf),
+       |flagged AS (
+       |  SELECT l.doc_id, l.line,
+       |         CAST(b.line IS NOT NULL AS BIGINT) AS is_b
+       |  FROM lines l LEFT JOIN boiler b ON l.line = b.line)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |       CAST(SUM(is_b) AS BIGINT) AS n_boiler,
+       |       CAST(SUM(CASE WHEN is_b = 0 THEN length(line) ELSE 0 END)
+       |            + greatest(SUM(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) - 1, 0)
+       |            AS BIGINT) AS clean_chars
+       |FROM flagged GROUP BY doc_id""".stripMargin
+
   /** CCNet perplexity terciles (mirror of TextAnalysis.perplexityBuckets:
     * the lmScore fixed-point scorer, then per-lang NTILE(3) ordered by
     * avg_logprob DESC with doc_id tie-break).

@@ -306,6 +306,18 @@ object SparkEntry {
     "q_c4_rules" -> ((s, dir) =>
       TextAnalysis.c4Rules(Tables.load(s, dir, "documents"))),
 
+    // ---- line-level boilerplate strike (CCNet/RefinedWeb paragraph-hash
+    //      dedup). The corpus is single-line, so the query synthesizes the
+    //      multi-line shape: doc text + a universal footer (df = |corpus|,
+    //      always struck) + the doc's 40-char prefix (df > 2 exactly where
+    //      near-dup docs share openings) ----
+    "q_boilerplate" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("all rights reserved footer"),
+          substring(col("text"), 1, 40)).as("text"))
+      Dedup.boilerplateLines(d, maxDf = 2L)
+    }),
+
     // ---- sliding-window chunking (size 32, overlap 8): the ingestion step
     //      that turns long docs into overlapping retrieval units ----
     "q_chunk" -> ((s, dir) =>
@@ -656,6 +668,7 @@ object SparkEntry {
     "q_gopher_rules"  -> Oracles.gopherRules(20L, 100000L),
     "q_ppx_buckets"   -> Oracles.perplexityBuckets,
     "q_c4_rules"      -> Oracles.c4Rules(5, 3),
+    "q_boilerplate"   -> Oracles.boilerplate(2L),
     "q_ngram_overlap" -> Oracles.ngramOverlap(8),
     "q_repetition"    -> Oracles.repetition,
     "q_substr_spans"  -> Oracles.substrSpans(4),

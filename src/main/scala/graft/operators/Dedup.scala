@@ -526,4 +526,42 @@ object Dedup {
         (coalesce(col("dup_chars"), lit(0L)).cast("double") / col("tok_chars"))
           .as("dup_char_frac"))
   }
+
+  /** LINE-level boilerplate removal (the CCNet/RefinedWeb paragraph-hash
+    * device: a line whose text recurs in more than `maxDf` distinct docs is
+    * boilerplate — navigation, cookie banners, license headers — and is
+    * struck from every doc). Document-level dedup cannot catch these: the
+    * docs differ, the repeated LINES are the artifact.
+    *
+    * Shape at scale: explode to (doc, pos, line), one keyed agg on the line
+    * text for distinct-doc df (line strings are the join key — no hashing
+    * needed for correctness, and Spark hash-partitions the strings anyway),
+    * one broadcast-or-shuffle semi-join back. No pairwise anything: cost is
+    * O(total lines) + one shuffle of the distinct lines.
+    *
+    * Returns per doc: (doc_id, n_lines, n_boiler, clean_chars) where
+    * clean_chars is the length of the surviving text (kept lines joined by
+    * newline). Empty lines are not counted or kept.
+    */
+  def boilerplateLines(docs: DataFrame, maxDf: Long): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\n", -1), l => l =!= "")))
+      .select(col("doc_id"), col("pos"), col("col").as("line"))
+    val boiler = lines.groupBy("line")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select("line")
+    val flagged = lines.join(boiler.withColumn("is_boiler", lit(1L)),
+      Seq("line"), "left")
+    flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"),
+      // kept text = kept line lengths + (kept-1) newlines, without
+      // materializing the joined string
+      (sum(when(col("is_boiler").isNull, length(col("line")).cast("long"))
+          .otherwise(0L)) +
+        greatest(sum(when(col("is_boiler").isNull, 1L).otherwise(0L)) - 1L,
+          lit(0L))).as("clean_chars"))
+      .select("doc_id", "n_lines", "n_boiler", "clean_chars")
+  }
 }

@@ -188,6 +188,41 @@ class CurationOpsSpec extends SparkSpec {
     assert((1L to 5L).forall(out(_).getAs[Long]("keep") == 0L))
   }
 
+  test("boilerplateLines strikes lines shared by more than maxDf docs") {
+    val d = Seq(
+      (1L, "unique one\nSHARED\nother a"),
+      (2L, "unique two\nSHARED\nother b"),
+      (3L, "unique three\nSHARED"))
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateLines(d, maxDf = 2L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_boiler"),
+          r.getAs[Long]("clean_chars"))).toMap
+    // SHARED appears in 3 > 2 docs -> struck everywhere; clean_chars =
+    // kept line lengths + (kept-1) joining newlines
+    assert(got(1L) == (3L, 1L, ("unique one".length + "other a".length + 1).toLong))
+    assert(got(2L) == (3L, 1L, ("unique two".length + "other b".length + 1).toLong))
+    assert(got(3L) == (2L, 1L, "unique three".length.toLong))
+    // at maxDf = 3 nothing is boilerplate and full lengths survive
+    val loose = Dedup.boilerplateLines(d, maxDf = 3L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_boiler")).toMap
+    assert(loose.values.forall(_ == 0L))
+  }
+
+  test("boilerplateLines counts df by distinct docs, not occurrences") {
+    // doc 1 repeats INTRA-doc: df is still 1, so nothing is struck at
+    // maxDf = 1 except the truly cross-doc line
+    val d = Seq(
+      (1L, "echo\necho\ncross"),
+      (2L, "cross\nsolo"))
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateLines(d, maxDf = 1L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_boiler"))).toMap
+    assert(got(1L) == (3L, 1L)) // only "cross" struck; both echoes kept
+    assert(got(2L) == (2L, 1L))
+  }
+
   test("perplexityBuckets breaks duplicate-text ties by doc_id") {
     val d = Seq(
       (7L, "aa aa", "en"), (3L, "aa aa", "en"), (5L, "aa aa", "en"))
