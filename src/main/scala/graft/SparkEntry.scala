@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{AnnLsh, Bm25, Dedup, Hnsw, Hybrid, Ivf, Knn, Multimodal, SearchParams, Sessionize, TextAnalysis, Upsert}
+import graft.operators.{AnnLsh, Bm25, Bpe, Dedup, Hnsw, Hybrid, Ivf, Knn, Multimodal, SearchParams, Sessionize, TextAnalysis, Upsert}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -305,6 +305,15 @@ object SparkEntry {
     // ---- C4 heuristic clean (line keeps + lorem/brace/sentence gates) ----
     "q_c4_rules" -> ((s, dir) =>
       TextAnalysis.c4Rules(Tables.load(s, dir, "documents"))),
+
+    // ---- BPE tokenizer training (Sennrich merges over the corpus vocab;
+    //      iterative argmax is not SQL-expressible, so this is a rows-only
+    //      check — the merge semantics are spec-pinned in BpeSpec) ----
+    "q_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.train(Tables.load(s, dir, "documents"), numMerges = 12)
+        .toDF("rank", "a", "b", "merged", "pair_count")
+    }),
 
     // ---- line-level boilerplate strike (CCNet/RefinedWeb paragraph-hash
     //      dedup). The corpus is single-line, so the query synthesizes the
