@@ -1401,6 +1401,32 @@ object Oracles {
        |            AS BIGINT) AS clean_chars
        |FROM flagged GROUP BY doc_id""".stripMargin
 
+  /** Cleaned-corpus twin of [[boilerplate]] (mirror of
+    * Dedup.dropBoilerplateLines: same strike set, kept lines rejoined in
+    * original order, fully-struck docs kept with empty text).
+    */
+  def boilerplateClean(maxDf: Long): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         text || chr(10) || 'all rights reserved footer'
+       |              || chr(10) || substr(text, 1, 40) AS text
+       |  FROM documents),
+       |lx AS (
+       |  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+       |        FROM d)),
+       |boiler AS (
+       |  SELECT line FROM lx GROUP BY line
+       |  HAVING COUNT(DISTINCT doc_id) > $maxDf),
+       |kept AS (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+       |  FROM lx WHERE line NOT IN (SELECT line FROM boiler)
+       |  GROUP BY doc_id)
+       |SELECT dd.doc_id, COALESCE(k.clean_text, '') AS clean_text
+       |FROM (SELECT DISTINCT doc_id FROM d) dd
+       |LEFT JOIN kept k ON dd.doc_id = k.doc_id""".stripMargin
+
   /** CCNet perplexity terciles (mirror of TextAnalysis.perplexityBuckets:
     * the lmScore fixed-point scorer, then per-lang NTILE(3) ordered by
     * avg_logprob DESC with doc_id tie-break).

@@ -326,6 +326,13 @@ object SparkEntry {
           substring(col("text"), 1, 40)).as("text"))
       Dedup.boilerplateLines(d, maxDf = 2L)
     }),
+    // ---- the cleaned corpus itself (same strike set, text hash-checked) ----
+    "q_boilerplate_clean" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("all rights reserved footer"),
+          substring(col("text"), 1, 40)).as("text"))
+      Dedup.dropBoilerplateLines(d, maxDf = 2L)
+    }),
 
     // ---- sliding-window chunking (size 32, overlap 8): the ingestion step
     //      that turns long docs into overlapping retrieval units ----
@@ -678,6 +685,7 @@ object SparkEntry {
     "q_ppx_buckets"   -> Oracles.perplexityBuckets,
     "q_c4_rules"      -> Oracles.c4Rules(5, 3),
     "q_boilerplate"   -> Oracles.boilerplate(2L),
+    "q_boilerplate_clean" -> Oracles.boilerplateClean(2L),
     "q_ngram_overlap" -> Oracles.ngramOverlap(8),
     "q_repetition"    -> Oracles.repetition,
     "q_substr_spans"  -> Oracles.substrSpans(4),

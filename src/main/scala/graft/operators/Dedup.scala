@@ -564,4 +564,30 @@ object Dedup {
           lit(0L))).as("clean_chars"))
       .select("doc_id", "n_lines", "n_boiler", "clean_chars")
   }
+
+  /** The materializing twin of [[boilerplateLines]]: the corpus with
+    * boilerplate lines struck, original line order restored. Docs whose
+    * every line was boilerplate come back with empty text (kept visible,
+    * like [[dropDuplicatedSpans]] — dropping them is a separate policy
+    * decision). Same cost shape: one keyed agg + anti-join + per-doc
+    * reassembly (sort_array over a struct array — partition-local, no extra
+    * shuffle beyond the doc_id agg).
+    */
+  def dropBoilerplateLines(docs: DataFrame, maxDf: Long): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\n", -1), l => l =!= "")))
+      .select(col("doc_id"), col("pos"), col("col").as("line"))
+    val boiler = lines.groupBy("line")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line")), "\n").as("clean_text"))
+    docs.select("doc_id").distinct()
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -209,6 +209,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(loose.values.forall(_ == 0L))
   }
 
+  test("dropBoilerplateLines rebuilds docs in order; fully-struck docs stay") {
+    val d = Seq(
+      (1L, "first\nSHARED\nlast"),
+      (2L, "SHARED\nmiddle two"),
+      (3L, "SHARED"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dropBoilerplateLines(d, maxDf = 2L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(got == Map(
+      1L -> "first\nlast",
+      2L -> "middle two",
+      3L -> "")) // every line struck -> visible with empty text
+  }
+
   test("boilerplateLines counts df by distinct docs, not occurrences") {
     // doc 1 repeats INTRA-doc: df is still 1, so nothing is struck at
     // maxDf = 1 except the truly cross-doc line
