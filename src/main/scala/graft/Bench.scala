@@ -313,6 +313,9 @@ object Bench {
         SparkEntry.queries("q_gopher_rules")(spark, sfDir)
           .join(SparkEntry.queries("q_c4_rules")(spark, sfDir), "doc_id")),
       "b18b_ppx_buckets" -> (() => SparkEntry.queries("q_ppx_buckets")(spark, sfDir)),
+      // BPE training: one corpus groupBy + 12 vocab-table merge rounds
+      // (argmax row per round is the only driver traffic)
+      "b19_bpe_train" -> (() => SparkEntry.queries("q_bpe_merges")(spark, sfDir)),
     )
 
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=b15_pq_probe_decode,b15b_pq_probe_adc
