@@ -1427,6 +1427,22 @@ object Oracles {
        |FROM (SELECT DISTINCT doc_id FROM d) dd
        |LEFT JOIN kept k ON dd.doc_id = k.doc_id""".stripMargin
 
+  /** Unicode NFC normalization (mirror of q_nfc_normalize's synthetic
+    * mixed-form corpus; DuckDB's own nfc_normalize is the independent
+    * implementation under compare — char counts and the normalized text
+    * itself). chr(101)=e, chr(769)=U+0301 combining acute, chr(233)=é.
+    */
+  val nfcNormalize: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         text || ' caf' || chr(101) || chr(769) || ' caf' || chr(233) AS text2
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(length(text2) AS INT) AS raw_chars,
+      |       CAST(length(nfc_normalize(text2)) AS INT) AS nfc_chars,
+      |       nfc_normalize(text2) AS nfc_text
+      |FROM d""".stripMargin
+
   /** CCNet perplexity terciles (mirror of TextAnalysis.perplexityBuckets:
     * the lmScore fixed-point scorer, then per-lang NTILE(3) ordered by
     * avg_logprob DESC with doc_id tie-break).

@@ -306,6 +306,20 @@ object SparkEntry {
     "q_c4_rules" -> ((s, dir) =>
       TextAnalysis.c4Rules(Tables.load(s, dir, "documents"))),
 
+    // ---- Unicode NFC normalization (custom codegen Expression; oracle is
+    //      DuckDB's independent nfc_normalize). The corpus is ASCII, so the
+    //      query appends a decomposed (e + U+0301) and a precomposed é to
+    //      every doc — the normalized text itself is hash-checked ----
+    "q_nfc_normalize" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" caf"), lit("e\u0301"), lit(" caf\u00e9"))
+          .as("text2"))
+      d.select(col("doc_id"),
+        length(col("text2")).as("raw_chars"),
+        length(graft.functions.Normalize.nfc(col("text2"))).as("nfc_chars"),
+        graft.functions.Normalize.nfc(col("text2")).as("nfc_text"))
+    }),
+
     // ---- BPE tokenizer training (Sennrich merges over the corpus vocab;
     //      iterative argmax is not SQL-expressible, so this is a rows-only
     //      check — the merge semantics are spec-pinned in BpeSpec) ----
@@ -686,6 +700,7 @@ object SparkEntry {
     "q_c4_rules"      -> Oracles.c4Rules(5, 3),
     "q_boilerplate"   -> Oracles.boilerplate(2L),
     "q_boilerplate_clean" -> Oracles.boilerplateClean(2L),
+    "q_nfc_normalize" -> Oracles.nfcNormalize,
     "q_ngram_overlap" -> Oracles.ngramOverlap(8),
     "q_repetition"    -> Oracles.repetition,
     "q_substr_spans"  -> Oracles.substrSpans(4),

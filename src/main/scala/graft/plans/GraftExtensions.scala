@@ -90,7 +90,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => VecNorm2(args(0))),
     (FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_cosine"),
-      (args: Seq[Expression]) => cosineExpr(args(0), args(1))))
+      (args: Seq[Expression]) => cosineExpr(args(0), args(1))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NormalizeUnicode].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => graft.functions.NormalizeUnicode(args(0), "NFC")),
+    (FunctionIdentifier("nfkc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NormalizeUnicode].getName, "nfkc_normalize"),
+      (args: Seq[Expression]) => graft.functions.NormalizeUnicode(args(0), "NFKC")))
 
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorHofs))

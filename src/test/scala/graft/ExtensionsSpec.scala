@@ -44,4 +44,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0)
     spark.experimental.extraOptimizations = Nil
   }
+
+  test("NormalizeUnicode composes, decomposes, and is idempotent") {
+    import spark.implicits._
+    import graft.functions.Normalize
+    val composed   = "caf\u00e9"        // é as one code point
+    val decomposed = "cafe\u0301"       // e + combining acute
+    val d = Seq((1L, decomposed), (2L, composed), (3L, null: String))
+      .toDF("id", "t")
+    val out = d.select(col("id"),
+        Normalize.nfc(col("t")).as("nfc"),
+        Normalize.nfd(col("t")).as("nfd"),
+        length(col("t")).as("raw_len"),
+        length(Normalize.nfc(col("t"))).as("nfc_len"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[String]("nfc") == composed)   // 5 -> 4 chars
+    assert(out(1L).getAs[Int]("raw_len") == 5 && out(1L).getAs[Int]("nfc_len") == 4)
+    assert(out(2L).getAs[String]("nfc") == composed)   // already normal: no-op
+    assert(out(2L).getAs[String]("nfd") == decomposed) // and back out
+    assert(out(3L).getAs[String]("nfc") == null)       // null passthrough
+  }
+
+  test("nfc_normalize / nfkc_normalize are SQL functions after install") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') AS c, " +
+        "nfkc_normalize('\ufb01le') AS k").head() // fi-ligature -> fi
+    assert(r.getString(0) == "caf\u00e9")
+    assert(r.getString(1) == "file")
+    spark.experimental.extraOptimizations = Nil
+  }
+
+  test("NormalizeUnicode stays inside whole-stage codegen") {
+    import spark.implicits._
+    import graft.functions.Normalize
+    // non-foldable input (depends on id) so neither constant folding nor
+    // LocalTableScan can bypass the generated code path
+    val df = spark.range(1).select(Normalize.nfc(
+      concat(lit("cafe"), when(col("id") >= 0, lit("\u0301")))).as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the WholeStageCodegen marker in the short form
+    assert(plan.contains("*(1) Project"), s"plan lost codegen:\n$plan")
+    assert(df.as[String].head() == "caf\u00e9")
+  }
 }
