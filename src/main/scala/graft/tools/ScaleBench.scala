@@ -200,6 +200,15 @@ object ScaleBench {
         "b18_gopher_c4" -> (() =>
           graft.SparkEntry.queries("q_gopher_rules")(spark, sfDir)
             .join(graft.SparkEntry.queries("q_c4_rules")(spark, sfDir), "doc_id")),
+        // CCNet bucketing: corpus-wide LM-score joins + a per-lang window —
+        // the cheapest curation stage that is NOT purely map-side
+        "b18b_ppx_buckets" -> (() =>
+          graft.SparkEntry.queries("q_ppx_buckets")(spark, sfDir)),
+        // BPE training: the corpus pass scales with the data; the 12 merge
+        // rounds scale with the VOCAB (fixed here), so the slope isolates
+        // the corpus-pass share
+        "b19_bpe_train" -> (() =>
+          graft.SparkEntry.queries("q_bpe_merges")(spark, sfDir)),
       ).filter { case (name, _) => withDedup || name != "b7_dedup_full_recompute" }
     }
 
