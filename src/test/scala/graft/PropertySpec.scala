@@ -125,6 +125,52 @@ class PropertySpec extends SparkSpec {
     val pair = Seq((0L, "x y z w"), (1L, "x y z w")).toDF("doc_id", "text")
     assert(Dedup.ngramOverlap(pair, n = 3).filter(col("dup_frac") =!= 1.0).count() == 0)
   }
+
+  test("curation-filter invariants on the real corpus") {
+    import spark.implicits._
+    val docs = Tables.load(spark, Sf, "documents")
+
+    // Gopher signals: every fraction in [0, 1], stop_hits bounded by the
+    // list size, keep implies every individual rule holds
+    val g = TextAnalysis.gopherRules(docs, minWords = 20L)
+    assert(g.filter(
+      col("alpha_frac") < 0 || col("alpha_frac") > 1 ||
+        col("bullet_frac") < 0 || col("bullet_frac") > 1 ||
+        col("ellipsis_frac") < 0 || col("ellipsis_frac") > 1 ||
+        col("stop_hits") < 0 ||
+        col("stop_hits") > TextAnalysis.GopherReqStops.size).count() == 0)
+    assert(g.filter(col("keep") === 1L &&
+      (col("n_words") < 20L || col("alpha_frac") <= 0.8 ||
+        col("stop_hits") < TextAnalysis.GopherMinStopHits)).count() == 0)
+
+    // C4: kept lines never exceed lines; cleaned text never exceeds the
+    // original length; keep implies a kept line exists
+    val c = TextAnalysis.c4Rules(docs)
+      .join(docs.select(col("doc_id"), length(col("text")).as("orig_chars")), "doc_id")
+    assert(c.filter(col("n_kept_lines") > col("n_lines") ||
+      col("clean_chars") > col("orig_chars") ||
+      (col("keep") === 1L && col("n_kept_lines") === 0L)).count() == 0)
+
+    // boilerplate: struck lines bounded by lines; the stats op and the
+    // materializing op agree on the surviving char count
+    val multi = docs.select(col("doc_id"),
+      concat_ws("\n", col("text"), lit("shared footer line")).as("text"))
+    val stats = Dedup.boilerplateLines(multi, maxDf = 2L)
+    assert(stats.filter(col("n_boiler") > col("n_lines")).count() == 0)
+    val clean = Dedup.dropBoilerplateLines(multi, maxDf = 2L)
+      .select(col("doc_id"), length(col("clean_text")).as("len"))
+    assert(stats.join(clean, "doc_id")
+      .filter(col("clean_chars") =!= col("len")).count() == 0)
+
+    // perplexity buckets: a partition of the scored docs, terciles in 1..3,
+    // per-lang bucket sizes differ by at most 1 per NTILE's contract
+    val p = TextAnalysis.perplexityBuckets(docs)
+    assert(p.count() == TextAnalysis.unigramLogProb(docs).count())
+    assert(p.filter(col("tercile") < 1 || col("tercile") > 3).count() == 0)
+    val spread = p.groupBy("lang", "tercile").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("d"))
+    assert(spread.filter(col("d") > 1).count() == 0)
+  }
 }
 
 class EntrySpec extends SparkSpec {
