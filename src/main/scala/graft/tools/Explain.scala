@@ -59,8 +59,9 @@ object Explain {
         SearchParams(limit = 10)).explain("formatted")
     }
 
-    // map-side curation filters: expect ONE scan, zero exchanges, one
-    // WholeStageCodegen span each
+    // curation stages: the Gopher/C4 gates must show ONE pruned scan and
+    // zero exchanges; ppx_buckets legitimately shuffles (tf join + per-lang
+    // window) — review that its joins broadcast and the window is partitioned
     for (q <- Seq("q_gopher_rules", "q_c4_rules", "q_ppx_buckets")) {
       println(s"==== $q ====")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
