@@ -1469,4 +1469,94 @@ object Oracles {
        |       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
        |            ELSE 'tail' END AS bucket
        |FROM t""".stripMargin
+
+  /** As-of join (TemporalJoin.asof): each purchase attributed to the most
+    * recent view at-or-before it per user. Checked against DuckDB's NATIVE
+    * `ASOF LEFT JOIN` — a fully independent implementation of the operator,
+    * not a transliteration of the Spark plan. Right side deduped to unique
+    * (user_id, ts) by max event_id so ties are well-defined in both engines;
+    * null matches coalesced to −1 sentinels (driver compare is null-averse).
+    */
+  val asofJoin: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id, epoch_us(ts) AS ts, MAX(event_id) AS view_event_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id, l.ts,
+      |       COALESCE(r.ts, -1) AS view_ts,
+      |       COALESCE(r.view_event_id, -1) AS view_event_id,
+      |       COALESCE(l.ts - r.ts, -1) AS gap_us
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  /** As-of with tolerance (pandas merge_asof semantics): a match farther
+    * than `tolUs` behind is nulled, the left row kept. */
+  def asofTolerance(tolUs: Long): String =
+    s"""WITH l AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts
+       |  FROM events WHERE event_type = 'purchase'),
+       |r AS (
+       |  SELECT user_id, epoch_us(ts) AS ts, MAX(event_id) AS view_event_id
+       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       |j AS (
+       |  SELECT l.event_id, l.user_id, l.ts, r.ts AS m_ts, r.view_event_id
+       |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+       |SELECT event_id, user_id, ts,
+       |       COALESCE(CASE WHEN ts - m_ts <= $tolUs THEN m_ts END, -1) AS view_ts,
+       |       COALESCE(CASE WHEN ts - m_ts <= $tolUs THEN view_event_id END, -1) AS view_event_id,
+       |       COALESCE(CASE WHEN ts - m_ts <= $tolUs THEN ts - m_ts END, -1) AS gap_us
+       |FROM j""".stripMargin
+
+  /** Range join (TemporalJoin.windowAgg): per purchase, activity of the same
+    * user in the window [ts+lo, ts+hi) µs. The oracle is DuckDB's native
+    * inequality join (IEJoin) — independent of the Spark side's bin-bucketed
+    * equi-join rewrite. Decimal-summed value, zero-filled for empty windows.
+    */
+  def rangeJoinAgg(loUs: Long, hiUs: Long): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type,
+       |         CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events),
+       |l AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+       |j AS (
+       |  SELECT l.event_id, COUNT(r.event_id) AS n_prior,
+       |         COALESCE(CAST(SUM(r.v) AS DOUBLE), 0.0) AS prior_value
+       |  FROM l LEFT JOIN e r
+       |    ON l.user_id = r.user_id
+       |   AND r.ts >= l.ts + $loUs AND r.ts < l.ts + $hiUs
+       |  GROUP BY 1)
+       |SELECT l.event_id, l.user_id, l.ts,
+       |       CAST(j.n_prior AS BIGINT) AS n_prior, j.prior_value
+       |FROM l JOIN j USING (event_id)""".stripMargin
+
+  /** KMV distinct-vocabulary sketch (KmvSketch): per-language k-minimum
+    * distinct token-code hashes. The oracle recomputes the k smallest
+    * distinct Knuth hashes relationally; the estimator constant is the
+    * exact double (k−1)·2³² written out so the one division matches
+    * bit-for-bit. Estimates DISTINCT TOKEN CODES (the shared code folds
+    * rare prefix collisions — identically in both engines).
+    */
+  def kmvVocab(k: Int): String = {
+    val num = (k - 1).toDouble * 4294967296.0 // exactly representable
+    s"""WITH toks AS (
+       |  SELECT lang,
+       |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                x -> x <> '')) AS term
+       |  FROM documents),
+       |h AS (SELECT DISTINCT lang, ${Text.tokenHash32Sql(Text.tokenCodeSql("term"))} AS h
+       |      FROM toks),
+       |r AS (SELECT lang, h,
+       |             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn,
+       |             COUNT(*) OVER (PARTITION BY lang) AS cnt
+       |      FROM h),
+       |kth AS (SELECT lang, MAX(h) FILTER (WHERE rn <= $k) AS kth_min,
+       |               MIN(cnt) AS cnt
+       |        FROM r GROUP BY lang)
+       |SELECT lang, CAST(LEAST(cnt, $k) AS BIGINT) AS sketch_size,
+       |       CAST(kth_min AS BIGINT) AS kth_min,
+       |       CASE WHEN cnt < $k THEN CAST(cnt AS DOUBLE)
+       |            ELSE $num / CAST(kth_min AS DOUBLE) END AS est_distinct
+       |FROM kth""".stripMargin
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{AnnLsh, Bm25, Bpe, Dedup, Hnsw, Hybrid, Ivf, Knn, Multimodal, SearchParams, Sessionize, TextAnalysis, Upsert}
+import graft.operators.{AnnLsh, Bm25, Bpe, Dedup, Hnsw, Hybrid, Ivf, Knn, Multimodal, SearchParams, Sessionize, TemporalJoin, TextAnalysis, Upsert}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -608,6 +608,72 @@ object SparkEntry {
         Tables.tsMicros(Tables.load(s, dir, "events")),
         gapNs = 30L * 60 * 1000000L)),
 
+    // ---- as-of join: purchases attributed to the last view ≤ ts per user
+    //      (TemporalJoin.asof — one shuffle, window formulation; oracle is
+    //      DuckDB's NATIVE ASOF LEFT JOIN) ----
+    "q_asof_join" -> ((s, dir) => {
+      val e = Tables.tsMicros(Tables.load(s, dir, "events"))
+      val l = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val r = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_event_id"))
+      TemporalJoin.asof(l, r, Seq("user_id"), "ts",
+          rightTie = Some("view_event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("asof_ts"), lit(-1L)).as("view_ts"),
+          coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+          coalesce(col("ts") - col("asof_ts"), lit(-1L)).as("gap_us"))
+    }),
+    // ---- as-of with tolerance: matches farther than 1h behind are nulled
+    //      (pandas merge_asof tolerance semantics) ----
+    "q_asof_tolerance" -> ((s, dir) => {
+      val e = Tables.tsMicros(Tables.load(s, dir, "events"))
+      val l = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val r = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_event_id"))
+      TemporalJoin.asof(l, r, Seq("user_id"), "ts",
+          rightTie = Some("view_event_id"),
+          toleranceUs = Some(3600000000L))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("asof_ts"), lit(-1L)).as("view_ts"),
+          coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+          coalesce(col("ts") - col("asof_ts"), lit(-1L)).as("gap_us"))
+    }),
+
+    // ---- range join: per purchase, same-user activity in the preceding
+    //      10 minutes (TemporalJoin.windowAgg — bin-bucketed equi-join, no
+    //      inequality join in the plan; oracle is DuckDB's native IEJoin) ----
+    "q_range_join" -> ((s, dir) => {
+      val e = Tables.tsMicros(Tables.load(s, dir, "events"))
+      val l = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val r = e.select(col("user_id"), col("ts"),
+        col("event_id").as("r_event_id"), col("value"))
+      TemporalJoin.windowAgg(l, Seq("event_id"), r, Seq("user_id"), "ts",
+        lo = -600000000L, hi = 0L)(
+        "n_prior" -> count(lit(1)),
+        "prior_value" -> sum(col("value").cast("decimal(18,2)")).cast("double"))
+    }),
+
+    // ---- KMV distinct-count sketch: per-language vocabulary estimate via
+    //      bounded k-minimum-values aggregate (map-side combinable; the
+    //      sketch set is order/partitioning independent → bit-exact) ----
+    "q_kmv_vocab" -> ((s, dir) => {
+      val k = 64
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.functions.Text.tokens(col("text"))).as("term"))
+        .withColumn("h", graft.functions.Text.tokenHash32(
+          graft.functions.Text.tokenCode(col("term"))))
+        .groupBy("lang")
+        .agg(graft.functions.KmvSketch.kmvArray(col("h"), k).as("sk"))
+        .select(col("lang"),
+          least(size(col("sk")), lit(k)).cast("long").as("sketch_size"),
+          element_at(col("sk"), size(col("sk"))).as("kth_min"),
+          graft.functions.KmvSketch.estimate(col("sk"), k).as("est_distinct"))
+    }),
+
     // ---- relational coverage: agg / join / window ----
     "q1_agg" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -719,6 +785,10 @@ object SparkEntry {
     "q_hnsw_bulk"     -> Oracles.annEmbedExact(8, 10),
     "q_ann_lsh"       -> Oracles.annLsh(4, 10),
     "q_sessionize"    -> Oracles.sessionize(30L * 60 * 1000000L), // us gap, matches query
+    "q_asof_join"     -> Oracles.asofJoin,
+    "q_asof_tolerance" -> Oracles.asofTolerance(3600000000L),
+    "q_range_join"    -> Oracles.rangeJoinAgg(-600000000L, 0L),
+    "q_kmv_vocab"     -> Oracles.kmvVocab(64),
     "q_events_hourly" -> Oracles.eventsHourly,
     "q_events_json"   -> Oracles.eventsJson,
     "q_knn_meta_required" -> Oracles.knnMetaRequired(8, 10),

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.TemporalJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** As-of and range join: hand-computed fixtures, equivalence to the naive
+  * inequality formulation on randomized data, and plan-shape locks (the
+  * whole point of the operators is that NO nested-loop join appears).
+  */
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  // (key, ts, event_id) left; (key, ts, rid, rv) right
+  private def L(rows: (Long, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("k", "ts", "event_id")
+  private def R(rows: (Long, Long, Long, Double)*): DataFrame =
+    rows.toSeq.toDF("k", "ts", "rid", "rv")
+
+  test("asof: backward match, inclusive at equal ts, null when none") {
+    val l = L((1L, 100L, 10L), (1L, 205L, 11L), (1L, 50L, 12L), (2L, 100L, 13L))
+    val r = R((1L, 100L, 7L, 1.0), (1L, 200L, 8L, 2.0), (3L, 10L, 9L, 3.0))
+    val out = TemporalJoin.asof(l, r, Seq("k"), "ts").collect()
+      .map(x => x.getLong(2) -> (Option(x.get(3)), Option(x.get(4)))).toMap
+    assert(out(10L) == (Some(100L), Some(7L)))  // equal ts matches (inclusive)
+    assert(out(11L) == (Some(200L), Some(8L)))  // most recent, not first
+    assert(out(12L) == (None, None))            // nothing at-or-before
+    assert(out(13L) == (None, None))            // key with no right rows
+  }
+
+  test("asof: equal-ts right duplicates resolve to max tie-break") {
+    val l = L((1L, 100L, 10L))
+    val r = R((1L, 90L, 5L, 1.0), (1L, 90L, 9L, 2.0), (1L, 90L, 7L, 3.0))
+    val row = TemporalJoin.asof(l, r, Seq("k"), "ts", rightTie = Some("rid"))
+      .collect().head
+    assert(row.getLong(4) == 9L && row.getDouble(5) == 2.0)
+  }
+
+  test("asof: tolerance nulls far matches but keeps the row") {
+    val l = L((1L, 100L, 10L), (1L, 500L, 11L))
+    val r = R((1L, 90L, 5L, 1.0))
+    val out = TemporalJoin.asof(l, r, Seq("k"), "ts", toleranceUs = Some(50L))
+      .collect().map(x => x.getLong(2) -> Option(x.get(4))).toMap
+    assert(out == Map(10L -> Some(5L), 11L -> None))
+  }
+
+  test("asof ≡ naive argmax filter on randomized data") {
+    val rnd = new scala.util.Random(42)
+    val l = L(Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextLong().abs)): _*)
+    // unique (k, ts) on the right so the naive form is well-defined
+    val r = R(Seq.tabulate(200)(i => (rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong, i.toLong, rnd.nextInt(10).toDouble)): _*)
+      .groupBy("k", "ts").agg(max("rid").as("rid"), max("rv").as("rv"))
+    val fast = TemporalJoin.asof(l, r, Seq("k"), "ts", rightTie = Some("rid"))
+      .select($"event_id", coalesce($"asof_ts", lit(-1L)), coalesce($"rid", lit(-1L)))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted
+    val naive = l.as("l").join(r.as("r"), $"l.k" === $"r.k" && $"r.ts" <= $"l.ts", "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"l.k", $"l.ts", $"event_id")
+          .orderBy($"r.ts".desc_nulls_last, $"rid".desc_nulls_last)))
+      .filter($"rk" === 1)
+      .select($"event_id", coalesce($"r.ts", lit(-1L)), coalesce($"rid", lit(-1L)))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted
+    assert(fast.toSeq == naive.toSeq)
+  }
+
+  test("asof plan: window pass only — no join operator of any kind") {
+    val l = L((1L, 100L, 10L)); val r = R((1L, 90L, 5L, 1.0))
+    val p = plan(TemporalJoin.asof(l, r, Seq("k"), "ts"))
+    assert(p.contains("Window"), "expected the window formulation")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+  }
+
+  test("rangePairs: half-open window, cross-bin matches, no duplicate pairs") {
+    val l = L((1L, 1000L, 10L))
+    // window [ts-100, ts): 900 ≤ r.ts < 1000 — 899 out, 900 in, 999 in, 1000 out
+    val r = R((1L, 899L, 1L, 0.0), (1L, 900L, 2L, 0.0), (1L, 999L, 3L, 0.0),
+      (1L, 1000L, 4L, 0.0), (2L, 950L, 5L, 0.0))
+    val got = TemporalJoin.rangePairs(l, r, Seq("k"), "ts", lo = -100L, hi = 0L)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 3L))
+  }
+
+  test("rangePairs ≡ naive inequality join on randomized data (incl. negative ts)") {
+    val rnd = new scala.util.Random(7)
+    val l = L(Seq.fill(200)((rnd.nextInt(4).toLong, rnd.nextInt(2000).toLong - 1000L, rnd.nextLong().abs)): _*)
+    val r = R(Seq.tabulate(300)(i => (rnd.nextInt(5).toLong, rnd.nextInt(2000).toLong - 1000L, i.toLong, 0.0)): _*)
+    for ((lo, hi) <- Seq((-150L, 0L), (0L, 77L), (-30L, 31L))) {
+      val fast = TemporalJoin.rangePairs(l, r, Seq("k"), "ts", lo, hi)
+        .select("event_id", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      val naive = l.as("l").join(r.as("r"),
+          $"l.k" === $"r.k" && $"r.ts" - $"l.ts" >= lo && $"r.ts" - $"l.ts" < hi)
+        .select($"event_id", $"rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      assert(fast.toSeq == naive.toSeq, s"window [$lo,$hi)")
+      assert(fast.length == fast.distinct.length, "bin duplication leaked pairs")
+    }
+  }
+
+  test("range join plan: equi-join on (keys, bin) — never a nested loop") {
+    val l = L((1L, 100L, 10L)); val r = R((1L, 90L, 5L, 1.0))
+    val p = plan(TemporalJoin.rangePairs(l, r, Seq("k"), "ts", -100L, 0L))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"inequality join leaked into the plan:\n$p")
+  }
+
+  test("windowAgg: zero-filled aggregates for empty windows") {
+    val l = L((1L, 1000L, 10L), (1L, 5000L, 11L))
+    val r = R((1L, 950L, 1L, 2.5), (1L, 960L, 2L, 1.5))
+    val out = TemporalJoin.windowAgg(l, Seq("event_id"), r, Seq("k"), "ts",
+      lo = -100L, hi = 0L)(
+      "n" -> count(lit(1)), "s" -> sum($"rv"))
+      .collect().map(x => x.getLong(2) -> (x.getLong(3), x.getDouble(4))).toMap
+    assert(out(10L) == (2L, 4.0))
+    assert(out(11L) == (0L, 0.0))
+  }
+}
