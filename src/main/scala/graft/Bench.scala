@@ -316,6 +316,12 @@ object Bench {
       // BPE training: one corpus groupBy + 12 vocab-table merge rounds
       // (argmax row per round is the only driver traffic)
       "b19_bpe_train" -> (() => SparkEntry.queries("q_bpe_merges")(spark, sfDir)),
+      // temporal joins: one-shuffle window as-of vs the bin-bucketed range
+      // join (both would be nested-loop inequality joins in naive SQL);
+      // the KMV sketch is the bounded-state distinct-count path
+      "b20_asof_join" -> (() => SparkEntry.queries("q_asof_join")(spark, sfDir)),
+      "b20b_range_join" -> (() => SparkEntry.queries("q_range_join")(spark, sfDir)),
+      "b20c_kmv_vocab" -> (() => SparkEntry.queries("q_kmv_vocab")(spark, sfDir)),
     )
 
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=b15_pq_probe_decode,b15b_pq_probe_adc

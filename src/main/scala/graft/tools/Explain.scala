@@ -66,6 +66,14 @@ object Explain {
       println(s"==== $q ====")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
+
+    // temporal joins: as-of must show ONE exchange + window, NO join node;
+    // range join must show an equi-join (SMJ/SHJ) on (keys, bin), never a
+    // BroadcastNestedLoopJoin; kmv must show ObjectHashAggregate partial
+    for (q <- Seq("q_asof_join", "q_range_join", "q_kmv_vocab")) {
+      println(s"==== $q ====")
+      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }

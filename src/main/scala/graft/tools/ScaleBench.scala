@@ -62,6 +62,11 @@ object ScaleBench {
     replicate("orders", Seq("o_orderkey"))
     replicate("documents", Seq("doc_id"))
     replicate("embeddings", Seq("vec_id"))
+    // events: perturb user_id too — factor× the users at constant per-user
+    // event density (the realistic growth regime for an event stream; the
+    // temporal-join windows then stay constant-size per key and the slope
+    // measures row volume, not per-key pileup)
+    replicate("events", Seq("event_id", "user_id"))
 
     // Constant-density dedup corpus: same replication, but copy r>0 has
     // every token prefixed with its replica id ("z<r>w<token>") — shingle
@@ -209,6 +214,21 @@ object ScaleBench {
         // the corpus-pass share
         "b19_bpe_train" -> (() =>
           graft.SparkEntry.queries("q_bpe_merges")(spark, sfDir)),
+        // temporal joins over the replicated event stream (factor× users at
+        // constant per-user density): as-of is one shuffle + per-key window
+        // — linear rows, constant per-key window; the range join's shuffle
+        // carries ≤2 bins per left row — both claims are "no superlinear
+        // term", the slope should read ≈ scan-bound linear or below
+        "b20_asof_join" -> (() =>
+          graft.SparkEntry.queries("q_asof_join")(spark, sfDir)),
+        "b20b_range_join" -> (() =>
+          graft.SparkEntry.queries("q_range_join")(spark, sfDir)),
+        // KMV sketch: identical-text replicas keep the true vocabulary
+        // CONSTANT while the token stream grows factor× — the sketch's
+        // shuffle stays k·|langs|·|partitions| longs at any factor, so the
+        // slope isolates the irreducible token-scan term
+        "b20c_kmv_vocab" -> (() =>
+          graft.SparkEntry.queries("q_kmv_vocab")(spark, sfDir)),
       ).filter { case (name, _) => withDedup || name != "b7_dedup_full_recompute" }
     }
 
