@@ -1530,6 +1530,32 @@ object Oracles {
        |       CAST(j.n_prior AS BIGINT) AS n_prior, j.prior_value
        |FROM l JOIN j USING (event_id)""".stripMargin
 
+  /** Point-in-interval join (TemporalJoin.intervalJoin): error events
+    * attributed to their containing ≥minEvents session interval. The oracle
+    * assigns events to sessions DIRECTLY (the sessionize window chain) —
+    * independent of the Spark side's bin-exploded interval equi-join; the
+    * two agree because a user's session intervals are disjoint.
+    */
+  def sessionAttrib(gapUs: Long, minEvents: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts, event_type FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > $gapUs THEN 1 ELSE 0 END AS new_s
+       |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e)),
+       |assigned AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM flagged),
+       |s AS (
+       |  SELECT user_id, session_idx, MIN(ts) AS session_start,
+       |         MAX(ts) AS session_end, COUNT(*) AS n_events
+       |  FROM assigned GROUP BY 1, 2 HAVING COUNT(*) >= $minEvents)
+       |SELECT a.event_id, a.user_id, a.ts,
+       |       CAST(a.session_idx AS BIGINT) AS session_idx,
+       |       s.session_start, s.session_end, CAST(s.n_events AS BIGINT) AS n_events
+       |FROM assigned a JOIN s USING (user_id, session_idx)
+       |WHERE a.event_type = 'error'""".stripMargin
+
   /** KMV distinct-vocabulary sketch (KmvSketch): per-language k-minimum
     * distinct token-code hashes. The oracle recomputes the k smallest
     * distinct Knuth hashes relationally; the estimator constant is the

@@ -656,6 +656,23 @@ object SparkEntry {
         "prior_value" -> sum(col("value").cast("decimal(18,2)")).cast("double"))
     }),
 
+    // ---- interval join: error events attributed to their containing
+    //      ≥3-event session (TemporalJoin.intervalJoin — intervals explode
+    //      to time bins, points equi-join one bin; sessions-per-user are
+    //      disjoint so attribution is unique) ----
+    "q_session_attrib" -> ((s, dir) => {
+      val e = Tables.tsMicros(Tables.load(s, dir, "events"))
+      val gapUs = 240L * 60 * 1000000L // 4h sessions: selective but non-trivial
+      val sess = Sessionize.sessionBounds(e, gapNs = gapUs)
+        .filter(col("n_events") >= 3)
+      val points = e.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      TemporalJoin.intervalJoin(points, sess, Seq("user_id"), "ts",
+        startCol = "session_start", endCol = "session_end", binWidth = gapUs)
+        .select("event_id", "user_id", "ts", "session_idx",
+          "session_start", "session_end", "n_events")
+    }),
+
     // ---- KMV distinct-count sketch: per-language vocabulary estimate via
     //      bounded k-minimum-values aggregate (map-side combinable; the
     //      sketch set is order/partitioning independent → bit-exact) ----
@@ -788,6 +805,7 @@ object SparkEntry {
     "q_asof_join"     -> Oracles.asofJoin,
     "q_asof_tolerance" -> Oracles.asofTolerance(3600000000L),
     "q_range_join"    -> Oracles.rangeJoinAgg(-600000000L, 0L),
+    "q_session_attrib" -> Oracles.sessionAttrib(240L * 60 * 1000000L, 3L),
     "q_kmv_vocab"     -> Oracles.kmvVocab(64),
     "q_events_hourly" -> Oracles.eventsHourly,
     "q_events_json"   -> Oracles.eventsJson,

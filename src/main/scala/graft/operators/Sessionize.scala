@@ -35,4 +35,23 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
   }
+
+  /** [[sessions]] plus the closing bound: (user_id, session_idx,
+    * session_start, session_end, n_events). Interval form consumed by
+    * point-in-interval joins (TemporalJoin.intervalJoin); kept separate so
+    * the oracle-pinned [[sessions]] schema stays untouched.
+    */
+  def sessionBounds(events: DataFrame, gapNs: Long = DefaultGapNs): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val flagged = events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          .otherwise(0L))
+    flagged.withColumn("session_idx",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -153,6 +153,42 @@ object TemporalJoin {
           agged.schema(n).dataType)).as(n) }: _*)
   }
 
+  /** Point-in-interval join as equi-join: each point row (keys, ts) pairs
+    * with the interval rows (keys, [startCol, endCol]) containing it,
+    * bounds INCLUSIVE. Intervals explode to ceil(len/binWidth)+1 time bins,
+    * points to one — the equi-join on (keys, bin) replaces the
+    * BETWEEN-inequality join Spark would plan as a nested loop.
+    *
+    * `binWidth` trades interval fan-out (len/W + 1 copies of each interval
+    * row in the shuffle) against bin selectivity; the expected interval
+    * length is a good choice. INNER semantics: uncontained points drop.
+    * Output: all point columns + the interval's payload columns.
+    */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      ts: String = "ts",
+      startCol: String,
+      endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pointCols = points.columns.toSeq
+    val ivPayload = intervals.columns.toSeq.filterNot(keys.contains)
+    require(ivPayload.intersect(pointCols).isEmpty,
+      s"interval payload ${ivPayload.mkString(",")} collides with point columns")
+
+    def bin(c: Column): Column = floorDiv(c, lit(binWidth))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(bin(col(startCol)), bin(col(endCol)))))
+    val p = points.withColumn("_bin", bin(col(ts)))
+    // each (point, interval) pair meets in exactly one bin — the point's —
+    // so the fan-out never duplicates matched pairs
+    p.join(iv, keys :+ "_bin")
+      .filter(col(ts) >= col(startCol) && col(ts) <= col(endCol))
+      .select(pointCols.map(col) ++ ivPayload.map(col): _*)
+  }
+
   /** Floor division in pure LONG arithmetic (Spark's `DIV` truncates toward
     * zero; doubles would risk half-ulp mis-binning near bin boundaries):
     * floorDiv(a, w) = (a − ((a % w + w) % w)) DIV w. */

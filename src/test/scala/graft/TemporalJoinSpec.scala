@@ -107,6 +107,42 @@ class TemporalJoinSpec extends SparkSpec {
       s"inequality join leaked into the plan:\n$p")
   }
 
+  test("intervalJoin: inclusive bounds, multi-bin intervals, overlap fan-out") {
+    val p = L((1L, 100L, 10L), (1L, 250L, 11L), (1L, 301L, 12L), (2L, 100L, 13L))
+    val iv = Seq((1L, 100L, 300L, 77L), (1L, 250L, 260L, 88L), (3L, 0L, 999L, 99L))
+      .toDF("k", "s", "e", "sid")
+    val got = TemporalJoin.intervalJoin(p, iv, Seq("k"), "ts",
+        startCol = "s", endCol = "e", binWidth = 50L)
+      .select("event_id", "sid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    // 10 @100: start-inclusive in [100,300]; 11 @250: in BOTH intervals;
+    // 12 @301: end-exclusive misses [100,300]; 13: no interval for key 2
+    assert(got == Seq((10L, 77L), (11L, 77L), (11L, 88L)))
+  }
+
+  test("intervalJoin ≡ naive BETWEEN join on randomized data, several bin widths") {
+    val rnd = new scala.util.Random(11)
+    val p = L(Seq.fill(300)((rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong, rnd.nextLong().abs)): _*)
+    val iv = Seq.tabulate(80) { i =>
+      val s = rnd.nextInt(1000).toLong
+      (rnd.nextInt(5).toLong, s, s + rnd.nextInt(200).toLong, i.toLong)
+    }.toDF("k", "s", "e", "sid")
+    val naive = p.join(iv, p("k") === iv("k") && $"ts" >= $"s" && $"ts" <= $"e")
+      .select($"event_id", $"sid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    for (w <- Seq(7L, 50L, 500L)) {
+      val fast = TemporalJoin.intervalJoin(p, iv, Seq("k"), "ts", "s", "e", w)
+        .select("event_id", "sid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      assert(fast.toSeq == naive.toSeq, s"binWidth $w")
+    }
+  }
+
+  test("intervalJoin plan: equi-join on (keys, bin) — never a nested loop") {
+    val p = L((1L, 100L, 10L))
+    val iv = Seq((1L, 50L, 150L, 1L)).toDF("k", "s", "e", "sid")
+    val pl = plan(TemporalJoin.intervalJoin(p, iv, Seq("k"), "ts", "s", "e", 100L))
+    assert(!pl.contains("BroadcastNestedLoopJoin") && !pl.contains("CartesianProduct"),
+      s"inequality join leaked into the plan:\n$pl")
+  }
+
   test("windowAgg: zero-filled aggregates for empty windows") {
     val l = L((1L, 1000L, 10L), (1L, 5000L, 11L))
     val r = R((1L, 950L, 1L, 2.5), (1L, 960L, 2L, 1.5))
