@@ -322,6 +322,10 @@ object Bench {
       "b20_asof_join" -> (() => SparkEntry.queries("q_asof_join")(spark, sfDir)),
       "b20b_range_join" -> (() => SparkEntry.queries("q_range_join")(spark, sfDir)),
       "b20c_kmv_vocab" -> (() => SparkEntry.queries("q_kmv_vocab")(spark, sfDir)),
+      // candidate-verify heavy hitters (two scans, no term-universe
+      // shuffle) and the one-window exact quantile pass
+      "b21_heavy_hitters" -> (() => SparkEntry.queries("q_heavy_hitters")(spark, sfDir)),
+      "b21b_quantiles" -> (() => SparkEntry.queries("q_quantiles")(spark, sfDir)),
     )
 
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=b15_pq_probe_decode,b15b_pq_probe_adc

@@ -1556,6 +1556,38 @@ object Oracles {
        |FROM assigned a JOIN s USING (user_id, session_idx)
        |WHERE a.event_type = 'error'""".stripMargin
 
+  /** Exact per-group discrete quantiles (Quantiles.exactQuantiles): value
+    * at 1-based rank floor(q·(n−1))+1 of the ascending per-group sort.
+    * q forced to DOUBLE so both engines compute the identical IEEE product.
+    */
+  def quantiles(qs: Seq[Double]): String = {
+    val vals = qs.map(q => s"(CAST($q AS DOUBLE))").mkString(",")
+    s"""WITH r AS (
+       |  SELECT lang, n_chars,
+       |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+       |         COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents)
+       |SELECT lang, q, n_chars AS value
+       |FROM r, (VALUES $vals) AS qs(q)
+       |WHERE rn = CAST(FLOOR(q * (n - 1)) AS BIGINT) + 1""".stripMargin
+  }
+
+  /** Exact heavy-hitter terms (TextAnalysis.heavyTerms): the oracle is the
+    * NAIVE full group-by with a share threshold — the Spark side must reach
+    * the identical set through its Misra-Gries candidate + broadcast
+    * recount pipeline (sketch nondeterminism cancels in the verify pass).
+    */
+  def heavyHitters(minShare: Double): String =
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |         x -> x <> '')) AS term
+       |  FROM documents),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+       |SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM toks, tot
+       |GROUP BY term, tot.n_total
+       |HAVING CAST(COUNT(*) AS DOUBLE) > CAST(tot.n_total AS DOUBLE) * $minShare""".stripMargin
+
   /** KMV distinct-vocabulary sketch (KmvSketch): per-language k-minimum
     * distinct token-code hashes. The oracle recomputes the k smallest
     * distinct Knuth hashes relationally; the estimator constant is the

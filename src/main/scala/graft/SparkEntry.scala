@@ -691,6 +691,20 @@ object SparkEntry {
           graft.functions.KmvSketch.estimate(col("sk"), k).as("est_distinct"))
     }),
 
+    // ---- exact distributed quantiles: per-language n_chars percentiles
+    //      (one window sort, all quantiles in a single pass) ----
+    "q_quantiles" -> ((s, dir) =>
+      graft.operators.Quantiles.exactQuantiles(
+        Tables.load(s, dir, "documents"), Seq("lang"), "n_chars",
+        Seq(0.5, 0.9, 0.99))),
+
+    // ---- exact heavy hitters via Misra-Gries candidates + broadcast
+    //      recount: equals the naive HAVING-threshold group-by without
+    //      ever shuffling the term universe ----
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyTerms(Tables.load(s, dir, "documents"),
+        k = 1024, minShare = 0.002)),
+
     // ---- relational coverage: agg / join / window ----
     "q1_agg" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -807,6 +821,8 @@ object SparkEntry {
     "q_range_join"    -> Oracles.rangeJoinAgg(-600000000L, 0L),
     "q_session_attrib" -> Oracles.sessionAttrib(240L * 60 * 1000000L, 3L),
     "q_kmv_vocab"     -> Oracles.kmvVocab(64),
+    "q_quantiles"     -> Oracles.quantiles(Seq(0.5, 0.9, 0.99)),
+    "q_heavy_hitters" -> Oracles.heavyHitters(0.002),
     "q_events_hourly" -> Oracles.eventsHourly,
     "q_events_json"   -> Oracles.eventsJson,
     "q_knn_meta_required" -> Oracles.knnMetaRequired(8, 10),

@@ -493,4 +493,34 @@ object TextAnalysis {
           .when(col("tercile") === 2L, "middle").otherwise("tail"))
       .select("doc_id", "lang", "avg_logprob", "tercile", "bucket")
   }
+
+  /** EXACT heavy-hitter terms (frequency share > minShare) via the
+    * candidate-verify pattern: a Misra-Gries sketch pass proposes ≤k
+    * candidates (guaranteed superset of every term with share > 1/(k+1)),
+    * then a broadcast semi-join recounts ONLY the candidates exactly.
+    *
+    * The result is deterministic and equals the naive `GROUP BY term
+    * HAVING count > n·minShare` — but the term universe never shuffles:
+    * pass 1 exchanges ≤2k (term,count) pairs per partition (map-side MG
+    * partials), pass 2 shuffles candidate rows only. At 100 TB the naive
+    * form re-keys every token; this shape is two scans and two tiny
+    * exchanges. Requires minShare > 1/(k+1) or the sketch guarantee
+    * doesn't cover the threshold.
+    *
+    * Returns (term, n BIGINT) — every term with true count > n·minShare.
+    */
+  def heavyTerms(docs: DataFrame, k: Int, minShare: Double): DataFrame = {
+    require(minShare > 1.0 / (k + 1),
+      s"minShare $minShare below the k=$k sketch guarantee 1/(k+1)")
+    val toks = Dedup.tokenTable(docs).select("term")
+    val sketch = toks.agg(
+      graft.functions.HeavyHitters.mgTerms(col("term"), k).as("cand"),
+      count(lit(1)).as("n_total"))
+    val cand = sketch.select(explode(col("cand")).as("term"))
+    toks.join(broadcast(cand), "term")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sketch.select(col("n_total"))))
+      .filter(col("n").cast("double") > col("n_total").cast("double") * minShare)
+      .select("term", "n")
+  }
 }
