@@ -1508,6 +1508,21 @@ object Oracles {
        |       COALESCE(CASE WHEN ts - m_ts <= $tolUs THEN ts - m_ts END, -1) AS gap_us
        |FROM j""".stripMargin
 
+  /** Forward as-of: the EARLIEST view at-or-after each purchase (DuckDB
+    * ASOF with the flipped inequality). */
+  val asofForward: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id, epoch_us(ts) AS ts, MAX(event_id) AS view_event_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id, l.ts,
+      |       COALESCE(r.ts, -1) AS view_ts,
+      |       COALESCE(r.view_event_id, -1) AS view_event_id,
+      |       COALESCE(r.ts - l.ts, -1) AS gap_us
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin
+
   /** Range join (TemporalJoin.windowAgg): per purchase, activity of the same
     * user in the window [ts+lo, ts+hi) µs. The oracle is DuckDB's native
     * inequality join (IEJoin) — independent of the Spark side's bin-bucketed

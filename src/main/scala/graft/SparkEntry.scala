@@ -641,6 +641,21 @@ object SparkEntry {
           coalesce(col("ts") - col("asof_ts"), lit(-1L)).as("gap_us"))
     }),
 
+    // ---- forward as-of: the NEXT view at-or-after each purchase ----
+    "q_asof_forward" -> ((s, dir) => {
+      val e = Tables.tsMicros(Tables.load(s, dir, "events"))
+      val l = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val r = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_event_id"))
+      TemporalJoin.asof(l, r, Seq("user_id"), "ts",
+          rightTie = Some("view_event_id"), direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("asof_ts"), lit(-1L)).as("view_ts"),
+          coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+          coalesce(col("asof_ts") - col("ts"), lit(-1L)).as("gap_us"))
+    }),
+
     // ---- range join: per purchase, same-user activity in the preceding
     //      10 minutes (TemporalJoin.windowAgg — bin-bucketed equi-join, no
     //      inequality join in the plan; oracle is DuckDB's native IEJoin) ----
@@ -818,6 +833,7 @@ object SparkEntry {
     "q_sessionize"    -> Oracles.sessionize(30L * 60 * 1000000L), // us gap, matches query
     "q_asof_join"     -> Oracles.asofJoin,
     "q_asof_tolerance" -> Oracles.asofTolerance(3600000000L),
+    "q_asof_forward"  -> Oracles.asofForward,
     "q_range_join"    -> Oracles.rangeJoinAgg(-600000000L, 0L),
     "q_session_attrib" -> Oracles.sessionAttrib(240L * 60 * 1000000L, 3L),
     "q_kmv_vocab"     -> Oracles.kmvVocab(64),

@@ -56,7 +56,25 @@ object TemporalJoin {
       keys: Seq[String],
       ts: String = "ts",
       rightTie: Option[String] = None,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = direction match {
+    case "backward" => asofBackward(left, right, keys, ts, rightTie, toleranceUs)
+    case "forward" =>
+      // earliest right at-or-after == backward as-of on negated time
+      // (tie-break semantics unchanged: max rightTie wins at equal ts)
+      def neg(df: DataFrame) = df.withColumn(ts, -col(ts))
+      neg(asofBackward(neg(left), neg(right), keys, ts, rightTie, toleranceUs))
+        .withColumn("asof_ts", -col("asof_ts"))
+    case d => throw new IllegalArgumentException(s"direction $d")
+  }
+
+  private def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      rightTie: Option[String],
+      toleranceUs: Option[Long]): DataFrame = {
     val leftCols  = left.columns.toSeq
     val rightPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
     require(rightPayload.nonEmpty, "right side needs at least one payload column")

@@ -48,6 +48,16 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out == Map(10L -> Some(5L), 11L -> None))
   }
 
+  test("asof forward: earliest at-or-after, inclusive, null when none behind") {
+    val l = L((1L, 100L, 10L), (1L, 205L, 11L), (2L, 100L, 13L))
+    val r = R((1L, 100L, 7L, 1.0), (1L, 200L, 8L, 2.0), (3L, 10L, 9L, 3.0))
+    val out = TemporalJoin.asof(l, r, Seq("k"), "ts", direction = "forward")
+      .collect().map(x => x.getLong(2) -> (Option(x.get(3)), Option(x.get(4)))).toMap
+    assert(out(10L) == (Some(100L), Some(7L)))  // equal ts matches (inclusive)
+    assert(out(11L) == (None, None))            // nothing at-or-after 205
+    assert(out(13L) == (None, None))
+  }
+
   test("asof ≡ naive argmax filter on randomized data") {
     val rnd = new scala.util.Random(42)
     val l = L(Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextLong().abs)): _*)
