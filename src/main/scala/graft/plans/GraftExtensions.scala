@@ -67,6 +67,7 @@ object RewriteVectorHofs extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteVectorHofs)
+    e.injectOptimizerRule(_ => RewriteRangeJoins)
     e.injectPlannerStrategy(_ => PartialTopKStrategy)
     GraftExtensions.sqlFunctions.foreach { case (id, info, builder) =>
       e.injectFunction((id, info, builder))
@@ -99,9 +100,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => graft.functions.NormalizeUnicode(args(0), "NFKC")))
 
   def install(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraOptimizations.contains(RewriteVectorHofs))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ RewriteVectorHofs
+    for (rule <- Seq(RewriteVectorHofs, RewriteRangeJoins))
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
     sqlFunctions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

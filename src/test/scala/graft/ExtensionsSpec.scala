@@ -75,6 +75,49 @@ class ExtensionsSpec extends SparkSpec {
     spark.experimental.extraOptimizations = Nil
   }
 
+  test("RewriteRangeJoins: a naive inequality time-join loses its nested loop") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    try {
+      val rnd = new scala.util.Random(3)
+      val l = Seq.tabulate(400)(i => (i.toLong, rnd.nextInt(5000).toLong))
+        .toDF("lid", "lts")
+      val r = Seq.tabulate(400)(i => (i.toLong, rnd.nextInt(5000).toLong))
+        .toDF("rid", "rts")
+      // no key at all: Spark's only native plan is a nested loop
+      val naive = l.join(r, $"rts" >= $"lts" - 100 && $"rts" < $"lts" + 50)
+
+      val p = naive.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"rule did not fire:\n$p")
+      assert(p.contains("_graft_bin"), s"expected the bin equi-key:\n$p")
+
+      val fast = naive.select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted
+      spark.experimental.extraOptimizations = Nil // uninstall → nested loop
+      val slow = naive.select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted
+      assert(fast.toSeq == slow.toSeq)
+      assert(fast.nonEmpty)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("RewriteRangeJoins leaves keyed and outer joins alone") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    try {
+      val l = Seq((1L, 10L)).toDF("k", "lts")
+      val r = Seq((1L, 12L)).toDF("k2", "rts")
+      // cross-side equality present: Spark already has a shuffle key
+      val keyed = l.join(r, $"k" === $"k2" && $"rts" >= $"lts" - 5 && $"rts" < $"lts" + 5)
+      assert(!keyed.queryExecution.optimizedPlan.toString.contains("_graft_bin"))
+      // outer join: bin fan-out would duplicate null-padded rows
+      val outer = l.join(r, $"rts" >= $"lts" - 5 && $"rts" < $"lts" + 5, "left")
+      assert(!outer.queryExecution.optimizedPlan.toString.contains("_graft_bin"))
+      assert(keyed.count() == 1 && outer.count() == 1)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("NormalizeUnicode stays inside whole-stage codegen") {
     import spark.implicits._
     import graft.functions.Normalize
