@@ -1603,6 +1603,28 @@ object Oracles {
        |GROUP BY term, tot.n_total
        |HAVING CAST(COUNT(*) AS DOUBLE) > CAST(tot.n_total AS DOUBLE) * $minShare""".stripMargin
 
+  /** Global KMV rollup: the oracle computes the k smallest distinct hashes
+    * over the WHOLE corpus directly — the Spark side must reach the same
+    * sketch by merging the per-language sketches (set identity: k-min of a
+    * union of per-group k-mins = global k-min). */
+  def kmvGlobal(k: Int): String = {
+    val num = (k - 1).toDouble * 4294967296.0
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |         x -> x <> '')) AS term
+       |  FROM documents),
+       |h AS (SELECT DISTINCT ${Text.tokenHash32Sql(Text.tokenCodeSql("term"))} AS h
+       |      FROM toks),
+       |r AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+       |             COUNT(*) OVER () AS cnt FROM h)
+       |SELECT CAST(LEAST(MIN(cnt), $k) AS BIGINT) AS sketch_size,
+       |       CAST(MAX(h) FILTER (WHERE rn <= $k) AS BIGINT) AS kth_min,
+       |       CASE WHEN MIN(cnt) < $k THEN CAST(MIN(cnt) AS DOUBLE)
+       |            ELSE $num / CAST(MAX(h) FILTER (WHERE rn <= $k) AS DOUBLE)
+       |       END AS est_distinct
+       |FROM r""".stripMargin
+  }
+
   /** KMV distinct-vocabulary sketch (KmvSketch): per-language k-minimum
     * distinct token-code hashes. The oracle recomputes the k smallest
     * distinct Knuth hashes relationally; the estimator constant is the

@@ -706,6 +706,28 @@ object SparkEntry {
           graft.functions.KmvSketch.estimate(col("sk"), k).as("est_distinct"))
     }),
 
+    // ---- sketch ROLLUP: the per-language KMV sketches merge relationally
+    //      (explode + re-sketch) into the exact global sketch — the k
+    //      smallest of a union of per-group k-smallest sets IS the global
+    //      k-smallest. This is how per-shard sketches aggregate at 100 TB
+    //      without touching the raw data again. ----
+    "q_kmv_global" -> ((s, dir) => {
+      val k = 64
+      val perLang = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.functions.Text.tokens(col("text"))).as("term"))
+        .withColumn("h", graft.functions.Text.tokenHash32(
+          graft.functions.Text.tokenCode(col("term"))))
+        .groupBy("lang")
+        .agg(graft.functions.KmvSketch.kmvArray(col("h"), k).as("sk"))
+      perLang.select(explode(col("sk")).as("h"))
+        .agg(graft.functions.KmvSketch.kmvArray(col("h"), k).as("sk"))
+        .select(
+          least(size(col("sk")), lit(k)).cast("long").as("sketch_size"),
+          element_at(col("sk"), size(col("sk"))).as("kth_min"),
+          graft.functions.KmvSketch.estimate(col("sk"), k).as("est_distinct"))
+    }),
+
     // ---- exact distributed quantiles: per-language n_chars percentiles
     //      (one window sort, all quantiles in a single pass) ----
     "q_quantiles" -> ((s, dir) =>
@@ -837,6 +859,7 @@ object SparkEntry {
     "q_range_join"    -> Oracles.rangeJoinAgg(-600000000L, 0L),
     "q_session_attrib" -> Oracles.sessionAttrib(240L * 60 * 1000000L, 3L),
     "q_kmv_vocab"     -> Oracles.kmvVocab(64),
+    "q_kmv_global"    -> Oracles.kmvGlobal(64),
     "q_quantiles"     -> Oracles.quantiles(Seq(0.5, 0.9, 0.99)),
     "q_heavy_hitters" -> Oracles.heavyHitters(0.002),
     "q_events_hourly" -> Oracles.eventsHourly,
