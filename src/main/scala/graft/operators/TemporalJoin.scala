@@ -171,6 +171,64 @@ object TemporalJoin {
           agged.schema(n).dataType)).as(n) }: _*)
   }
 
+  /** Skew-resilient as-of: identical semantics to [[asof]] (backward,
+    * inclusive, max-tie-break, tolerance), but the per-key window is split
+    * into time chunks of `chunkUs` so ONE hot key parallelizes across its
+    * own timeline instead of serializing one partition.
+    *
+    * Two-level plan: (1) a per-(key, chunk) summary of the latest right row
+    * + a running "carry-in" (the best right row of all EARLIER chunks,
+    * computed by a window over the SUMMARY — #chunks rows, not #events);
+    * (2) the ordinary single-window as-of partitioned by (key, chunk),
+    * with each chunk's carry-in injected as one extra right row. A chunk
+    * with left rows but no in-chunk rights still matches through its
+    * carry-in; carry rows keep their true timestamps, so tolerance and
+    * tie semantics are untouched.
+    *
+    * Equivalence to [[asof]] is randomized-spec-verified; pick `chunkUs`
+    * ≈ (time span) / (desired parallelism per key).
+    */
+  def asofChunked(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ts: String = "ts",
+      rightTie: Option[String] = None,
+      toleranceUs: Option[Long] = None,
+      chunkUs: Long): DataFrame = {
+    require(chunkUs > 0, "chunkUs must be positive")
+    val rightPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
+    val tie = rightTie.getOrElse(rightPayload.head)
+    require(rightPayload.contains(tie), s"rightTie $tie must be a right payload column")
+    // tie leads the payload so struct-max picks exactly asof's winner
+    val payloadOrdered = tie +: rightPayload.filterNot(_ == tie)
+
+    def chunkOf(c: Column): Column = floorDiv(c, lit(chunkUs))
+    val l2 = left.withColumn("_chunk", chunkOf(col(ts)))
+    val r2 = right.withColumn("_chunk", chunkOf(col(ts)))
+
+    // latest right row per (keys, chunk): max over struct(ts, tie, rest)
+    val best = struct((ts +: payloadOrdered).map(col): _*)
+    val summary = r2.groupBy((keys :+ "_chunk").map(col): _*)
+      .agg(max(best).as("_best"))
+    // chunk universe: every chunk holding a left OR right row
+    val chunks = l2.select((keys :+ "_chunk").map(col): _*)
+      .union(r2.select((keys :+ "_chunk").map(col): _*)).distinct()
+    val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(col("_chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = chunks.join(summary, keys :+ "_chunk", "left")
+      .withColumn("_cin", max(col("_best")).over(wCarry)) // max skips nulls
+      .filter(col("_cin").isNotNull)
+      .select((keys :+ "_chunk").map(col) ++
+        (col(s"_cin.$ts").as(ts) +:
+          payloadOrdered.map(p => col(s"_cin.$p").as(p))): _*)
+    val rAug = r2.select((keys ++ Seq("_chunk", ts) ++ payloadOrdered).map(col): _*)
+      .unionByName(carry)
+
+    asofBackward(l2, rAug, keys :+ "_chunk", ts, rightTie, toleranceUs)
+      .drop("_chunk")
+  }
+
   /** Point-in-interval join as equi-join: each point row (keys, ts) pairs
     * with the interval rows (keys, [startCol, endCol]) containing it,
     * bounds INCLUSIVE. Intervals explode to ceil(len/binWidth)+1 time bins,

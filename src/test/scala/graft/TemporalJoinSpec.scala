@@ -117,6 +117,34 @@ class TemporalJoinSpec extends SparkSpec {
       s"inequality join leaked into the plan:\n$p")
   }
 
+  test("asofChunked ≡ asof across chunk widths (hot single key, tolerance, ties)") {
+    val rnd = new scala.util.Random(21)
+    // ONE hot key: the case the chunking exists for
+    val l = L(Seq.fill(500)((1L, rnd.nextInt(10000).toLong, rnd.nextLong().abs)) ++
+      Seq.fill(50)((2L, rnd.nextInt(10000).toLong, rnd.nextLong().abs)): _*)
+    val r = R(Seq.tabulate(400)(i =>
+        ((if (i % 8 == 0) 2L else 1L), rnd.nextInt(10000).toLong, i.toLong, rnd.nextInt(5).toDouble)): _*)
+      .groupBy("k", "ts").agg(max("rid").as("rid"), max("rv").as("rv"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", coalesce($"asof_ts", lit(-1L)), coalesce($"rid", lit(-1L)),
+        coalesce($"rv", lit(-1.0)))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).sorted.toSeq
+    for (tol <- Seq(None, Some(700L)); chunk <- Seq(100L, 1000L, 100000L)) {
+      val plain   = norm(TemporalJoin.asof(l, r, Seq("k"), "ts",
+        rightTie = Some("rid"), toleranceUs = tol))
+      val chunked = norm(TemporalJoin.asofChunked(l, r, Seq("k"), "ts",
+        rightTie = Some("rid"), toleranceUs = tol, chunkUs = chunk))
+      assert(chunked == plain, s"tol=$tol chunk=$chunk")
+    }
+  }
+
+  test("asofChunked window partitions by (key, chunk) — hot keys parallelize") {
+    val l = L((1L, 100L, 10L)); val r = R((1L, 90L, 5L, 1.0))
+    val p = plan(TemporalJoin.asofChunked(l, r, Seq("k"), "ts", chunkUs = 50L))
+    assert(p.contains("_chunk"), "chunk column missing from the window key")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("intervalJoin: inclusive bounds, multi-bin intervals, overlap fan-out") {
     val p = L((1L, 100L, 10L), (1L, 250L, 11L), (1L, 301L, 12L), (2L, 100L, 13L))
     val iv = Seq((1L, 100L, 300L, 77L), (1L, 250L, 260L, 88L), (3L, 0L, 999L, 99L))
