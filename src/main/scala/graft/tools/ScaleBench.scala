@@ -229,6 +229,13 @@ object ScaleBench {
         // slope isolates the irreducible token-scan term
         "b20c_kmv_vocab" -> (() =>
           graft.SparkEntry.queries("q_kmv_vocab")(spark, sfDir)),
+        // candidate-verify heavy hitters: two token scans, the exchange is
+        // ≤2k (term,count) partials + candidate rows — never the term
+        // universe; quantiles: one spillable window sort
+        "b21_heavy_hitters" -> (() =>
+          graft.SparkEntry.queries("q_heavy_hitters")(spark, sfDir)),
+        "b21b_quantiles" -> (() =>
+          graft.SparkEntry.queries("q_quantiles")(spark, sfDir)),
       ).filter { case (name, _) => withDedup || name != "b7_dedup_full_recompute" }
     }
 
