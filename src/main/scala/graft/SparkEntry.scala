@@ -641,6 +641,23 @@ object SparkEntry {
           coalesce(col("ts") - col("asof_ts"), lit(-1L)).as("gap_us"))
     }),
 
+    // ---- skew-chunked as-of: SAME oracle as q_asof_join — the two-level
+    //      plan (per-(user, 1h-chunk) windows + carry-in summary) must
+    //      reproduce the plain as-of bit-for-bit ----
+    "q_asof_chunked" -> ((s, dir) => {
+      val e = Tables.tsMicros(Tables.load(s, dir, "events"))
+      val l = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val r = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_event_id"))
+      TemporalJoin.asofChunked(l, r, Seq("user_id"), "ts",
+          rightTie = Some("view_event_id"), chunkUs = 3600000000L)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("asof_ts"), lit(-1L)).as("view_ts"),
+          coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+          coalesce(col("ts") - col("asof_ts"), lit(-1L)).as("gap_us"))
+    }),
+
     // ---- forward as-of: the NEXT view at-or-after each purchase ----
     "q_asof_forward" -> ((s, dir) => {
       val e = Tables.tsMicros(Tables.load(s, dir, "events"))
@@ -856,6 +873,7 @@ object SparkEntry {
     "q_asof_join"     -> Oracles.asofJoin,
     "q_asof_tolerance" -> Oracles.asofTolerance(3600000000L),
     "q_asof_forward"  -> Oracles.asofForward,
+    "q_asof_chunked"  -> Oracles.asofJoin, // chunked ≡ plain, same oracle
     "q_range_join"    -> Oracles.rangeJoinAgg(-600000000L, 0L),
     "q_session_attrib" -> Oracles.sessionAttrib(240L * 60 * 1000000L, 3L),
     "q_kmv_vocab"     -> Oracles.kmvVocab(64),

@@ -48,6 +48,44 @@ class TemporalEnrichStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint: state (versions + pending) survives") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val dir  = java.nio.file.Files.createTempDirectory("graft_enrich_ckpt").toString
+    val ckpt = s"$dir/ckpt"
+    val out  = s"$dir/out"
+    // the memory sink cannot recover from a checkpoint — use foreachBatch
+    // into parquet, the production sink shape
+    def start(m: MemoryStream[TEvent]) =
+      enrich(m.toDS().withWatermark("ts", "10 minutes"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Enriched], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val mem = MemoryStream[TEvent]
+    val q1 = start(mem)
+    try {
+      // version + a fact that stays PENDING across the restart
+      mem.addData(dims(1L, ts(0), "v1"), facts(1L, ts(30), 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // new source, same checkpoint: recovery must rebuild per-key state
+    val mem2 = MemoryStream[TEvent]
+    mem2.addData(facts(2L, ts(60), 0.0)) // advances wm → seals the pending fact
+    val q2 = start(mem2)
+    try {
+      q2.processAllAvailable()
+      mem2.addData(facts(3L, ts(90), 0.0))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).as[Enriched].collect().toSeq
+      assert(rows.exists(e => e.key == 1L && e.ts == ts(30).getTime &&
+        e.payload == "v1"), s"pending fact lost across restart: $rows")
+    } finally q2.stop()
+  }
+
   test("an old version survives pruning as the latest-before-watermark carry") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TEvent]
