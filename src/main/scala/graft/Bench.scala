@@ -127,6 +127,30 @@ object Bench {
           "deltafold", Map("g" -> g.toString), benchVec(g * 7000 + i))
       })
     benchCat.flush("bench", "deltafold")
+    // Force FULL materialization of every output column. The harness times
+    // `fn().count()`, and for the as-of/range joins Catalyst can prove the
+    // row count without the match columns — it prunes the window (even the
+    // whole right side) and `count` degenerates to counting the left scan.
+    // A checksum over all columns makes every operator the query claims to
+    // run actually run. (Caught in r9: the unwrapped b20 numbers timed a
+    // pruned plan.)
+    def consume(df: DataFrame): DataFrame =
+      // a FILTER over a hash of every column: each row's hash must be
+      // computed before it can be counted (a global agg wouldn't do —
+      // count-of-one-row-aggregate is itself folded to a constant)
+      df.filter(xxhash64(struct(df.columns.map(col): _*)) =!= lit(42L))
+
+    // hot-key as-of fixture (b20d/b20e): 20M left + 10M right rows, ONE
+    // key, deterministic hash-scattered timestamps over a fixed span —
+    // big enough that a single partition's sort is the visible cost
+    val HotSpanUs = 3600000000L // 1h of microseconds
+    def hotTs = (col("id") * 2654435761L) % HotSpanUs
+    def hotLeft = spark.range(20000000)
+      .select(lit(1L).as("k"), hotTs.as("ts"), col("id").as("event_id"))
+    def hotRight = spark.range(10000000)
+      .select(lit(1L).as("k"), ((col("id") * 40503L + 7) % HotSpanUs).as("ts"),
+        col("id").as("rid"))
+
     // per-iteration generation counters for the insert benches (see b6b/b6c)
     var b6bGen = 0
     var b6cGen = 0
@@ -319,14 +343,29 @@ object Bench {
       // temporal joins: one-shuffle window as-of vs the bin-bucketed range
       // join (both would be nested-loop inequality joins in naive SQL);
       // the KMV sketch is the bounded-state distinct-count path
-      "b20_asof_join" -> (() => SparkEntry.queries("q_asof_join")(spark, sfDir)),
-      "b20b_range_join" -> (() => SparkEntry.queries("q_range_join")(spark, sfDir)),
+      "b20_asof_join" -> (() => consume(SparkEntry.queries("q_asof_join")(spark, sfDir))),
+      "b20b_range_join" -> (() => consume(SparkEntry.queries("q_range_join")(spark, sfDir))),
       "b20c_kmv_vocab" -> (() => SparkEntry.queries("q_kmv_vocab")(spark, sfDir)),
       // candidate-verify heavy hitters (two scans, no term-universe
       // shuffle) and the one-window exact quantile pass
       "b21_heavy_hitters" -> (() => SparkEntry.queries("q_heavy_hitters")(spark, sfDir)),
       "b21b_quantiles" -> (() => SparkEntry.queries("q_quantiles")(spark, sfDir)),
-    )
+      // interval-join composition: error events attributed to their
+      // containing session (two windows + the binned interval join)
+      "b20f_session_attrib" -> (() => consume(SparkEntry.queries("q_session_attrib")(spark, sfDir))),
+    ) ++ (if (sys.env.contains("SPARK_GRAFT_BENCH_HOTKEY")) Seq[(String, () => DataFrame)](
+      // OPT-IN (minutes-long by design): the skew case the chunked as-of
+      // exists for — 30M events on ONE key. Plain as-of serializes the key
+      // into a single partition's window sort (measured 141 s); the chunked
+      // form splits it across 64 time chunks (14.6 s, 9.7x — SCALE.md).
+      // Results are bit-equal (TemporalJoinSpec). Excluded from the default
+      // set so the per-round bench stays fast.
+      "b20d_asof_hotkey" -> (() => consume(TemporalJoin.asof(
+        hotLeft, hotRight, Seq("k"), "ts", rightTie = Some("rid")))),
+      "b20e_asof_hotkey_chunked" -> (() => consume(TemporalJoin.asofChunked(
+        hotLeft, hotRight, Seq("k"), "ts", rightTie = Some("rid"),
+        chunkUs = HotSpanUs / 64))),
+    ) else Seq.empty)
 
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=b15_pq_probe_decode,b15b_pq_probe_adc
     // times just those benches (prep still runs; the driver leaves it unset)

@@ -148,6 +148,15 @@ object ScaleBench {
       Prep(loadIvf(ivfDir), loadIvf(ivfDocsDir), bmDir, g, ddDir)
     }
 
+    // Force full materialization of every output column (mirrors Bench:
+    // .count() alone lets Catalyst prune the as-of window and even the
+    // whole right side — the unwrapped r9 b20 numbers timed a pruned plan)
+    def consume(df: DataFrame): DataFrame =
+      // a FILTER over a hash of every column: each row's hash must be
+      // computed before it can be counted (a global agg wouldn't do —
+      // count-of-one-row-aggregate is itself folded to a constant)
+      df.filter(xxhash64(struct(df.columns.map(col): _*)) =!= lit(42L))
+
     val q64 = Tables.queryBatch(spark, 64)
     // FIXED 512-doc increment for the dedup pair, same at both scales
     // (from the base table, so the query side is scale-invariant; its ids
@@ -220,9 +229,9 @@ object ScaleBench {
         // carries ≤2 bins per left row — both claims are "no superlinear
         // term", the slope should read ≈ scan-bound linear or below
         "b20_asof_join" -> (() =>
-          graft.SparkEntry.queries("q_asof_join")(spark, sfDir)),
+          consume(graft.SparkEntry.queries("q_asof_join")(spark, sfDir))),
         "b20b_range_join" -> (() =>
-          graft.SparkEntry.queries("q_range_join")(spark, sfDir)),
+          consume(graft.SparkEntry.queries("q_range_join")(spark, sfDir))),
         // KMV sketch: identical-text replicas keep the true vocabulary
         // CONSTANT while the token stream grows factor× — the sketch's
         // shuffle stays k·|langs|·|partitions| longs at any factor, so the
