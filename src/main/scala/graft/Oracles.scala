@@ -1587,6 +1587,30 @@ object Oracles {
        |WHERE rn = CAST(FLOOR(q * (n - 1)) AS BIGINT) + 1""".stripMargin
   }
 
+  /** Zero-sort binned quantiles (Quantiles.binnedQuantiles): fixed-width
+    * histogram + cumulative pick. The approximation (answer = the ≤W-wide
+    * bin holding the rank) is part of the CONTRACT, so the oracle computes
+    * the identical bins and the compare is exact. Non-negative values. */
+  def binnedQuantiles(qs: Seq[Double], w: Long): String = {
+    val vals = qs.map(q => s"(CAST($q AS DOUBLE))").mkString(",")
+    s"""WITH b AS (
+       |  SELECT lang, n_chars // $w AS bin, COUNT(*) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, bin, c,
+       |         SUM(c) OVER (PARTITION BY lang ORDER BY bin
+       |                      ROWS UNBOUNDED PRECEDING) AS cumc,
+       |         SUM(c) OVER (PARTITION BY lang) AS n
+       |  FROM b)
+       |SELECT lang, q,
+       |       CAST(bin * $w AS BIGINT) AS bin_lo,
+       |       CAST(bin * $w + ${w - 1} AS BIGINT) AS bin_hi,
+       |       CAST(n AS BIGINT) AS n
+       |FROM cum, (VALUES $vals) AS qs(q)
+       |WHERE cumc >= CAST(FLOOR(q * (n - 1)) AS BIGINT) + 1
+       |  AND cumc - c < CAST(FLOOR(q * (n - 1)) AS BIGINT) + 1""".stripMargin
+  }
+
   /** Exact heavy-hitter terms (TextAnalysis.heavyTerms): the oracle is the
     * NAIVE full group-by with a share threshold — the Spark side must reach
     * the identical set through its Misra-Gries candidate + broadcast

@@ -752,6 +752,13 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), Seq("lang"), "n_chars",
         Seq(0.5, 0.9, 0.99))),
 
+    // ---- zero-sort approximate quantiles (binned histogram — the
+    //      map-side-combinable scale path next to the exact sort) ----
+    "q_binned_quantiles" -> ((s, dir) =>
+      graft.operators.Quantiles.binnedQuantiles(
+        Tables.load(s, dir, "documents"), Seq("lang"), "n_chars",
+        Seq(0.5, 0.9, 0.99), binWidth = 32L)),
+
     // ---- exact heavy hitters via Misra-Gries candidates + broadcast
     //      recount: equals the naive HAVING-threshold group-by without
     //      ever shuffling the term universe ----
@@ -879,6 +886,7 @@ object SparkEntry {
     "q_kmv_vocab"     -> Oracles.kmvVocab(64),
     "q_kmv_global"    -> Oracles.kmvGlobal(64),
     "q_quantiles"     -> Oracles.quantiles(Seq(0.5, 0.9, 0.99)),
+    "q_binned_quantiles" -> Oracles.binnedQuantiles(Seq(0.5, 0.9, 0.99), 32L),
     "q_heavy_hitters" -> Oracles.heavyHitters(0.002),
     "q_events_hourly" -> Oracles.eventsHourly,
     "q_events_json"   -> Oracles.eventsJson,

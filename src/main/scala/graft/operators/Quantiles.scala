@@ -48,4 +48,55 @@ object Quantiles {
       .select(groupCols.map(col) ++
         Seq(col("_q").as("q"), col(valueCol).as("value")): _*)
   }
+
+  /** Approximate quantiles with NO sort: histogram the LONG `valueCol`
+    * into fixed-width bins (one map-side-combinable groupBy — the only
+    * exchange carries ≤|groups|·|bins| rows), cumulate bin counts with a
+    * window over the BIN table (tiny), and answer each q with the bin
+    * containing its rank. Error ≤ binWidth by construction; everything is
+    * integer arithmetic, so the result is deterministic and oracle-exact
+    * (the approximation is in the CONTRACT, not the execution).
+    *
+    * This is the streaming/100 TB path: the exact [[exactQuantiles]] sorts
+    * the data; this shape never does — the same trade percentile_approx
+    * makes, but with a deterministic, relationally-checkable sketch.
+    *
+    * Output: groupCols..., q, bin_lo, bin_hi (inclusive value bounds of
+    * the answering bin), n (group row count).
+    */
+  def binnedQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[Double],
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs $qs")
+    // exact integer floor-bin: (v − pmod(v, w)) is a multiple of w, and the
+    // double division of exact ints < 2^53 is exact
+    val bins = df
+      .withColumn("_bin", ((col(valueCol) - pmod(col(valueCol), lit(binWidth)))
+        / lit(binWidth)).cast("long"))
+      .groupBy((groupCols :+ "_bin").map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_bin").asc)
+    val cum = bins
+      .withColumn("_cum", sum("_c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum("_c").over(Window.partitionBy(groupCols.map(col): _*)))
+    // same 1-based rank as exactQuantiles; the answering bin is the FIRST
+    // whose cumulative count reaches it
+    def rankOf(q: Double): Column =
+      floor(lit(q) * (col("_n") - 1).cast("double")).cast("long") + 1
+    val qMatches = array(qs.map(q =>
+      when(col("_cum") >= rankOf(q) &&
+        col("_cum") - col("_c") < rankOf(q), lit(q))): _*)
+    cum
+      .withColumn("q", explode(filter(qMatches, x => x.isNotNull)))
+      .select(groupCols.map(col) ++ Seq(
+        col("q"),
+        (col("_bin") * binWidth).as("bin_lo"),
+        (col("_bin") * binWidth + (binWidth - 1)).as("bin_hi"),
+        col("_n").as("n")): _*)
+  }
 }

@@ -46,6 +46,34 @@ class SketchOpsSpec extends SparkSpec {
       s"quantiles re-ran the window per q:\n$p")
   }
 
+  test("binnedQuantiles: the exact quantile always lands inside the answering bin") {
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.fill(3000)((s"g${rnd.nextInt(5)}", rnd.nextInt(5000).toLong))
+    val df = rows.toDF("lang", "n_chars")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val exact = Quantiles.exactQuantiles(df, Seq("lang"), "n_chars", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    for (w <- Seq(1L, 7L, 64L)) {
+      val binned = Quantiles.binnedQuantiles(df, Seq("lang"), "n_chars", qs, w)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(binned.keySet == exact.keySet)
+      for ((k, (lo, hi)) <- binned) {
+        assert(lo <= exact(k) && exact(k) <= hi, s"$k: exact ${exact(k)} not in [$lo,$hi] (w=$w)")
+        assert(hi - lo == w - 1)
+      }
+      if (w == 1L) // width-1 bins ARE the exact quantile
+        assert(binned.map { case (k, (lo, _)) => k -> lo } == exact)
+    }
+  }
+
+  test("binnedQuantiles plan: map-side combinable histogram, no data-wide sort shuffle") {
+    val df = Seq(("a", 5L)).toDF("lang", "n_chars")
+    val p = Quantiles.binnedQuantiles(df, Seq("lang"), "n_chars", Seq(0.5), 8L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_count"), s"histogram must partial-aggregate:\n$p")
+  }
+
   test("MG sketch: every term over the n/(k+1) guarantee survives") {
     // 20 heavy terms (200 each) buried in 30k distinct singletons
     val heavy = (0 until 20).flatMap(i => Seq.fill(200)(s"heavy$i"))
