@@ -69,8 +69,12 @@ object Explain {
 
     // temporal joins: as-of must show ONE exchange + window, NO join node;
     // range join must show an equi-join (SMJ/SHJ) on (keys, bin), never a
-    // BroadcastNestedLoopJoin; kmv must show ObjectHashAggregate partial
-    for (q <- Seq("q_asof_join", "q_range_join", "q_kmv_vocab")) {
+    // BroadcastNestedLoopJoin; kmv must show ObjectHashAggregate partial;
+    // heavy hitters: MG partial + broadcast recount; binned quantiles:
+    // partial-agg histogram (no data-wide sort)
+    for (q <- Seq("q_asof_join", "q_asof_chunked", "q_range_join",
+        "q_session_attrib", "q_kmv_vocab", "q_heavy_hitters",
+        "q_quantiles", "q_binned_quantiles")) {
       println(s"==== $q ====")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
