@@ -102,6 +102,38 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("RewriteRangeJoins fires across equivalent condition spellings") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    try {
+      val rnd = new scala.util.Random(17)
+      val l = Seq.tabulate(150)(i => (i.toLong, rnd.nextInt(2000).toLong)).toDF("lid", "lts")
+      val r = Seq.tabulate(150)(i => (i.toLong, rnd.nextInt(2000).toLong)).toDF("rid", "rts")
+      // the same window [lts-100, lts+50) written five different ways
+      val spellings = Seq(
+        $"rts" >= $"lts" - 100 && $"rts" < $"lts" + 50,
+        $"rts" - $"lts" >= -100 && $"rts" - $"lts" < 50,
+        $"lts" - $"rts" <= 100 && $"lts" - $"rts" > -50,
+        $"lts" <= $"rts" + 100 && $"lts" + 50 > $"rts",
+        $"rts" + 100 >= $"lts" && $"rts" - 50 < $"lts")
+      val expected = {
+        spark.experimental.extraOptimizations = Nil
+        val e = l.join(r, spellings.head).select("lid", "rid")
+          .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+        GraftExtensions.install(spark)
+        e
+      }
+      for ((cond, i) <- spellings.zipWithIndex) {
+        val df = l.join(r, cond)
+        val p = df.queryExecution.optimizedPlan.toString
+        assert(p.contains("_graft_bin"), s"spelling $i did not rewrite:\n$p")
+        val got = df.select("lid", "rid")
+          .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+        assert(got == expected, s"spelling $i wrong results")
+      }
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("RewriteRangeJoins leaves keyed and outer joins alone") {
     import spark.implicits._
     GraftExtensions.install(spark)
