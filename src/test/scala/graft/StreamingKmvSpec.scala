@@ -41,4 +41,27 @@ class StreamingKmvSpec extends SparkSpec {
       assert(rows("2024-01-01 00:30") == (1, 1.0)) // {7}
     } finally q.stop()
   }
+
+  test("windowed streaming Misra-Gries candidates (update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val agg = mem.toDF().toDF("ts", "term")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"))
+      .agg(graft.functions.HeavyHitters.mgTerms(col("term"), 4).as("cand"))
+      .select(col("window"), col("cand"))
+    val q = agg.writeStream.format("memory").queryName("mg_win")
+      .outputMode("update").start()
+    try {
+      // "hot" dominates window :00 among 6 distinct terms with k=4
+      mem.addData((Seq.fill(10)((ts(5), "hot")) ++
+        (1 to 5).map(i => (ts(6), s"cold$i"))): _*)
+      q.processAllAvailable()
+      val cand = spark.table("mg_win").collect()
+        .map(r => r.getSeq[String](1)).last
+      assert(cand.contains("hot"), s"dominant term lost: $cand")
+      assert(cand.size <= 4)
+    } finally q.stop()
+  }
 }
