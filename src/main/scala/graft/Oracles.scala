@@ -1649,6 +1649,17 @@ object Oracles {
        |FROM r""".stripMargin
   }
 
+  /** Range join at PAIR granularity: DuckDB's native inequality join
+    * emitting the raw (purchase, prior-event) pairs. */
+  def rangePairs(loUs: Long, hiUs: Long): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type FROM events),
+       |l AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+       |SELECT l.event_id, r.event_id AS r_event_id, r.ts AS r_ts
+       |FROM l JOIN e r
+       |  ON l.user_id = r.user_id
+       | AND r.ts >= l.ts + $loUs AND r.ts < l.ts + $hiUs""".stripMargin
+
   /** KMV distinct-vocabulary sketch (KmvSketch): per-language k-minimum
     * distinct token-code hashes. The oracle recomputes the k smallest
     * distinct Knuth hashes relationally; the estimator constant is the

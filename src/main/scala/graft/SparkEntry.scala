@@ -705,6 +705,19 @@ object SparkEntry {
           "session_start", "session_end", "n_events")
     }),
 
+    // ---- range join, raw pair form (windowAgg's input relation — the
+    //      bin-bucketed equi-join checked at pair granularity) ----
+    "q_range_pairs" -> ((s, dir) => {
+      val e = Tables.tsMicros(Tables.load(s, dir, "events"))
+      val l = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val r = e.select(col("user_id"), col("ts"),
+        col("event_id").as("r_event_id"))
+      TemporalJoin.rangePairs(l, r, Seq("user_id"), "ts",
+          lo = -86400000000L, hi = 0L) // 24h window: 4267 pairs at sf0.01
+        .select("event_id", "r_event_id", "r_ts")
+    }),
+
     // ---- KMV distinct-count sketch: per-language vocabulary estimate via
     //      bounded k-minimum-values aggregate (map-side combinable; the
     //      sketch set is order/partitioning independent → bit-exact) ----
@@ -882,6 +895,7 @@ object SparkEntry {
     "q_asof_forward"  -> Oracles.asofForward,
     "q_asof_chunked"  -> Oracles.asofJoin, // chunked ≡ plain, same oracle
     "q_range_join"    -> Oracles.rangeJoinAgg(-600000000L, 0L),
+    "q_range_pairs"   -> Oracles.rangePairs(-86400000000L, 0L),
     "q_session_attrib" -> Oracles.sessionAttrib(240L * 60 * 1000000L, 3L),
     "q_kmv_vocab"     -> Oracles.kmvVocab(64),
     "q_kmv_global"    -> Oracles.kmvGlobal(64),
