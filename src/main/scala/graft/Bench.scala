@@ -127,18 +127,12 @@ object Bench {
           "deltafold", Map("g" -> g.toString), benchVec(g * 7000 + i))
       })
     benchCat.flush("bench", "deltafold")
-    // Force FULL materialization of every output column. The harness times
-    // `fn().count()`, and for the as-of/range joins Catalyst can prove the
-    // row count without the match columns — it prunes the window (even the
-    // whole right side) and `count` degenerates to counting the left scan.
-    // A checksum over all columns makes every operator the query claims to
-    // run actually run. (Caught in r9: the unwrapped b20 numbers timed a
-    // pruned plan.)
-    def consume(df: DataFrame): DataFrame =
-      // a FILTER over a hash of every column: each row's hash must be
-      // computed before it can be counted (a global agg wouldn't do —
-      // count-of-one-row-aggregate is itself folded to a constant)
-      df.filter(xxhash64(struct(df.columns.map(col): _*)) =!= lit(42L))
+    // Applied to EVERY timed query at the timing site: counting a query
+    // lets Catalyst prune whatever the count does not need (the as-of lost
+    // its whole window; the Gopher/C4 gates and q1's sums degenerated to
+    // bare scan counts). Numbers before r9 under-measure projection-ending
+    // queries — SCALE.md "measurement-honesty" note.
+    def consume(df: DataFrame): DataFrame = Tables.checksumAll(df)
 
     // hot-key as-of fixture (b20d/b20e): 20M left + 10M right rows, ONE
     // key, deterministic hash-scattered timestamps over a fixed span —
@@ -343,8 +337,8 @@ object Bench {
       // temporal joins: one-shuffle window as-of vs the bin-bucketed range
       // join (both would be nested-loop inequality joins in naive SQL);
       // the KMV sketch is the bounded-state distinct-count path
-      "b20_asof_join" -> (() => consume(SparkEntry.queries("q_asof_join")(spark, sfDir))),
-      "b20b_range_join" -> (() => consume(SparkEntry.queries("q_range_join")(spark, sfDir))),
+      "b20_asof_join" -> (() => SparkEntry.queries("q_asof_join")(spark, sfDir)),
+      "b20b_range_join" -> (() => SparkEntry.queries("q_range_join")(spark, sfDir)),
       "b20c_kmv_vocab" -> (() => SparkEntry.queries("q_kmv_vocab")(spark, sfDir)),
       // candidate-verify heavy hitters (two scans, no term-universe
       // shuffle) and the one-window exact quantile pass
@@ -352,7 +346,7 @@ object Bench {
       "b21b_quantiles" -> (() => SparkEntry.queries("q_quantiles")(spark, sfDir)),
       // interval-join composition: error events attributed to their
       // containing session (two windows + the binned interval join)
-      "b20f_session_attrib" -> (() => consume(SparkEntry.queries("q_session_attrib")(spark, sfDir))),
+      "b20f_session_attrib" -> (() => SparkEntry.queries("q_session_attrib")(spark, sfDir)),
     ) ++ (if (sys.env.contains("SPARK_GRAFT_BENCH_HOTKEY")) Seq[(String, () => DataFrame)](
       // OPT-IN (minutes-long by design): the skew case the chunked as-of
       // exists for — 30M events on ONE key. Plain as-of serializes the key
@@ -360,11 +354,11 @@ object Bench {
       // form splits it across 64 time chunks (14.6 s, 9.7x — SCALE.md).
       // Results are bit-equal (TemporalJoinSpec). Excluded from the default
       // set so the per-round bench stays fast.
-      "b20d_asof_hotkey" -> (() => consume(TemporalJoin.asof(
-        hotLeft, hotRight, Seq("k"), "ts", rightTie = Some("rid")))),
-      "b20e_asof_hotkey_chunked" -> (() => consume(TemporalJoin.asofChunked(
+      "b20d_asof_hotkey" -> (() => TemporalJoin.asof(
+        hotLeft, hotRight, Seq("k"), "ts", rightTie = Some("rid"))),
+      "b20e_asof_hotkey_chunked" -> (() => TemporalJoin.asofChunked(
         hotLeft, hotRight, Seq("k"), "ts", rightTie = Some("rid"),
-        chunkUs = HotSpanUs / 64))),
+        chunkUs = HotSpanUs / 64)),
     ) else Seq.empty)
 
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=b15_pq_probe_decode,b15b_pq_probe_adc
@@ -393,7 +387,7 @@ object Bench {
           Thread.sleep(1000) // the cleaner applies GC'd refs asynchronously
           val t0 = System.nanoTime()
           try {
-            fn().count()
+            consume(fn()).count()
             Right((System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")

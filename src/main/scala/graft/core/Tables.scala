@@ -92,6 +92,16 @@ object Tables {
         quantize(col("embedding")).as("qv"))
   }
 
+  /** Full-materialization guard for the bench harnesses: a per-row FILTER
+    * over a hash of every column, so `.count()` on the result cannot let
+    * Catalyst prune the operators under measurement (an as-of loses its
+    * whole window; a projection-ending query degenerates to a scan count).
+    * An aggregate would not work — counting a one-row aggregate folds to a
+    * constant. Shared here so Bench and ScaleBench can never drift.
+    */
+  def checksumAll(df: DataFrame): DataFrame =
+    df.filter(xxhash64(struct(df.columns.map(col): _*)) =!= lit(42L))
+
   /** Quantize a float embedding to integer-valued doubles:
     * round(x*1000) — identical in Spark and DuckDB, making downstream dot
     * products exact integers.

@@ -77,8 +77,7 @@ case class MisraGriesAgg(
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
     compress(buf)
-    val terms = buf.keysIterator.map(UTF8String.fromString).toArray
-      .sortBy(_.toString)
+    val terms = buf.keysIterator.toArray.sorted.map(UTF8String.fromString)
     new GenericArrayData(terms.asInstanceOf[Array[Any]])
   }
 

@@ -18,40 +18,36 @@ object Sessionize {
 
   val DefaultGapNs: Long = 30L * 60 * 1000000000L // 30 min
 
-  /** Per-session aggregate: (user_id, session_idx, session_start ns,
-    * n_events, total_value).
-    */
-  def sessions(events: DataFrame, gapNs: Long = DefaultGapNs): DataFrame = {
+  /** Event→session assignment: each event row gains its `session_idx`
+    * (the lag/gap-flag/running-sum chain, shared by both aggregate shapes
+    * so the boundary rule can never desynchronize them). */
+  private def assignSessions(events: DataFrame, gapNs: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    val flagged = events
+    events
       .withColumn("prev_ts", lag("ts", 1).over(w))
       .withColumn("new_s",
         when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
           .otherwise(0L))
-    val assigned = flagged.withColumn("session_idx",
-      sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    assigned.groupBy("user_id", "session_idx")
+      .withColumn("session_idx",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session aggregate: (user_id, session_idx, session_start ns,
+    * n_events, total_value).
+    */
+  def sessions(events: DataFrame, gapNs: Long = DefaultGapNs): DataFrame =
+    assignSessions(events, gapNs).groupBy("user_id", "session_idx")
       .agg(min("ts").as("session_start"),
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-  }
 
   /** [[sessions]] plus the closing bound: (user_id, session_idx,
     * session_start, session_end, n_events). Interval form consumed by
     * point-in-interval joins (TemporalJoin.intervalJoin); kept separate so
     * the oracle-pinned [[sessions]] schema stays untouched.
     */
-  def sessionBounds(events: DataFrame, gapNs: Long = DefaultGapNs): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    val flagged = events
-      .withColumn("prev_ts", lag("ts", 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
-          .otherwise(0L))
-    flagged.withColumn("session_idx",
-        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "session_idx")
+  def sessionBounds(events: DataFrame, gapNs: Long = DefaultGapNs): DataFrame =
+    assignSessions(events, gapNs).groupBy("user_id", "session_idx")
       .agg(min("ts").as("session_start"), max("ts").as("session_end"),
         count(lit(1)).as("n_events"))
-  }
 }

@@ -81,6 +81,9 @@ object TemporalJoin {
     require(rightPayload.intersect(leftCols).isEmpty,
       s"right payload ${rightPayload.mkString(",")} collides with left columns")
     val tie = rightTie.getOrElse(rightPayload.head)
+    require(right.schema(tie).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"tie column $tie must be numeric (got ${right.schema(tie).dataType}); " +
+        "a silent cast would null the tie-break")
 
     // Tag and union: right rows sort BEFORE left rows at equal ts (side 0 <
     // side 1), making the match inclusive (ts_r <= ts_l).
@@ -127,6 +130,7 @@ object TemporalJoin {
       lo: Long,
       hi: Long): DataFrame = {
     require(hi > lo, s"empty window [$lo,$hi)")
+    require(hi - lo > 0, s"window [$lo,$hi) wider than Long.MaxValue")
     val w = hi - lo // bin width = window span → each left row spans ≤2 bins
     val leftCols = left.columns.toSeq
     val rightPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
@@ -225,8 +229,10 @@ object TemporalJoin {
     val rAug = r2.select((keys ++ Seq("_chunk", ts) ++ payloadOrdered).map(col): _*)
       .unionByName(carry)
 
+    // restore asof's exact output column order (the summary pass moved the
+    // tie column first; "identical semantics" includes positional schema)
     asofBackward(l2, rAug, keys :+ "_chunk", ts, rightTie, toleranceUs)
-      .drop("_chunk")
+      .select((left.columns.toSeq ++ ("asof_ts" +: rightPayload)).map(col): _*)
   }
 
   /** Point-in-interval join as equi-join: each point row (keys, ts) pairs
@@ -265,11 +271,16 @@ object TemporalJoin {
       .select(pointCols.map(col) ++ ivPayload.map(col): _*)
   }
 
-  /** Floor division in pure LONG arithmetic (Spark's `DIV` truncates toward
-    * zero; doubles would risk half-ulp mis-binning near bin boundaries):
-    * floorDiv(a, w) = (a − ((a % w + w) % w)) DIV w. */
+  /** Floor division in pure LONG arithmetic:
+    * floorDiv(a, w) = (a − pmod(a, w)) DIV w. The dividend is an exact
+    * multiple of w, so truncating integral division equals floor — and
+    * staying integral (no Column `/`, which is a double divide) keeps bins
+    * exact past 2^53 (ns-epoch magnitudes). */
   private def floorDiv(a: Column, w: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graft.ColumnBridge
     val pmod = (a % w + w) % w
-    ((a - pmod) / w).cast("long")
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(a - pmod), ColumnBridge.expression(w)))
   }
 }

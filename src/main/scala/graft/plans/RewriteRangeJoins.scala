@@ -107,7 +107,11 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
           (lTs, rTs, lo, hi)
       }
       window match {
-        case Some((lTs, rTs, lo, hi)) if !crossEquality && hi > lo =>
+        // hi − lo must be a valid positive LONG: a pathological window wider
+        // than Long.MaxValue would wrap, and the rule must never turn a
+        // (slow but working) nested loop into a crash
+        case Some((lTs, rTs, lo, hi))
+            if !crossEquality && hi > lo && hi - lo > 0 =>
           val w = Literal(hi - lo, LongType)
           def floorDiv(e: Expression): Expression =
             IntegralDivide(Subtract(e, Pmod(e, w)), w)

@@ -148,14 +148,8 @@ object ScaleBench {
       Prep(loadIvf(ivfDir), loadIvf(ivfDocsDir), bmDir, g, ddDir)
     }
 
-    // Force full materialization of every output column (mirrors Bench:
-    // .count() alone lets Catalyst prune the as-of window and even the
-    // whole right side — the unwrapped r9 b20 numbers timed a pruned plan)
-    def consume(df: DataFrame): DataFrame =
-      // a FILTER over a hash of every column: each row's hash must be
-      // computed before it can be counted (a global agg wouldn't do —
-      // count-of-one-row-aggregate is itself folded to a constant)
-      df.filter(xxhash64(struct(df.columns.map(col): _*)) =!= lit(42L))
+    // full-materialization guard, applied at the timing site (see Bench)
+    def consume(df: DataFrame): DataFrame = Tables.checksumAll(df)
 
     val q64 = Tables.queryBatch(spark, 64)
     // FIXED 512-doc increment for the dedup pair, same at both scales
@@ -229,9 +223,9 @@ object ScaleBench {
         // carries ≤2 bins per left row — both claims are "no superlinear
         // term", the slope should read ≈ scan-bound linear or below
         "b20_asof_join" -> (() =>
-          consume(graft.SparkEntry.queries("q_asof_join")(spark, sfDir))),
+          graft.SparkEntry.queries("q_asof_join")(spark, sfDir)),
         "b20b_range_join" -> (() =>
-          consume(graft.SparkEntry.queries("q_range_join")(spark, sfDir))),
+          graft.SparkEntry.queries("q_range_join")(spark, sfDir)),
         // KMV sketch: identical-text replicas keep the true vocabulary
         // CONSTANT while the token stream grows factor× — the sketch's
         // shuffle stays k·|langs|·|partitions| longs at any factor, so the
@@ -253,7 +247,7 @@ object ScaleBench {
       val ts = (1 to iters).map { _ =>
         spark.catalog.clearCache(); System.gc(); Thread.sleep(1000)
         val t0 = System.nanoTime()
-        fn().count()
+        consume(fn()).count()
         (System.nanoTime() - t0) / 1e9
       }
       System.err.println(s"[scale] iters: ${ts.map(t => f"$t%.2f").mkString(", ")}")
