@@ -329,7 +329,10 @@ object Bench {
       // add the LM-score joins + one per-lang window
       "b18_gopher_c4" -> (() =>
         SparkEntry.queries("q_gopher_rules")(spark, sfDir)
-          .join(SparkEntry.queries("q_c4_rules")(spark, sfDir), "doc_id")),
+          .join(SparkEntry.queries("q_c4_rules")(spark, sfDir)
+            // both gates emit a `keep` verdict; disambiguate for the
+            // all-columns materialization checksum
+            .withColumnRenamed("keep", "c4_keep"), "doc_id")),
       "b18b_ppx_buckets" -> (() => SparkEntry.queries("q_ppx_buckets")(spark, sfDir)),
       // BPE training: one corpus groupBy + 12 vocab-table merge rounds
       // (argmax row per round is the only driver traffic)

@@ -207,7 +207,8 @@ object ScaleBench {
         // stays ~flat) with no shuffle at any scale
         "b18_gopher_c4" -> (() =>
           graft.SparkEntry.queries("q_gopher_rules")(spark, sfDir)
-            .join(graft.SparkEntry.queries("q_c4_rules")(spark, sfDir), "doc_id")),
+            .join(graft.SparkEntry.queries("q_c4_rules")(spark, sfDir)
+              .withColumnRenamed("keep", "c4_keep"), "doc_id")),
         // CCNet bucketing: corpus-wide LM-score joins + a per-lang window —
         // the cheapest curation stage that is NOT purely map-side
         "b18b_ppx_buckets" -> (() =>
