@@ -683,7 +683,8 @@ object SparkEntry {
       val r = e.select(col("user_id"), col("ts"),
         col("event_id").as("r_event_id"), col("value"))
       TemporalJoin.windowAgg(l, Seq("event_id"), r, Seq("user_id"), "ts",
-        lo = -600000000L, hi = 0L)(
+        lo = -600000000L, hi = 0L,
+        fill = Map("n_prior" -> lit(0L), "prior_value" -> lit(0.0)))(
         "n_prior" -> count(lit(1)),
         "prior_value" -> sum(col("value").cast("decimal(18,2)")).cast("double"))
     }),

@@ -72,11 +72,12 @@ object Quantiles {
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad qs $qs")
-    // exact integer floor-bin: (v − pmod(v, w)) is a multiple of w, and the
-    // double division of exact ints < 2^53 is exact
+    // exact integer floor-bin via integral division (LongMath.floorDiv) —
+    // a double divide would silently round past 2^53 (ns-epoch magnitudes)
+    // and diverge from the oracle's integer `//`
     val bins = df
-      .withColumn("_bin", ((col(valueCol) - pmod(col(valueCol), lit(binWidth)))
-        / lit(binWidth)).cast("long"))
+      .withColumn("_bin",
+        graft.functions.LongMath.floorDiv(col(valueCol).cast("long"), lit(binWidth)))
       .groupBy((groupCols :+ "_bin").map(col): _*)
       .agg(count(lit(1)).as("_c"))
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_bin").asc)

@@ -68,6 +68,18 @@ object TemporalJoin {
     case d => throw new IllegalArgumentException(s"direction $d")
   }
 
+  /** Reject input columns named like the plumbing/output names an operator
+    * synthesizes — a silent collision would yield duplicate columns (or a
+    * shadowed output) instead of a clear error. Each operator passes exactly
+    * the names it creates, so composition (asofChunked feeding its own
+    * `_chunk` key into the inner as-of) stays legal. */
+  private def requireNoReserved(df: DataFrame, side: String, reserved: String*): Unit = {
+    val bad = df.columns.filter(reserved.contains)
+    require(bad.isEmpty,
+      s"$side columns ${bad.mkString(",")} collide with synthesized names " +
+        s"(reserved here: ${reserved.sorted.mkString(",")})")
+  }
+
   private def asofBackward(
       left: DataFrame,
       right: DataFrame,
@@ -80,20 +92,25 @@ object TemporalJoin {
     require(rightPayload.nonEmpty, "right side needs at least one payload column")
     require(rightPayload.intersect(leftCols).isEmpty,
       s"right payload ${rightPayload.mkString(",")} collides with left columns")
+    requireNoReserved(left, "left", "asof_ts", "_side", "_tie", "_l", "_r", "_m")
+    requireNoReserved(right, "right", "asof_ts", "_side", "_tie", "_l", "_r", "_m")
     val tie = rightTie.getOrElse(rightPayload.head)
-    require(right.schema(tie).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"tie column $tie must be numeric (got ${right.schema(tie).dataType}); " +
-        "a silent cast would null the tie-break")
 
     // Tag and union: right rows sort BEFORE left rows at equal ts (side 0 <
-    // side 1), making the match inclusive (ts_r <= ts_l).
+    // side 1), making the match inclusive (ts_r <= ts_l). The tie column is
+    // carried UNCAST (a long cast would truncate fractional ties and
+    // diverge from asofChunked's struct-max, which compares the original
+    // value); left rows get a typed null — their _tie never orders against
+    // a right row's because _side differs first.
     val rStruct = struct(col(ts).as("asof_ts") +: rightPayload.map(col): _*)
+    val tieType = right.schema(tie).dataType
     val l = left.select(
-      keys.map(col) ++ Seq(col(ts), lit(1).as("_side"), lit(0L).as("_tie"),
+      keys.map(col) ++ Seq(col(ts), lit(1).as("_side"),
+        lit(null).cast(tieType).as("_tie"),
         struct(leftCols.map(col): _*).as("_l"),
         lit(null).cast(right.select(rStruct).schema.head.dataType).as("_r")): _*)
     val r = right.select(
-      keys.map(col) ++ Seq(col(ts), lit(0).as("_side"), col(tie).cast("long").as("_tie"),
+      keys.map(col) ++ Seq(col(ts), lit(0).as("_side"), col(tie).as("_tie"),
         lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType).as("_l"),
         rStruct.as("_r")): _*)
 
@@ -136,6 +153,8 @@ object TemporalJoin {
     val rightPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
     require(rightPayload.intersect(leftCols).isEmpty,
       s"right payload ${rightPayload.mkString(",")} collides with left columns")
+    requireNoReserved(left, "left", "r_ts", "_bin")
+    requireNoReserved(right, "right", "r_ts", "_bin")
 
     def bin(c: Column): Column = floorDiv(c, lit(w))
     val l = left.withColumn("_bin",
@@ -154,8 +173,12 @@ object TemporalJoin {
 
   /** Left-outer windowed aggregation: for each left row (keyed by the
     * unique `leftPk`), aggregate the right rows in [lo, hi) around it.
-    * `aggs` see the [[rangePairs]] schema; unmatched left rows keep their
-    * columns with `fillZero`-named aggregates coalesced to 0.
+    * `aggs` see the [[rangePairs]] schema. For left rows with an EMPTY
+    * window, aggregates named in `fill` are coalesced to the given literal
+    * (cast to the aggregate's type); the rest stay NULL — SQL left-outer
+    * semantics. Zero is only a neutral fill for count/sum-style aggregates,
+    * so the fill is explicit per aggregate rather than synthesized (a
+    * blanket 0 is a wrong answer for max/min/avg).
     */
   def windowAgg(
       left: DataFrame,
@@ -164,15 +187,20 @@ object TemporalJoin {
       keys: Seq[String],
       ts: String = "ts",
       lo: Long,
-      hi: Long)(aggs: (String, Column)*): DataFrame = {
+      hi: Long,
+      fill: Map[String, Column] = Map.empty)(aggs: (String, Column)*): DataFrame = {
+    val unknown = fill.keySet -- aggs.map(_._1).toSet
+    require(unknown.isEmpty, s"fill names ${unknown.mkString(",")} match no aggregate")
     val pairs = rangePairs(left, right, keys, ts, lo, hi)
     val agged = pairs.groupBy(leftPk.map(col): _*)
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)
     left.join(agged, leftPk, "left")
       .select(left.columns.map(col).toSeq ++
-        aggs.map { case (n, _) => coalesce(col(n), lit(0).cast(
-          agged.schema(n).dataType)).as(n) }: _*)
+        aggs.map { case (n, _) => fill.get(n) match {
+          case Some(f) => coalesce(col(n), f.cast(agged.schema(n).dataType)).as(n)
+          case None    => col(n)
+        } }: _*)
   }
 
   /** Skew-resilient as-of: identical semantics to [[asof]] (backward,
@@ -201,6 +229,8 @@ object TemporalJoin {
       toleranceUs: Option[Long] = None,
       chunkUs: Long): DataFrame = {
     require(chunkUs > 0, "chunkUs must be positive")
+    requireNoReserved(left, "left", "asof_ts", "_chunk", "_best", "_cin")
+    requireNoReserved(right, "right", "asof_ts", "_chunk", "_best", "_cin")
     val rightPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
     val tie = rightTie.getOrElse(rightPayload.head)
     require(rightPayload.contains(tie), s"rightTie $tie must be a right payload column")
@@ -259,6 +289,8 @@ object TemporalJoin {
     val ivPayload = intervals.columns.toSeq.filterNot(keys.contains)
     require(ivPayload.intersect(pointCols).isEmpty,
       s"interval payload ${ivPayload.mkString(",")} collides with point columns")
+    requireNoReserved(points, "point", "_bin")
+    requireNoReserved(intervals, "interval", "_bin")
 
     def bin(c: Column): Column = floorDiv(c, lit(binWidth))
     val iv = intervals.withColumn("_bin",
@@ -271,16 +303,8 @@ object TemporalJoin {
       .select(pointCols.map(col) ++ ivPayload.map(col): _*)
   }
 
-  /** Floor division in pure LONG arithmetic:
-    * floorDiv(a, w) = (a − pmod(a, w)) DIV w. The dividend is an exact
-    * multiple of w, so truncating integral division equals floor — and
-    * staying integral (no Column `/`, which is a double divide) keeps bins
-    * exact past 2^53 (ns-epoch magnitudes). */
-  private def floorDiv(a: Column, w: Column): Column = {
-    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
-    import org.apache.spark.sql.graft.ColumnBridge
-    val pmod = (a % w + w) % w
-    ColumnBridge.column(IntegralDivide(
-      ColumnBridge.expression(a - pmod), ColumnBridge.expression(w)))
-  }
+  /** Exact LONG floor division (shared helper — see
+    * [[graft.functions.LongMath.floorDiv]]). */
+  private def floorDiv(a: Column, w: Column): Column =
+    graft.functions.LongMath.floorDiv(a, w)
 }

@@ -513,14 +513,23 @@ object TextAnalysis {
     require(minShare > 1.0 / (k + 1),
       s"minShare $minShare below the k=$k sketch guarantee 1/(k+1)")
     val toks = Dedup.tokenTable(docs).select("term")
-    val sketch = toks.agg(
+    // The sketch result is ONE row (≤k candidate terms + a count): collect
+    // it once and inline it as literals, so the MG aggregate's corpus scan
+    // runs exactly once. (Reading the sketch DF from two downstream
+    // consumers would re-run the full tokenization+aggregate per consumer —
+    // three corpus scans instead of the documented two.)
+    val sketchRow = toks.agg(
       graft.functions.HeavyHitters.mgTerms(col("term"), k).as("cand"),
-      count(lit(1)).as("n_total"))
-    val cand = sketch.select(explode(col("cand")).as("term"))
-    toks.join(broadcast(cand), "term")
+      count(lit(1)).as("n_total")).head()
+    val candTerms = sketchRow.getSeq[String](0)
+    val nTotal    = sketchRow.getLong(1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    if (candTerms.isEmpty)
+      return toks.limit(0).withColumn("n", lit(0L)).select("term", "n")
+    toks.join(broadcast(candTerms.toDF("term")), "term")
       .groupBy("term").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(sketch.select(col("n_total"))))
-      .filter(col("n").cast("double") > col("n_total").cast("double") * minShare)
+      .filter(col("n").cast("double") > lit(nTotal).cast("double") * minShare)
       .select("term", "n")
   }
 }

@@ -108,12 +108,19 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
-  test("heavyTerms plan: MG partial + broadcast recount, no term-universe exchange") {
+  test("heavyTerms plan: broadcast recount only — sketch pass ran exactly once") {
     val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
     val p = TextAnalysis.heavyTerms(docs, k = 64, minShare = 0.1)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(p.contains("partial_mg_heavy_hitters"), s"map-side sketch missing:\n$p")
+    // the MG sketch is collected ONCE at call time (one row: ≤k candidates +
+    // n_total) and inlined as literals — the returned plan must be the
+    // recount alone: a broadcast semi of the candidate list, and NO second
+    // MG aggregate re-scanning the corpus for either consumer
+    assert(!p.contains("partial_mg_heavy_hitters"),
+      s"sketch aggregate leaked into the recount plan (re-scan):\n$p")
     assert(p.contains("BroadcastHashJoin"), s"candidate recount must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"n_total must be a literal, not a cross-joined scalar:\n$p")
   }
 }

@@ -181,14 +181,62 @@ class TemporalJoinSpec extends SparkSpec {
       s"inequality join leaked into the plan:\n$pl")
   }
 
-  test("windowAgg: zero-filled aggregates for empty windows") {
+  test("windowAgg: explicit fill for empty windows; unfilled aggs stay null") {
     val l = L((1L, 1000L, 10L), (1L, 5000L, 11L))
     val r = R((1L, 950L, 1L, 2.5), (1L, 960L, 2L, 1.5))
     val out = TemporalJoin.windowAgg(l, Seq("event_id"), r, Seq("k"), "ts",
-      lo = -100L, hi = 0L)(
+      lo = -100L, hi = 0L, fill = Map("n" -> lit(0L), "s" -> lit(0.0)))(
       "n" -> count(lit(1)), "s" -> sum($"rv"))
       .collect().map(x => x.getLong(2) -> (x.getLong(3), x.getDouble(4))).toMap
     assert(out(10L) == (2L, 4.0))
     assert(out(11L) == (0L, 0.0))
+    // no fill → SQL left-outer semantics: empty-window aggregates are NULL
+    // (a synthesized 0 would be a wrong answer for max-style aggregates)
+    val nulls = TemporalJoin.windowAgg(l, Seq("event_id"), r, Seq("k"), "ts",
+      lo = -100L, hi = 0L)(
+      "mx" -> max($"rv"))
+      .collect().map(x => x.getLong(2) -> (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(nulls(10L) == Some(2.5))
+    assert(nulls(11L) == None)
+    // fill naming a nonexistent aggregate is rejected up front
+    intercept[IllegalArgumentException] {
+      TemporalJoin.windowAgg(l, Seq("event_id"), r, Seq("k"), "ts",
+        lo = -100L, hi = 0L, fill = Map("nope" -> lit(0L)))("n" -> count(lit(1)))
+    }
+  }
+
+  test("reserved plumbing/output names are rejected, not silently shadowed") {
+    val l = L((1L, 1000L, 10L))
+    val r = R((1L, 950L, 1L, 2.5))
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asof(l.withColumn("asof_ts", lit(0L)), r, Seq("k"), "ts")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asof(l, r.withColumn("_tie", lit(0L)), Seq("k"), "ts")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.rangePairs(l.withColumn("r_ts", lit(0L)), r, Seq("k"), "ts",
+        lo = -100L, hi = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofChunked(l.withColumn("_chunk", lit(0L)), r, Seq("k"), "ts",
+        chunkUs = 100L)
+    }
+  }
+
+  test("asof: fractional tie column breaks ties on the untruncated value") {
+    // two right rows at the same ts with ties 1.9 and 1.2: a long-cast
+    // tie-break would see (1, 1) and pick nondeterministically / wrongly;
+    // the untruncated order picks 1.9 (max tie wins), matching asofChunked
+    val l  = Seq((1L, 1000L, 10L)).toDF("k", "ts", "event_id")
+    val r  = Seq((1L, 900L, 1.2, 100L), (1L, 900L, 1.9, 200L))
+      .toDF("k", "ts", "tie", "rid")
+    val plain = TemporalJoin.asof(l, r, Seq("k"), "ts", rightTie = Some("tie"))
+      .select("rid").collect().map(_.getLong(0)).toSeq
+    val chunked = TemporalJoin.asofChunked(l, r, Seq("k"), "ts",
+      rightTie = Some("tie"), chunkUs = 500L)
+      .select("rid").collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(200L))
+    assert(chunked == plain)
   }
 }
