@@ -414,11 +414,21 @@ object Bench {
     val errs = failed.map { case (k, m) => "\"" + k + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errs,"error_count":${failed.size},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"error_count":${failed.size},"sf":"$sfDir"}"""
+    // BENCH_r09 arrived with "parsed": null — the JSON line was buried in
+    // sbt's interleaved stderr stream. Two fixes: (a) persist the line to
+    // bench.json in the working directory (a machine-readable artifact no
+    // log interleaving can corrupt), and (b) print it LAST, after
+    // spark.stop(), so no trailing Spark shutdown logs follow it on the
+    // combined stream.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // NOT exiting non-zero on bench errors: the driver must still receive
     // the JSON line (with its errors/error_count fields) — an artifact
     // dropped on exit status is exactly the silent-red failure mode r5 had
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

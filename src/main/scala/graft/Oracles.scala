@@ -1689,4 +1689,62 @@ object Oracles {
        |            ELSE $num / CAST(kth_min AS DOUBLE) END AS est_distinct
        |FROM kth""".stripMargin
   }
+
+  /** Fixed BPE merge table shared verbatim by the Spark query
+    * (`Bpe.encodeTerms`) and the SQL oracle below — ONE list, two
+    * renderings, so the gate can't drift. Includes cascading merges
+    * (th+e</w> consumes the products of merges 1 and 3; an+d</w> of 2 and
+    * 5; ing+</w> of 7 and 8) to exercise sequential application.
+    */
+  val BpeFixedMerges: Seq[(String, String)] = Seq(
+    "e" -> "</w>", "d" -> "</w>", "t" -> "h", "th" -> "e</w>", "a" -> "n",
+    "an" -> "d</w>", "i" -> "n", "in" -> "g", "ing" -> "</w>", "o" -> "r")
+
+  /** BPE ENCODER oracle (Bpe.encodeTerms under [[BpeFixedMerges]]).
+    *
+    * SQL formulation: a symbol sequence is encoded as a string with DOUBLE
+    * '.' separators between symbols and at both ends ("..t..h..e..</w>..").
+    * One merge (a,b)→ab is then plain `replace(s, '.a..b.', '.ab.')`:
+    *  - the single-dot flanks pin WHOLE symbols (tokens are [a-z0-9]+ and
+    *    merged symbols never contain '.', so a '.x' prefix means a symbol
+    *    starting with x and 'y.' means one ending with y);
+    *  - each match consumes one dot of each bounding '..', leaving the
+    *    invariant intact for the next scan position;
+    *  - `replace`'s left-to-right non-overlapping scan (resume AFTER the
+    *    replacement) is exactly mergeOnce's fold semantics: a freshly
+    *    merged symbol is never the LEFT of another merge in the same pass.
+    * Chaining ten replaces applies the merge list in training order; the
+    * final string is unwrapped to space-joined pieces.
+    */
+  def bpeEncode: String = {
+    val init = """'..' || regexp_replace(term, '(.)', '\1..', 'g') || '</w>..'"""
+    val chained = BpeFixedMerges.foldLeft(init) { case (e, (a, b)) =>
+      s"replace($e, '.$a..$b.', '.$a$b.')"
+    }
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |         x -> x <> '')) AS term
+       |  FROM documents),
+       |terms AS (SELECT DISTINCT term FROM toks)
+       |SELECT term, replace(trim($chained, '.'), '..', ' ') AS pieces
+       |FROM terms""".stripMargin
+  }
+
+  /** First BPE merge pick (Bpe.pairCounts argmax over the initial
+    * character vocab): one SQL query gating `train`'s scoring relation —
+    * weighted adjacent-pair counts with the (c DESC, a, b) tie-break.
+    */
+  def bpeFirstMerge: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |         x -> x <> '')) AS term
+       |  FROM documents),
+       |vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+       |pairs AS (
+       |  SELECT v.cnt, substring(v.term, u.i, 1) AS a,
+       |         CASE WHEN u.i < length(v.term) THEN substring(v.term, u.i + 1, 1)
+       |              ELSE '</w>' END AS b
+       |  FROM vocab v, unnest(range(1, length(v.term) + 1)) AS u(i))
+       |SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c
+       |FROM pairs GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1""".stripMargin
 }

@@ -329,6 +329,23 @@ object SparkEntry {
         .toDF("rank", "a", "b", "merged", "pair_count")
     }),
 
+    // ---- BPE ENCODER under a fixed merge table (Oracles.BpeFixedMerges,
+    //      one shared list): segmentation of every distinct corpus term,
+    //      hash-compared against DuckDB's chained whole-symbol replaces ----
+    "q_bpe_encode" -> ((s, dir) => {
+      val terms = Dedup.tokenTable(Tables.load(s, dir, "documents"))
+        .select("term").distinct()
+      Bpe.encodeTerms(terms, Oracles.BpeFixedMerges)
+        .select(col("term"), concat_ws(" ", col("pieces")).as("pieces"))
+    }),
+
+    // ---- first training merge pick: the argmax over Bpe.pairCounts of the
+    //      initial character vocab IS one SQL query — gates train's scoring
+    //      relation (the iterative loop itself stays spec-pinned) ----
+    "q_bpe_first_merge" -> ((s, dir) =>
+      Bpe.pairCounts(Bpe.vocab(Tables.load(s, dir, "documents")))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)),
+
     // ---- line-level boilerplate strike (CCNet/RefinedWeb paragraph-hash
     //      dedup). The corpus is single-line, so the query synthesizes the
     //      multi-line shape: doc text + a universal footer (df = |corpus|,
@@ -873,6 +890,8 @@ object SparkEntry {
     "q_boilerplate"   -> Oracles.boilerplate(2L),
     "q_boilerplate_clean" -> Oracles.boilerplateClean(2L),
     "q_nfc_normalize" -> Oracles.nfcNormalize,
+    "q_bpe_encode"    -> Oracles.bpeEncode,
+    "q_bpe_first_merge" -> Oracles.bpeFirstMerge,
     "q_ngram_overlap" -> Oracles.ngramOverlap(8),
     "q_repetition"    -> Oracles.repetition,
     "q_substr_spans"  -> Oracles.substrSpans(4),

@@ -46,6 +46,16 @@ object Bpe {
         expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"),
         array(lit(Eow))))
 
+  /** Weighted adjacent-pair counts over a vocab table (the scoring relation
+    * each training round argmaxes): (a, b, c BIGINT) — c = Σ word-count over
+    * every adjacency of the pair. Public so the FIRST merge pick (one
+    * argmax = one SQL query) is oracle-checkable against DuckDB.
+    */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("cnt"), explode(pairsOf(col("syms"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("cnt").as("c"))
+
   /** Adjacent-pair table of a symbol column: (a, b) per neighboring symbol
     * pair, weighted by the word count downstream.
     */
@@ -80,9 +90,7 @@ object Bpe {
     while (rank <= numMerges && !exhausted) {
       // weighted pair counts over the vocab; argmax with lexicographic
       // tie-break — ONE row to the driver per round
-      val top = v.select(col("cnt"), explode(pairsOf(col("syms"))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("cnt").as("c"))
+      val top = pairCounts(v)
         .orderBy(col("c").desc, col("a"), col("b"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true

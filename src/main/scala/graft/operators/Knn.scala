@@ -136,13 +136,26 @@ object Knn {
     *
     * Queries are collected to the driver and rebroadcast as primitive
     * arrays — the same |queries|·dim·8-byte ceiling as the BNLJ broadcast
-    * (SCALE.md "query batch ceiling").
+    * (SCALE.md "query batch ceiling"). The ceiling is ENFORCED, not
+    * assumed: the collect is capped at [[maxFusedQueries]] rows, and a
+    * batch past the cap auto-routes to the fully distributed BNLJ plan
+    * ([[scored]]; band + top-k re-applied by [[pipeline]], bit-identical
+    * results) — mirroring DedupIndex's broadcast cap. The request contract
+    * bounds facade batches well under the cap; this guards LIBRARY callers
+    * handing an unbounded query DataFrame to [[search]].
     */
+  @volatile var maxFusedQueries: Int =
+    sys.env.get("GRAFT_KNN_MAX_FUSED").map(_.toInt).getOrElse(4096)
+
   private[graft] def fusedCandidates(corpus: DataFrame, queries: DataFrame,
       metric: String, k: Int, band: Option[(Double, Double)]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col("qid").cast("long"), col("qv")).collect()
+    val cap = maxFusedQueries
+    val qRows = queries.select(col("qid").cast("long"), col("qv"))
+      .limit(cap + 1).collect()
+    if (qRows.length > cap)
+      return scored(corpus, queries, metric)
     val qidArr = qRows.map(_.getLong(0))
     val qvArr  = qRows.map(_.getSeq[Double](1).toArray)
     val bc = spark.sparkContext.broadcast((qidArr, qvArr))

@@ -84,6 +84,33 @@ class KnnSpec extends SparkSpec {
     res.foreach(s => assert(math.abs(s * 100 - math.round(s * 100)) < 1e-9))
   }
 
+  test("query batch over the fused-collect cap auto-routes to the distributed plan") {
+    // the fused scan collects the query batch to the driver — bounded by
+    // maxFusedQueries; past the cap, search must hand the SAME request to
+    // the BNLJ plan (no driver-side array) with identical results
+    val big   = Tables.queryBatch(spark, 24)
+    val p     = SearchParams(metric = "COSINE", limit = 5, outputFields = Nil)
+    val was   = Knn.maxFusedQueries
+    val (capped, fused) = try {
+      Knn.maxFusedQueries = 8 // 24-query batch is 3× over the cap
+      val routed = Knn.search(corpus, big, p)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"over-cap batch did not take the distributed BNLJ path:\n$plan")
+      val cappedRows = routed.select("qid", "rank", "doc_id", "score")
+        .collect().map(_.toSeq).toSet
+      Knn.maxFusedQueries = was
+      (cappedRows, Knn.search(corpus, big, p).select("qid", "rank", "doc_id", "score")
+        .collect().map(_.toSeq).toSet)
+    } finally Knn.maxFusedQueries = was
+    assert(capped == fused, "auto-routed results differ from the fused path")
+    // under the cap the fused mapPartitions path is used (no BNLJ)
+    val under = Knn.search(corpus, Tables.queryBatch(spark, 4), p)
+      .queryExecution.executedPlan.toString
+    assert(!under.contains("BroadcastNestedLoopJoin"),
+      s"under-cap batch unexpectedly took the BNLJ path:\n$under")
+  }
+
   test("offset skips the first ranks (A5)") {
     val full = Knn.search(corpus, Tables.queryBatch(spark, 1),
       SearchParams(limit = 10, outputFields = Nil)).collect().sortBy(_.getAs[Long]("rank"))
