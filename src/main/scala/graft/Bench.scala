@@ -73,6 +73,49 @@ object Bench {
       spark.read.parquet(s"$prepDir/ivf/clustered"), "COSINE")
     def persistedBm25 = graft.sources.SparseIndex.read(spark, s"$prepDir/bm25")
 
+    // dim-scaling fixtures (realistic widths): the reference's default
+    // vector width is 384 (appsettings default_dimension; cap 4096,
+    // input_validator.py:156-167) while the synthetic benches run dim 64 —
+    // b1d/b5d/b15c validate the codegen dot kernels, IVF routing, and the
+    // PQ-ADC lookup at production widths. The dim-1024 PQ point runs over
+    // a 1-in-8 slice: it validates kernel width, not corpus scale.
+    val orders384 = Tables.load(spark, sfDir, "orders").select(
+      col("o_orderkey").as("doc_id"),
+      Tables.synthVec(col("o_orderkey"), 384).as("dv"))
+    val q384  = Tables.queryBatch(spark, 64, 384)
+    val q1024 = Tables.queryBatch(spark, 64, 1024)
+    val prep384 = Ivf.build(orders384, nlist = 64, maxIter = 3)
+    prep384.clustered.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$prepDir/ivf384/clustered")
+    prep384.centroids.write.mode("overwrite").parquet(s"$prepDir/ivf384/centroids")
+    def persistedIvf384 = Ivf.Index(
+      spark.read.parquet(s"$prepDir/ivf384/centroids"),
+      spark.read.parquet(s"$prepDir/ivf384/clustered"), "COSINE")
+    val orders1024 = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 8 === 0)
+      .select(col("o_orderkey").as("doc_id"),
+        Tables.synthVec(col("o_orderkey"), 1024).as("dv"))
+    // clamp cluster counts to the slice size (tiny sf smoke runs would
+    // otherwise hand KMeans more centers than points)
+    val n1024 = orders1024.count()
+    val k1024 = math.max(2, math.min(32L, n1024 / 8).toInt)
+    val prepIdx1024 = Ivf.build(orders1024, nlist = k1024, maxIter = 2)
+    val prepPq1024  = Ivf.quantizePq(prepIdx1024, mSub = 16, ksub = k1024, maxIter = 2)
+    prepPq1024.clustered.write.mode("overwrite").parquet(s"$prepDir/pq1024/clustered")
+    def persistedPq1024 = Ivf.Pq(prepIdx1024.centroids,
+      spark.read.parquet(s"$prepDir/pq1024/clustered"), prepPq1024.codebooks, "COSINE")
+
+    // streaming-curation fixture (b22): a persisted dedup index seeded with
+    // 80% of the corpus + an initially-empty curated table; each iteration
+    // pushes a fresh-keyed 20% "crawl increment" through scrub → quality
+    // gate → near-dup gate → bucketed merge (CurateStream.curateBatch —
+    // the per-trigger body of the streaming pipeline). Separate from
+    // b7b's index: ingestDeduped MUTATES its index.
+    graft.sources.DedupIndex.build(
+      docs.select("doc_id", "text").filter(col("doc_id") % 5 =!= 0),
+      s"$prepDir/curidx", nBuckets = 16)
+
     // facade-insert fixtures (b6b/b6c): one collection data-only, one with a
     // persisted IVF index, both seeded with the same 1000 rows (untimed)
     val benchCat = new graft.sources.VectorStoreCatalog(spark, s"$prepDir/cat")
@@ -149,6 +192,7 @@ object Bench {
     var b6bGen = 0
     var b6cGen = 0
     var b6dGen = 0
+    var b22Gen = 0
 
     val benches: Seq[(String, () => DataFrame)] = Seq(
       "b1_knn_cos_64q" -> (() => Knn.search(ordersCorpus, q64,
@@ -350,6 +394,29 @@ object Bench {
       // interval-join composition: error events attributed to their
       // containing session (two windows + the binned interval join)
       "b20f_session_attrib" -> (() => SparkEntry.queries("q_session_attrib")(spark, sfDir)),
+      // production vector widths: exact-KNN kernel at dim 384, persisted
+      // IVF probe at dim 384, PQ-ADC at dim 1024 (16 subspaces)
+      "b1d_knn_dim384" -> (() => Knn.search(orders384, q384,
+        SearchParams(limit = 10, outputFields = Nil))),
+      "b5d_ivf_probe_dim384" -> (() =>
+        Ivf.probePersisted(persistedIvf384, q384, nprobe = 8, k = 10)),
+      "b15c_pq_adc_dim1024" -> (() =>
+        Ivf.probePqAdc(persistedPq1024, q1024, nprobe = 8, k = 10)),
+      // streaming curation throughput: one micro-batch of the curate
+      // pipeline (PII scrub → quality gate → LSH near-dup gate against the
+      // persisted index → bucketed merge). Fresh keys per iteration: the
+      // index grows like a live crawl; the gate work (band-pruned LSH
+      // query) is the dominant, corpus-size-independent term.
+      "b22_curate_batch" -> (() => {
+        b22Gen += 1
+        val inc = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(b22Gen * 10000000L)).as("doc_id"),
+            col("text"))
+        graft.streaming.CurateStream.curateBatch(spark, inc,
+          s"$prepDir/curidx", s"$prepDir/curated",
+          minQuality = 0.3, threshold = 0.75, nBuckets = 16)
+        spark.range(1).toDF("ok")
+      }),
     ) ++ (if (sys.env.contains("SPARK_GRAFT_BENCH_HOTKEY")) Seq[(String, () => DataFrame)](
       // OPT-IN (minutes-long by design): the skew case the chunked as-of
       // exists for — 30M events on ONE key. Plain as-of serializes the key

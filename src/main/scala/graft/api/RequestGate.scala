@@ -1,0 +1,162 @@
+package graft.api
+
+/** Service-shell parity: request rate limiting + failed-auth offender
+  * lockout — the two reference middlewares every request passes through
+  * (`/root/reference/app/middleware/rate_limit.py:23-88`,
+  * `app/middleware/tenant_rate_limit.py:17-84`,
+  * `app/dependencies/auth.py:105-274` +
+  * `app/modules/offender_manager.py:23-135`).
+  *
+  * Engine-side this is deliberately a thin, driver-local module (the
+  * reference's is process-local too and says "use a shared store for
+  * multi-process"): pure in-memory sliding windows behind one lock, no
+  * Spark, no storage. The clock is injectable so specs drive the windows
+  * deterministically; production uses the monotonic clock (immune to wall
+  * clock adjustments — same choice as `tenant_rate_limit.py:50`).
+  */
+object RequestGate {
+
+  /** Decision for one request: allowed + the reference's info fields
+    * (limit/current/remaining, retry_after seconds when denied —
+    * `tenant_rate_limit.py:61-75`).
+    */
+  final case class Decision(
+      allowed: Boolean,
+      limit: Int,
+      current: Int,
+      remaining: Int,
+      retryAfterSec: Int)
+
+  /** Sliding-window rate limiter: at most `calls` requests per `periodSec`
+    * seconds per key. Exactly the reference's algorithm: drop timestamps
+    * older than the window, deny at `current >= calls` computing
+    * retry_after from the OLDEST surviving timestamp, else record.
+    * IP limiter default 100/60s (`app/main.py:243`); tenant limiter
+    * 200/60s default tier, 1000/60s premium
+    * (`tenant_rate_limit.py:32-35`).
+    */
+  final class SlidingWindowLimiter(
+      calls: Int,
+      periodSec: Long,
+      clock: () => Long = () => System.nanoTime() / 1000000L) {
+    require(calls > 0 && periodSec > 0, "calls and period must be positive")
+    private val windows =
+      scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.Queue[Long]]
+
+    def check(key: String): Decision = synchronized {
+      val now = clock()
+      val q = windows.getOrElseUpdate(key, scala.collection.mutable.Queue.empty)
+      while (q.nonEmpty && now - q.head >= periodSec * 1000L) q.dequeue()
+      val current = q.size
+      if (current >= calls) {
+        val retry = ((periodSec * 1000L - (now - q.head)) / 1000L).toInt + 1
+        Decision(allowed = false, calls, current, 0, retry)
+      } else {
+        q.enqueue(now)
+        Decision(allowed = true, calls, current + 1,
+          math.max(0, calls - current - 1), 0)
+      }
+    }
+
+    /** Reference's periodic cleanup (`tenant_rate_limit.py:85-102`,
+      * `app/tasks/cleanup.py:16-49` runs it every 60 s): drop keys whose
+      * whole window expired, so dead tenants/IPs don't accumulate.
+      * Returns removed-key count.
+      */
+    def cleanup(): Int = synchronized {
+      val now = clock()
+      val dead = windows.collect {
+        case (k, q) if q.isEmpty || now - q.last >= periodSec * 1000L => k
+      }.toSeq
+      dead.foreach(windows.remove)
+      dead.size
+    }
+
+    def trackedKeys: Int = synchronized(windows.size)
+  }
+
+  /** Failed-auth offender tracker (`offender_manager.py:97-135`): per
+    * client key, count failures inside a rolling window anchored at the
+    * FIRST failure; past `maxAttempts` failures in the window the key is
+    * blocked for `blockSec`. A failure outside the window resets the
+    * anchor (the reference's exact reset-then-count behavior, including
+    * its quirk that the resetting attempt counts as 1).
+    */
+  final class OffenderTracker(
+      maxAttempts: Int = 5,      // config default block_max_attempts=5
+      windowSec: Long = 60,      // block_window_seconds=60
+      blockSec: Long = 200,      // block_seconds=200
+      clock: () => Long = () => System.nanoTime() / 1000000L) {
+    private final case class Rec(var count: Int, var firstSeen: Long,
+        var blockedUntil: Long)
+    private val store = scala.collection.mutable.HashMap.empty[String, Rec]
+
+    /** (blocked, msRemaining) — the auth middleware's pre-check
+      * (`auth.py:137-147`: blocked IPs get 429 before any auth work).
+      */
+    def isBlocked(key: String): (Boolean, Long) = synchronized {
+      val now = clock()
+      store.get(key) match {
+        case Some(r) if r.blockedUntil > now => (true, r.blockedUntil - now)
+        case _ => (false, 0L)
+      }
+    }
+
+    /** Register one failed attempt; returns true when THIS attempt tripped
+      * the block (`offender_manager.py:105-134`).
+      */
+    def registerFailure(key: String): Boolean = synchronized {
+      val now = clock()
+      store.get(key) match {
+        case None =>
+          store(key) = Rec(1, now, 0L); false
+        case Some(r) if now - r.firstSeen > windowSec * 1000L =>
+          r.count = 1; r.firstSeen = now; r.blockedUntil = 0L; false
+        case Some(r) =>
+          r.count += 1
+          if (r.count > maxAttempts) { r.blockedUntil = now + blockSec * 1000L; true }
+          else false
+      }
+    }
+
+    /** Successful auth clears the record (a legitimate client that fat-
+      * fingered a secret shouldn't stay one slip from lockout).
+      */
+    def clear(key: String): Unit = synchronized { store.remove(key) }
+  }
+
+  /** The assembled per-request gate in middleware order (`app/main.py:
+    * 236-246`: auth/offender before the IP rate limit, tenant limit at the
+    * router): blocked-offender 429 → IP window → tenant window. Auth
+    * OUTCOMES feed [[OffenderTracker]] via the caller (it owns the
+    * credential check — [[graft.sources.VectorStoreCatalog.authenticate]]).
+    */
+  final class Gate(
+      val ip: SlidingWindowLimiter,
+      val tenant: SlidingWindowLimiter,
+      val offenders: OffenderTracker) {
+
+    sealed trait Verdict
+    case object Allowed extends Verdict
+    final case class Blocked(msRemaining: Long) extends Verdict
+    final case class RateLimited(scope: String, d: Decision) extends Verdict
+
+    def admit(clientIp: String, tenantCode: String): Verdict = {
+      val (blocked, rem) = offenders.isBlocked(clientIp)
+      if (blocked) return Blocked(rem)
+      val ipD = ip.check(clientIp)
+      if (!ipD.allowed) return RateLimited("ip", ipD)
+      val tD = tenant.check(tenantCode)
+      if (!tD.allowed) RateLimited("tenant", tD) else Allowed
+    }
+  }
+
+  /** Reference-default gate: IP 100/60s, tenant 200/60s, offender 5-in-60s
+    * → 200s block.
+    */
+  def default(clock: () => Long = () => System.nanoTime() / 1000000L): Gate =
+    new Gate(
+      new SlidingWindowLimiter(100, 60, clock),
+      new SlidingWindowLimiter(200, 60, clock),
+      new OffenderTracker(clock = clock))
+}

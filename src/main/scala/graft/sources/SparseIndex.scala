@@ -92,9 +92,15 @@ object SparseIndex {
   private def listChildren(p: Path): Seq[Path] =
     VectorStoreCatalog.listChildren(p)
 
+  /** Live (PUBLISHED) dictionary-delta commits — an unpublished `dNNN` is
+    * a torn copy-then-delete append ([[FsOps]]) and must not contribute
+    * counts; vacuum sweeps it.
+    */
   private def termDeltaFiles(dir: String): Seq[Path] =
     listChildren(termDeltaDir(dir))
-      .filter(d => d.getFileName.toString.startsWith("d")).sortBy(_.toString)
+      .filter(d => d.getFileName.toString.startsWith("d"))
+      .filter(VectorStoreCatalog.fs.isPublished)
+      .sortBy(_.toString)
 
   /** Persisted monotonic commit sequence for dictionary-delta file names —
     * the dictionary twin of the data table's `nextDeltaSeq`
@@ -119,7 +125,11 @@ object SparseIndex {
     // which is the only collision that loses data (folded generations are
     // deleted, so name reuse across folds is inert). The same max() also
     // heals a stale-but-parseable counter lagging the delta dir.
-    val maxLive = termDeltaFiles(dir)
+    // collision scan over ALL existing dirs — including UNPUBLISHED (torn)
+    // ones a crashed commit stranded: reusing such a name would merge a new
+    // commit's files into torn debris and then publish the mixture
+    val maxLive = listChildren(termDeltaDir(dir))
+      .filter(_.getFileName.toString.startsWith("d"))
       .flatMap(d => scala.util.Try(d.getFileName.toString.drop(1).toLong).toOption)
       .maxOption.getOrElse(0L)
     val stored =
@@ -427,7 +437,8 @@ object SparseIndex {
         // seq names are unique by reservation — two commits (or two
         // different batches with IDENTICAL delta content, which the r5
         // content-address silently collapsed) can never collide
-        Files.move(tdTmp, termDeltaDir(dir).resolve(f"d$deltaSeq%012d"))
+        VectorStoreCatalog.fs.moveAndPublish(
+          tdTmp, termDeltaDir(dir).resolve(f"d$deltaSeq%012d"))
       }
       CrashHooks.maybe("sparse.afterDeltaMove")
       touched.foreach { b =>

@@ -211,7 +211,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         pread.schema(rawSchema(tenant, model)).parquet(d.toString)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         rawSchema(tenant, model))
-    val pending = listDirs(deltaDir(tenant, model))
+    val pending = liveDeltas(tenant, model)
     if (pending.isEmpty) base
     else {
       val w = org.apache.spark.sql.expressions.Window
@@ -394,6 +394,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       else {
         inMutator.set(true)
         try {
+          // FIRST: resolve torn directory swaps (restore the last complete
+          // generation of any slot whose swap crashed mid-sequence) — the
+          // rebuilds below read the data table, which must be whole first
+          VectorStoreCatalog.healAsides(tableDir(tenant, model))
+          spark.catalog.refreshByPath(dataDir(tenant, model).toString)
           if (sparseIndexExists(tenant, model)) rebuildSparseIndex(tenant, model)
           if (indexExists(tenant, model)) rebuildClustered(tenant, model)
           if (hnswExists(tenant, model)) persistHnsw(tenant, model)
@@ -420,8 +425,15 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       val cutoff = System.currentTimeMillis() - olderThanMs
       def debris(p: Path): Boolean = {
         val n = p.getFileName.toString
+        // an UNPUBLISHED delta commit (data `_delta/dNNN` or dictionary
+        // `termdf_delta/dNNN`) is a torn copy-then-delete append — readers
+        // already skip it; sweep it like any other phase-1 leftover
+        val tornDelta = n.matches("d\\d+") && Files.isDirectory(p) &&
+          !VectorStoreCatalog.fs.isPublished(p) &&
+          Set("_delta", "termdf_delta").contains(p.getParent.getFileName.toString)
         (n.contains("_tmp_") || n.startsWith("_aside_") ||
-          n.contains("._tmp") || n == "_temporary") &&
+          n.contains("._tmp") || n.contains("._cp") || n.contains("._pubtmp") ||
+          n == "_temporary" || tornDelta) &&
           Files.getLastModifiedTime(p).toMillis <= cutoff
       }
       def sweep(dir: Path): Int =
@@ -822,7 +834,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val flushDue =
       if (AutoFlushMinBatch < 0) false
       else if (deltaMode)
-        listDirs(deltaDir(tenant, model)).size > maxDeltaFiles(tenant, model)
+        liveDeltas(tenant, model).size > maxDeltaFiles(tenant, model)
       else AutoFlushMinBatch == 0 || batchSize >= AutoFlushMinBatch
     if (flushDue) stage("auto-flush")(flush(tenant, model))
     batchSize
@@ -842,13 +854,21 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val rows = batchOut.select(cols: _*).withColumn("_dseq", lit(seq))
     (if (singleFile) rows.coalesce(1) else rows)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // the delta commit is ONE atomic move — a crash before it is a clean
-    // abort of this sub-commit (no marker needed here; a concurrently
-    // completed sparse commit already armed it, and the heal refits the
-    // sparse tables to whatever data state survived)
+    // the delta commit is ONE move-and-publish — a crash before the final
+    // publish leaves the commit absent-or-unpublished, which readers skip
+    // ([[liveDeltas]]) and vacuum sweeps; the abandoned seq is never
+    // reused (reservation is monotonic), so replay writes a fresh commit
     CrashHooks.maybe("data.beforeDeltaMove")
-    Files.move(tmp, dd.resolve(f"d$seq%012d"))
+    VectorStoreCatalog.fs.moveAndPublish(tmp, dd.resolve(f"d$seq%012d"))
   }
+
+  /** Pending delta commits VISIBLE to readers: published dirs only — an
+    * unpublished `dNNN` is a torn copy-then-delete commit (or one that
+    * crashed before its publish) and must never surface rows.
+    */
+  private def liveDeltas(tenant: String, model: String): Seq[Path] =
+    listDirs(deltaDir(tenant, model))
+      .filter(VectorStoreCatalog.fs.isPublished)
 
   /** S3: flush/OPTIMIZE hook — parquet writes are already atomic commits
     * here, so flush is a small-file COMPACTION, restricted to buckets that
@@ -892,7 +912,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * winner over its own folded row is a no-op keyed upsert.
     */
   private def foldDeltas(tenant: String, model: String): Unit = {
-    val pending = listDirs(deltaDir(tenant, model))
+    val pending = liveDeltas(tenant, model)
     if (pending.isEmpty) return
     val touched = readDeltas(tenant, model, pending)
       .select("_bucket").distinct().collect().map(_.getLong(0)).toIndexedSeq
@@ -1750,7 +1770,15 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     stage("data tmp write")(df.repartition(col("part"), col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("part", "_bucket").parquet(tmp.toString))
     if (!Files.exists(target)) {
-      Files.move(tmp, target)
+      // first write: arm the intent marker too — under copy-then-delete a
+      // crash mid-move leaves a PARTIAL (object-complete, set-incomplete)
+      // data dir, which is the documented partially-applied-batch state;
+      // the armed marker makes the next access heal derived tables against
+      // it and the at-least-once replay converges the data
+      armIntent(tenant, model)
+      val f = VectorStoreCatalog.fs
+      if (f.atomicMoves) Files.move(tmp, target)
+      else { f.copyTree(tmp, target); f.deleteTree(tmp) }
     } else {
       val partDirs = (listDirs(target) ++ listDirs(tmp))
         .map(_.getFileName.toString).filter(_.startsWith("part=")).distinct
@@ -1821,22 +1849,87 @@ object VectorStoreCatalog {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Pluggable commit-phase filesystem ([[FsOps]]): [[AtomicFs]] (POSIX
+    * renames) by default; ObjectStoreCommitSpec swaps in
+    * [[ObjectStoreSimFs]] to run every protocol under copy-then-delete
+    * semantics with crash injection at every object-op window.
+    */
+  @volatile private[graft] var fs: FsOps = AtomicFs
+
   /** Reader-safe directory replacement — the ONE commit protocol every swap
     * site uses (bucket compaction, IVF cell rewrite, HNSW absorb, sparse
-    * index commit, streaming merge): move `dst` aside, move `src` in (a
-    * missing `src` makes this a remove), delete the aside dir. A lock-free
-    * reader listing `dst` sees the old file set, the new one, or — between
-    * the two renames — no dir at all (an empty slice under explicit read
-    * schemas); POSIX rename cannot atomically replace a non-empty
-    * directory, so that instant is the local floor, vs the whole-write
-    * exposure a delete-then-write would have. The aside name has no '='
-    * so Spark's partition discovery never parses it as a value.
+    * index commit, streaming merge): publish + move `dst` aside, move `src`
+    * in (a missing `src` makes this a remove), publish, delete the aside.
+    *
+    * Invariant both storage models share: at every instant, AT LEAST ONE of
+    * {dst, aside} holds a complete generation, and a complete generation is
+    * distinguishable from a torn one by its `_pub` marker (written last,
+    * deleted first — [[FsOps]]). [[healAsides]] applies the decision table:
+    * dst published → aside is debris; else aside published → roll back to
+    * the aside (the batch replays — at-least-once); else the swap never
+    * got past copying the aside → the intact dst stands.
+    *
+    * POSIX: each move atomic, the marker closes the rename-SEQUENCE windows
+    * (an aside stranded between the two moves used to be vacuumed away —
+    * silent loss of the old generation; now it restores). Object store: no
+    * dir rename exists, so the aside/new generation are per-object copies —
+    * non-atomic, but every torn outcome is unpublished by construction.
+    * The aside name has no '=' and is `_`-prefixed so Spark's partition
+    * discovery never parses it as a value or reads it as data.
     */
   private[graft] def swapDir(src: Path, dst: Path): Unit = {
-    val old = dst.resolveSibling("_aside_" + System.nanoTime())
-    if (Files.exists(dst)) Files.move(dst, old)
-    if (Files.exists(src)) Files.move(src, dst)
-    if (Files.exists(old)) deleteRec(old)
+    val f = fs
+    val old = dst.resolveSibling(
+      "_aside_" + dst.getFileName.toString + "_" + System.nanoTime())
+    if (Files.exists(dst)) {
+      if (f.atomicMoves) {
+        // publish BEFORE the move: the aside must land already-complete,
+        // so a crash right after the rename leaves a restorable generation
+        if (!f.isPublished(dst)) f.publish(dst)
+        Files.move(dst, old)
+      } else {
+        f.copyTree(dst, old)
+        if (!f.isPublished(old)) f.publish(old)
+        f.deleteTree(dst)
+      }
+    }
+    if (Files.exists(src)) {
+      if (f.atomicMoves) Files.move(src, dst)
+      else { f.copyTree(src, dst); f.deleteTree(src) }
+      f.publish(dst)
+    }
+    if (Files.exists(old)) f.deleteTree(old)
+  }
+
+  private val AsideName = "^_aside_(.+)_\\d+$".r
+
+  /** Restore torn swaps under `root` (recursive sweep, run by the
+    * torn-commit heal BEFORE any derived-table rebuild): for every stranded
+    * `_aside_<slot>_<n>` directory, either the canonical slot is published
+    * (swap completed — aside is debris) or the published aside IS the last
+    * complete generation and rolls back in (the crashed batch replays).
+    * An unpublished aside is a torn copy; the intact canonical stands.
+    * Idempotent: every path re-runs cleanly after a crash mid-heal.
+    */
+  private[graft] def healAsides(root: Path): Int = {
+    val f = fs
+    def sweep(dir: Path): Int =
+      listChildren(dir).map { c =>
+        c.getFileName.toString match {
+          case AsideName(slot) if Files.isDirectory(c) =>
+            val canonical = c.resolveSibling(slot)
+            if (f.isPublished(canonical)) f.deleteTree(c)
+            else if (f.isPublished(c)) {
+              if (Files.exists(canonical)) f.deleteTree(canonical)
+              if (f.atomicMoves) Files.move(c, canonical)
+              else { f.copyTree(c, canonical); f.deleteTree(c) }
+              // the restored generation carries its copied `_pub`
+            } else f.deleteTree(c)
+            1
+          case _ => if (Files.isDirectory(c)) sweep(c) else 0
+        }
+      }.sum
+    sweep(root)
   }
 
   private[graft] def readJson(p: Path): Map[String, String] = {
@@ -1845,10 +1938,10 @@ object VectorStoreCatalog {
     else node.properties().asScala.iterator.map(e => e.getKey -> e.getValue.asText).toMap
   }
 
-  private[graft] def deleteRec(p: Path): Unit = {
-    listChildren(p).foreach(deleteRec)
-    Files.deleteIfExists(p)
-  }
+  /** Tree delete through the commit fs: `_pub` markers first per level, so
+    * a crash mid-delete can never leave a torn-but-published directory.
+    */
+  private[graft] def deleteRec(p: Path): Unit = fs.deleteTree(p)
 
   /** Children of `p` with the `Files.list` stream CLOSED — an unclosed
     * stream leaks a directory fd, and several of these listings run per
