@@ -79,9 +79,14 @@ object Bench {
     // b1d/b5d/b15c validate the codegen dot kernels, IVF routing, and the
     // PQ-ADC lookup at production widths. The dim-1024 PQ point runs over
     // a 1-in-8 slice: it validates kernel width, not corpus scale.
-    val orders384 = Tables.load(spark, sfDir, "orders").select(
-      col("o_orderkey").as("doc_id"),
-      Tables.synthVec(col("o_orderkey"), 384).as("dv"))
+    // materialized to parquet first: production vectors are STORED, and an
+    // in-plan synthVec (interpreted transform over a 384-element sequence
+    // per row) would dominate the timing and hide the kernel under test
+    Tables.load(spark, sfDir, "orders").select(
+        col("o_orderkey").as("doc_id"),
+        Tables.synthVec(col("o_orderkey"), 384).as("dv"))
+      .write.mode("overwrite").parquet(s"$prepDir/orders384")
+    def orders384 = spark.read.parquet(s"$prepDir/orders384")
     val q384  = Tables.queryBatch(spark, 64, 384)
     val q1024 = Tables.queryBatch(spark, 64, 1024)
     val prep384 = Ivf.build(orders384, nlist = 64, maxIter = 3)
@@ -92,10 +97,12 @@ object Bench {
     def persistedIvf384 = Ivf.Index(
       spark.read.parquet(s"$prepDir/ivf384/centroids"),
       spark.read.parquet(s"$prepDir/ivf384/clustered"), "COSINE")
-    val orders1024 = Tables.load(spark, sfDir, "orders")
+    Tables.load(spark, sfDir, "orders")
       .filter(col("o_orderkey") % 8 === 0)
       .select(col("o_orderkey").as("doc_id"),
         Tables.synthVec(col("o_orderkey"), 1024).as("dv"))
+      .write.mode("overwrite").parquet(s"$prepDir/orders1024")
+    def orders1024 = spark.read.parquet(s"$prepDir/orders1024")
     // clamp cluster counts to the slice size (tiny sf smoke runs would
     // otherwise hand KMeans more centers than points)
     val n1024 = orders1024.count()

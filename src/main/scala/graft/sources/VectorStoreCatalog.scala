@@ -100,6 +100,36 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     writeJson(dir.resolve("_schema.json"), props)
   }
 
+  /** Drop a collection: remove its whole directory (schema, data, indexes,
+    * deltas) under the collection lock. The undo arm of the transactional
+    * tenant setup, and the local analogue of Milvus drop_collection.
+    */
+  def dropCollection(tenant: String, model: String): Unit =
+    lockFor(tenant, model).synchronized {
+      VectorStoreCatalog.deleteRec(tableDir(tenant, model))
+    }
+
+  /** Multi-step tenant bootstrap with ROLLBACK (reference
+    * `_setup_tenant_vector_store`, base_milvus.py:1479-1524, wrapped in the
+    * transaction manager): collection schema + tenant user, undone in
+    * reverse if any later step fails. Returns the (clientId, secret) pair.
+    * `extraSteps` lets callers append their own transactional work (e.g.
+    * seeding config) with its own undo.
+    */
+  def setupTenant(spec: SchemaSpec,
+      extraSteps: Seq[(() => Any, Any => Unit)] = Nil): (String, String) = {
+    val txn = new graft.api.ServiceShell.Transaction(s"setup_${spec.tenant}")
+    txn.add(
+      () => generateSchema(spec),
+      _ => dropCollection(spec.tenant, spec.model))
+    txn.add(
+      () => createUser(spec.tenant),
+      res => { val (cid, _) = res.asInstanceOf[(String, String)]
+        dropUser(spec.tenant, cid) })
+    extraSteps.foreach { case (run, undo) => txn.add(run, undo) }
+    txn.execute()(1).asInstanceOf[(String, String)]
+  }
+
   def collectionExists(tenant: String, model: String): Boolean =
     Files.exists(tableDir(tenant, model).resolve("_schema.json"))
 

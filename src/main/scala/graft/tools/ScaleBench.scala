@@ -89,7 +89,7 @@ object ScaleBench {
 
     // ---- untimed prep at BOTH scales (persisted serving state) ----
     case class Prep(ivf: Ivf.Index, ivfDocs: Ivf.Index, bmDir: String,
-      g: Hnsw.Graph, ddDir: String)
+      g: Hnsw.Graph, ddDir: String, curDir: String)
     def loadIvf(dir: String): Ivf.Index = Ivf.Index(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/clustered"), "COSINE")
@@ -145,7 +145,14 @@ object ScaleBench {
                 expr(s"doc_id DIV $factor") % 5 === 0))
         graft.sources.DedupIndex.build(ddDocs, ddDir, nBuckets = 16)
       }
-      Prep(loadIvf(ivfDir), loadIvf(ivfDocsDir), bmDir, g, ddDir)
+      // streaming-curation index: SEPARATE from ddDir (curateBatch MUTATES
+      // its index via ingestDeduped) — built over the same 80% split
+      val curDir = s"$out/prep_$tag/curidx"
+      if (!graft.sources.DedupIndex.exists(curDir))
+        graft.sources.DedupIndex.build(
+          Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+            .filter(col("doc_id") % 5 =!= 0), curDir, nBuckets = 16)
+      Prep(loadIvf(ivfDir), loadIvf(ivfDocsDir), bmDir, g, ddDir, curDir)
     }
 
     // full-materialization guard, applied at the timing site (see Bench)
@@ -240,6 +247,22 @@ object ScaleBench {
           graft.SparkEntry.queries("q_heavy_hitters")(spark, sfDir)),
         "b21b_quantiles" -> (() =>
           graft.SparkEntry.queries("q_quantiles")(spark, sfDir)),
+        // streaming-curation micro-batch (b22): the FIXED 512-doc increment
+        // through scrub → quality gate → LSH near-dup gate against the
+        // persisted index → bucketed merge. The request is scale-invariant;
+        // the slope measures how micro-batch cost depends on the ACCEPTED
+        // CORPUS size behind the index — band/bucket-pruned reads + a
+        // touched-buckets-only merge should keep it near-flat. Fresh keys
+        // per call (nanoTime-offset) so timed iterations ingest, not no-op.
+        "b22_curate_batch" -> (() => {
+          val inc = dedupIncrement.select(
+            (col("doc_id") + lit((System.nanoTime() % 1000000L) * 1000000L))
+              .as("doc_id"), col("text"))
+          graft.streaming.CurateStream.curateBatch(spark, inc,
+            p.curDir, s"$out/prep_$tag/curated",
+            minQuality = 0.3, threshold = 0.75, nBuckets = 16)
+          spark.range(1).toDF("ok")
+        }),
       ).filter { case (name, _) => withDedup || name != "b7_dedup_full_recompute" }
     }
 
