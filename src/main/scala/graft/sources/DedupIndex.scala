@@ -83,6 +83,10 @@ object DedupIndex {
       if (!Files.exists(commitIntentPath(dir))) false
       else {
         val base = Paths.get(dir)
+        // FIRST: restore any slot whose swap tore mid-sequence (published
+        // aside = the last complete generation — see VectorStoreCatalog
+        // .healAsides); the bands rebuild below must read a whole sig table
+        VectorStoreCatalog.healAsides(base)
         if (exists(dir)) {
           // one whole-dir swap: the healed postings land atomically
           val tmp = base.resolve("bands_tmp_" + System.nanoTime())

@@ -246,6 +246,51 @@ class ObjectStoreCommitSpec extends SparkSpec {
     }
   }
 
+  test("e2e dedup index: upsert crashed mid-schedule under copy-then-delete heals and converges") {
+    import org.apache.spark.sql.DataFrame
+    import graft.sources.DedupIndex
+    def corpus(r: Range): DataFrame = {
+      import spark.implicits._
+      r.map(i => (i.toLong, s"shared words alpha beta doc$i tail${i % 4}")).toDF("doc_id", "text")
+    }
+    def sigRows(dir: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$dir/sig").drop("_bucket")
+        .collect().map(_.toSeq).toSet
+    // measure the upsert schedule
+    val probeDir = Files.createTempDirectory("oss_dd_probe").toString
+    val probe = new ObjectStoreSimFs()
+    val n = withFs(probe) {
+      DedupIndex.build(corpus(0 until 24), probeDir, nBuckets = 4)
+      val before = probe.ops
+      DedupIndex.upsert(spark, probeDir, corpus(20 until 32), nBuckets = 4)
+      probe.ops - before
+    }
+    info(s"dedup upsert schedule: $n object ops")
+    for (b <- Seq(0L, n / 3, 2 * n / 3, n - 1).filter(_ >= 0).distinct) {
+      val dir = Files.createTempDirectory(s"oss_dd_$b").toString
+      withFs(new ObjectStoreSimFs()) {
+        DedupIndex.build(corpus(0 until 24), dir, nBuckets = 4)
+      }
+      val crashed = withFs(new ObjectStoreSimFs(budget = b)) {
+        try { DedupIndex.upsert(spark, dir, corpus(20 until 32), nBuckets = 4); false }
+        catch { case _: CrashHooks.InjectedCrash => true }
+      }
+      withFs(new ObjectStoreSimFs()) {
+        // a read heals (torn swaps restored, bands re-derived) and serves
+        DedupIndex.queryBatch(spark, dir, corpus(100 until 104), nBuckets = 4).collect()
+        if (crashed) DedupIndex.upsert(spark, dir, corpus(20 until 32), nBuckets = 4)
+      }
+      val twinDir = Files.createTempDirectory(s"oss_ddtwin_$b").toString
+      DedupIndex.build(corpus(0 until 24), twinDir, nBuckets = 4)
+      DedupIndex.upsert(spark, twinDir, corpus(20 until 32), nBuckets = 4)
+      assert(sigRows(dir) == sigRows(twinDir),
+        s"window $b: healed+replayed sig table diverges from twin")
+      def q(d: String) = DedupIndex.queryBatch(spark, d, corpus(28 until 36), nBuckets = 4)
+        .select("query_id", "match_id").collect().map(_.toSeq).toSet
+      assert(q(dir) == q(twinDir), s"window $b: query results diverge from twin")
+    }
+  }
+
   test("e2e delta mode: every append window leaves the commit invisible; replay converges") {
     val probeCat = {
       val cat = new VectorStoreCatalog(spark,
