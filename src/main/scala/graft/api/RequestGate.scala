@@ -159,4 +159,24 @@ object RequestGate {
       new SlidingWindowLimiter(100, 60, clock),
       new SlidingWindowLimiter(200, 60, clock),
       new OffenderTracker(clock = clock))
+
+  /** Background cleanup loop (`app/tasks/cleanup.py:16-49` runs every
+    * 60 s): periodically drop fully-expired limiter keys so dead
+    * tenants/IPs never accumulate in a long-lived driver. Daemon thread;
+    * `close()` stops it promptly. Exceptions are contained per tick (the
+    * reference loop likewise survives a failed cleanup pass).
+    */
+  def startCleanupLoop(gate: Gate, intervalMs: Long = 60000L): AutoCloseable = {
+    require(intervalMs > 0, "intervalMs must be positive")
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      while (!stop.await(intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try { gate.ip.cleanup(); gate.tenant.cleanup() }
+        catch { case _: Throwable => () }
+      }
+    }, "graft-gate-cleanup")
+    t.setDaemon(true)
+    t.start()
+    () => { stop.countDown(); t.join(1000) }
+  }
 }

@@ -117,6 +117,25 @@ class RequestGateSpec extends AnyFunSuite {
     }
   }
 
+  test("cleanup loop: expired keys drop on the next tick; close() stops the thread") {
+    val clk = new FakeClock
+    val gate = new RequestGate.Gate(
+      new RequestGate.SlidingWindowLimiter(5, 60, clk.fn),
+      new RequestGate.SlidingWindowLimiter(5, 60, clk.fn),
+      new RequestGate.OffenderTracker(clock = clk.fn))
+    gate.admit("1.1.1.1", "t1"); gate.admit("2.2.2.2", "t2")
+    assert(gate.ip.trackedKeys == 2 && gate.tenant.trackedKeys == 2)
+    val loop = RequestGate.startCleanupLoop(gate, intervalMs = 25L)
+    try {
+      clk.advanceSec(61) // every window now expired
+      val deadline = System.nanoTime() + 5000000000L
+      while ((gate.ip.trackedKeys > 0 || gate.tenant.trackedKeys > 0) &&
+             System.nanoTime() < deadline) Thread.sleep(10)
+      assert(gate.ip.trackedKeys == 0 && gate.tenant.trackedKeys == 0,
+        "cleanup loop did not drop expired keys within 5s")
+    } finally loop.close()
+  }
+
   test("end-to-end with catalog auth: repeated bad secrets lock the client out; good auth clears") {
     val clk = new FakeClock
     val gate = RequestGate.default(clk.fn)
