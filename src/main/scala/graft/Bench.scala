@@ -416,9 +416,10 @@ object Bench {
       // query) is the dominant, corpus-size-independent term.
       "b22_curate_batch" -> (() => {
         b22Gen += 1
+        // 1e9-spaced offsets above 1e12: disjoint from corpus ids at any sf
         val inc = docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + lit(b22Gen * 10000000L)).as("doc_id"),
-            col("text"))
+          .select((col("doc_id") + lit(1000000000000L + b22Gen * 1000000000L))
+            .as("doc_id"), col("text"))
         graft.streaming.CurateStream.curateBatch(spark, inc,
           s"$prepDir/curidx", s"$prepDir/curated",
           minQuality = 0.3, threshold = 0.75, nBuckets = 16)

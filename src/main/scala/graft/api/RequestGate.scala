@@ -123,6 +123,24 @@ object RequestGate {
       * fingered a secret shouldn't stay one slip from lockout).
       */
     def clear(key: String): Unit = synchronized { store.remove(key) }
+
+    /** Drop records that can no longer influence any decision: failure
+      * window passed AND block expired. Without this, one failed attempt
+      * per scanning IP accumulates a record forever — the exact dead-key
+      * growth the cleanup loop exists to prevent (the reference tracker
+      * has the same leak; the loop here sweeps it too).
+      */
+    def cleanup(): Int = synchronized {
+      val now = clock()
+      val dead = store.collect {
+        case (k, r) if now - r.firstSeen > windowSec * 1000L &&
+          r.blockedUntil <= now => k
+      }.toSeq
+      dead.foreach(store.remove)
+      dead.size
+    }
+
+    def trackedKeys: Int = synchronized(store.size)
   }
 
   /** The assembled per-request gate in middleware order (`app/main.py:
@@ -171,7 +189,7 @@ object RequestGate {
     val stop = new java.util.concurrent.CountDownLatch(1)
     val t = new Thread(() => {
       while (!stop.await(intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        try { gate.ip.cleanup(); gate.tenant.cleanup() }
+        try { gate.ip.cleanup(); gate.tenant.cleanup(); gate.offenders.cleanup() }
         catch { case _: Throwable => () }
       }
     }, "graft-gate-cleanup")

@@ -145,7 +145,10 @@ object Knn {
     * handing an unbounded query DataFrame to [[search]].
     */
   @volatile var maxFusedQueries: Int =
-    sys.env.get("GRAFT_KNN_MAX_FUSED").map(_.toInt).getOrElse(4096)
+    sys.env.get("GRAFT_KNN_MAX_FUSED")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(v => v > 0 && v < Int.MaxValue) // lenient: a bad value must
+      .getOrElse(4096) // not crash the object initializer; overflow-safe +1
 
   private[graft] def fusedCandidates(corpus: DataFrame, queries: DataFrame,
       metric: String, k: Int, band: Option[(Double, Double)]): DataFrame = {

@@ -95,6 +95,10 @@ object TemporalJoin {
     requireNoReserved(left, "left", "asof_ts", "_side", "_tie", "_l", "_r", "_m")
     requireNoReserved(right, "right", "asof_ts", "_side", "_tie", "_l", "_r", "_m")
     val tie = rightTie.getOrElse(rightPayload.head)
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(tie).dataType),
+      s"tie column $tie has unorderable type ${right.schema(tie).dataType}; " +
+        "pick an orderable rightTie (any numeric/string/timestamp works)")
 
     // Tag and union: right rows sort BEFORE left rows at equal ts (side 0 <
     // side 1), making the match inclusive (ts_r <= ts_l). The tie column is

@@ -112,7 +112,13 @@ object DedupIndex {
   def vacuum(dir: String): Int = lockFor(dir).synchronized {
     def debris(p: Path): Boolean = {
       val n = p.getFileName.toString
-      n.contains("_tmp_") || n.startsWith("_aside_") || n == "_temporary"
+      // a published aside whose canonical slot is unpublished is the last
+      // complete generation of a torn swap — healTornCommit's restore
+      // input, not debris (see VectorStoreCatalog.vacuum)
+      val asideDebris = n.startsWith("_aside_") &&
+        !(VectorStoreCatalog.fs.isPublished(p) &&
+          !VectorStoreCatalog.asideCanonical(p).exists(VectorStoreCatalog.fs.isPublished))
+      n.contains("_tmp_") || asideDebris || n == "_temporary"
     }
     def sweep(d: Path): Int =
       VectorStoreCatalog.listChildren(d).map { c =>

@@ -92,15 +92,23 @@ object SparseIndex {
   private def listChildren(p: Path): Seq[Path] =
     VectorStoreCatalog.listChildren(p)
 
-  /** Live (PUBLISHED) dictionary-delta commits — an unpublished `dNNN` is
-    * a torn copy-then-delete append ([[FsOps]]) and must not contribute
-    * counts; vacuum sweeps it.
+  /** Live dictionary-delta commits. Object-store semantics: published dirs
+    * only — an unpublished `dNNN` is a torn copy-then-delete append
+    * ([[FsOps]]) and must not contribute counts. POSIX semantics: an
+    * unpublished dir is complete (atomic move) — legacy pre-marker commits
+    * included — and is backfill-published rather than silently dropped.
     */
-  private def termDeltaFiles(dir: String): Seq[Path] =
-    listChildren(termDeltaDir(dir))
+  private def termDeltaFiles(dir: String): Seq[Path] = {
+    val f = VectorStoreCatalog.fs
+    val dirs = listChildren(termDeltaDir(dir))
       .filter(d => d.getFileName.toString.startsWith("d"))
-      .filter(VectorStoreCatalog.fs.isPublished)
       .sortBy(_.toString)
+    if (f.atomicMoves) {
+      dirs.filterNot(f.isPublished)
+        .foreach(d => scala.util.Try(f.publish(d)))
+      dirs.filter(Files.exists(_))
+    } else dirs.filter(f.isPublished)
+  }
 
   /** Persisted monotonic commit sequence for dictionary-delta file names —
     * the dictionary twin of the data table's `nextDeltaSeq`

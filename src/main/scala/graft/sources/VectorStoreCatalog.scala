@@ -457,11 +457,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         val n = p.getFileName.toString
         // an UNPUBLISHED delta commit (data `_delta/dNNN` or dictionary
         // `termdf_delta/dNNN`) is a torn copy-then-delete append — readers
-        // already skip it; sweep it like any other phase-1 leftover
-        val tornDelta = n.matches("d\\d+") && Files.isDirectory(p) &&
+        // already skip it; sweep it like any other phase-1 leftover. Only
+        // under NON-ATOMIC fs: with POSIX renames an unpublished dir is a
+        // COMPLETE legacy/pre-publish commit that readers backfill-publish
+        // (liveDeltas) — sweeping it here would destroy live rows.
+        val tornDelta = !VectorStoreCatalog.fs.atomicMoves &&
+          n.matches("d\\d+") && Files.isDirectory(p) &&
           !VectorStoreCatalog.fs.isPublished(p) &&
           Set("_delta", "termdf_delta").contains(p.getParent.getFileName.toString)
-        (n.contains("_tmp_") || n.startsWith("_aside_") ||
+        // an aside is debris ONLY once its swap is resolved: if the aside
+        // is published while its canonical slot is NOT, the aside is the
+        // last complete generation and healTornCommit needs it to restore
+        // — deleting it here (e.g. a manual vacuum() before any read
+        // triggered the heal) would be silent loss of the old generation
+        val asideDebris = n.startsWith("_aside_") &&
+          !(VectorStoreCatalog.fs.isPublished(p) &&
+            !VectorStoreCatalog.asideCanonical(p).exists(VectorStoreCatalog.fs.isPublished))
+        (n.contains("_tmp_") || asideDebris ||
           n.contains("._tmp") || n.contains("._cp") || n.contains("._pubtmp") ||
           n == "_temporary" || tornDelta) &&
           Files.getLastModifiedTime(p).toMillis <= cutoff
@@ -892,13 +904,25 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     VectorStoreCatalog.fs.moveAndPublish(tmp, dd.resolve(f"d$seq%012d"))
   }
 
-  /** Pending delta commits VISIBLE to readers: published dirs only — an
-    * unpublished `dNNN` is a torn copy-then-delete commit (or one that
-    * crashed before its publish) and must never surface rows.
+  /** Pending delta commits VISIBLE to readers. Under object-store semantics
+    * an unpublished `dNNN` is a torn copy-then-delete commit and must never
+    * surface rows. Under POSIX renames an unpublished dir is COMPLETE by
+    * construction — it is either a legacy (pre-marker) commit or one whose
+    * atomic move landed before the crash — so it is backfill-published on
+    * first read rather than silently dropped (and then vacuum-deleted):
+    * the at-least-once contract admits treating it as applied.
     */
-  private def liveDeltas(tenant: String, model: String): Seq[Path] =
-    listDirs(deltaDir(tenant, model))
-      .filter(VectorStoreCatalog.fs.isPublished)
+  private def liveDeltas(tenant: String, model: String): Seq[Path] = {
+    val f = VectorStoreCatalog.fs
+    val dirs = listDirs(deltaDir(tenant, model))
+    if (f.atomicMoves) {
+      // lock-free readers may race a fold's delete of the same dir —
+      // a failed backfill just leaves the dir for the next reader
+      dirs.filterNot(f.isPublished)
+        .foreach(d => scala.util.Try(f.publish(d)))
+      dirs.filter(Files.exists(_))
+    } else dirs.filter(f.isPublished)
+  }
 
   /** S3: flush/OPTIMIZE hook — parquet writes are already atomic commits
     * here, so flush is a small-file COMPACTION, restricted to buckets that
@@ -1932,6 +1956,15 @@ object VectorStoreCatalog {
   }
 
   private val AsideName = "^_aside_(.+)_\\d+$".r
+
+  /** The canonical slot an aside dir belongs to, if its name records one
+    * (r10 naming; pre-r10 `_aside_<nano>` asides carry no slot).
+    */
+  private[graft] def asideCanonical(aside: Path): Option[Path] =
+    aside.getFileName.toString match {
+      case AsideName(slot) => Some(aside.resolveSibling(slot))
+      case _               => None
+    }
 
   /** Restore torn swaps under `root` (recursive sweep, run by the
     * torn-commit heal BEFORE any derived-table rebuild): for every stranded

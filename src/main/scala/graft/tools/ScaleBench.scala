@@ -165,6 +165,11 @@ object ScaleBench {
     val dedupIncrement = Tables.load(spark, src, "documents")
       .select("doc_id", "text")
       .filter(col("doc_id") % 5 === 0 && col("doc_id") < 2560)
+    // b22 iteration counter (fresh keys per timed call). The curidx fixture
+    // is cached across ScaleBench runs and curateBatch MUTATES it: each
+    // timed call grows the accepted corpus by ≤512 docs — negligible drift
+    // vs the 50k/500k bases, and every call ingests genuinely new keys.
+    var b22Gen = 0
     def headliners(sfDir: String, tag: String): Seq[(String, () => DataFrame)] = {
       // lazy: with SPARK_GRAFT_SCALE_ONLY restricted to queries that read
       // no persisted index (e.g. the map-side curation filters), the index
@@ -255,8 +260,12 @@ object ScaleBench {
         // touched-buckets-only merge should keep it near-flat. Fresh keys
         // per call (nanoTime-offset) so timed iterations ingest, not no-op.
         "b22_curate_batch" -> (() => {
+          // monotonic 1e9-spaced key offsets above 1e12: disjoint from any
+          // replicated corpus id (≤ ~5e8 even at 100×) and from every other
+          // iteration — nanoTime-derived offsets collided at 1e6 spacing
+          b22Gen += 1
           val inc = dedupIncrement.select(
-            (col("doc_id") + lit((System.nanoTime() % 1000000L) * 1000000L))
+            (col("doc_id") + lit(1000000000000L + b22Gen * 1000000000L))
               .as("doc_id"), col("text"))
           graft.streaming.CurateStream.curateBatch(spark, inc,
             p.curDir, s"$out/prep_$tag/curated",

@@ -246,6 +246,58 @@ class ObjectStoreCommitSpec extends SparkSpec {
     }
   }
 
+  test("legacy pre-marker delta commits are backfill-published, not dropped or vacuumed") {
+    // a delta dir written by pre-r10 code has no _pub marker; under POSIX
+    // renames it is COMPLETE — readers must backfill-publish it (silently
+    // dropping it would lose rows, and vacuum would then delete them)
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("oss_legacy").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 4, nlist = 2,
+      extraProps = Map("n_buckets" -> "2", "ingest_mode" -> "delta")))
+    cat.insert("t", "m", docs(0 until 6))
+    // simulate the legacy on-disk state: strip the publish markers
+    val deltaRoot = cat.tableDir("t", "m").resolve("_delta")
+    val pending = VectorStoreCatalog.listChildren(deltaRoot)
+      .filter(Files.isDirectory(_))
+    assert(pending.nonEmpty)
+    pending.foreach(d => Files.deleteIfExists(d.resolve("_pub")))
+    assert(rows(cat).size == 6, "legacy unpublished delta rows must surface")
+    assert(pending.forall(AtomicFs.isPublished),
+      "reader must backfill-publish complete legacy commits")
+    cat.vacuum("t", "m")
+    assert(rows(cat).size == 6, "vacuum must not sweep backfilled commits")
+  }
+
+  test("vacuum preserves a published aside whose canonical slot is unpublished (heal input)") {
+    val cat = mkCat(Files.createTempDirectory("oss_vacuum"))
+    cat.insert("t", "m", docs(0 until 6))
+    // fabricate the torn-swap state on a real slot: canonical unpublished
+    // (torn copy), aside published (the last complete generation)
+    val dataRoot = cat.tableDir("t", "m").resolve("data")
+    val part = VectorStoreCatalog.listChildren(dataRoot)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("part="))
+      .head
+    val slot = VectorStoreCatalog.listChildren(part)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_bucket="))
+      .head
+    val aside = slot.resolveSibling("_aside_" + slot.getFileName + "_99")
+    AtomicFs.copyTree(slot, aside)
+    AtomicFs.publish(aside)
+    Files.deleteIfExists(slot.resolve("_pub"))
+    cat.vacuum("t", "m")
+    assert(Files.exists(aside),
+      "vacuum deleted the only complete generation of a torn slot")
+    // the heal then restores it
+    VectorStoreCatalog.healAsides(cat.tableDir("t", "m"))
+    assert(!Files.exists(aside) && AtomicFs.isPublished(slot))
+    assert(rows(cat).size == 6)
+    // once the canonical is published again, a stale aside IS debris
+    val debris = slot.resolveSibling("_aside_" + slot.getFileName + "_100")
+    AtomicFs.copyTree(slot, debris)
+    assert(cat.vacuum("t", "m") >= 1)
+    assert(!Files.exists(debris))
+  }
+
   test("e2e dedup index: upsert crashed mid-schedule under copy-then-delete heals and converges") {
     import org.apache.spark.sql.DataFrame
     import graft.sources.DedupIndex

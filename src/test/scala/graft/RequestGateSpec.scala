@@ -117,6 +117,24 @@ class RequestGateSpec extends AnyFunSuite {
     }
   }
 
+  test("offender cleanup drops only spent records (window passed, block expired)") {
+    val clk = new FakeClock
+    val t = new RequestGate.OffenderTracker(maxAttempts = 5, windowSec = 60,
+      blockSec = 200, clock = clk.fn)
+    t.registerFailure("scanner1")           // one-and-done scanner
+    clk.advanceSec(30)
+    t.registerFailure("active")             // inside its window
+    (1 to 6).foreach(_ => t.registerFailure("blocked")) // blocked for 200s
+    clk.advanceSec(35) // scanner1's window passed; active's has not
+    assert(t.trackedKeys == 3)
+    assert(t.cleanup() == 1, "only the spent scanner record drops")
+    assert(t.trackedKeys == 2)
+    assert(t.isBlocked("blocked")._1, "blocked record must survive cleanup")
+    clk.advanceSec(200) // block expired AND window long past
+    assert(t.cleanup() == 2)
+    assert(t.trackedKeys == 0)
+  }
+
   test("cleanup loop: expired keys drop on the next tick; close() stops the thread") {
     val clk = new FakeClock
     val gate = new RequestGate.Gate(
