@@ -88,8 +88,12 @@ object ScaleBench {
     }
 
     // ---- untimed prep at BOTH scales (persisted serving state) ----
-    case class Prep(ivf: Ivf.Index, ivfDocs: Ivf.Index, bmDir: String,
-      g: Hnsw.Graph, ddDir: String, curDir: String)
+    // per-index THUNKS: with SPARK_GRAFT_SCALE_ONLY restricted to queries
+    // that never touch an index family, that family's build/load never runs
+    // (a b22-only 100x run must not require the 100x HNSW graph)
+    case class Prep(ivf: () => Ivf.Index, ivfDocs: () => Ivf.Index,
+      bmDir: () => String, g: () => Hnsw.Graph, ddDir: () => String,
+      curDir: () => String)
     def loadIvf(dir: String): Ivf.Index = Ivf.Index(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/clustered"), "COSINE")
@@ -102,57 +106,79 @@ object ScaleBench {
         idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
       }
     def prep(sfDir: String, tag: String): Prep = {
-      val ivfDir = s"$out/prep_$tag/ivf"
-      buildIvf(ivfDir, Tables.ordersCorpus(spark, sfDir).select("doc_id", "dv"))
+      lazy val ivfDir = {
+        val d = s"$out/prep_$tag/ivf"
+        buildIvf(d, Tables.ordersCorpus(spark, sfDir).select("doc_id", "dv"))
+        d
+      }
       // second IVF over the embedding-backed corpus: the dense leg of the
       // indexed hybrid (b4b) — same collection as the sparse leg's corpus
-      val ivfDocsDir = s"$out/prep_$tag/ivf_docs"
-      buildIvf(ivfDocsDir, Tables.docsCorpus(spark, sfDir)
-        .select(col("doc_id"), col("qv").as("dv")))
-      val bmDir = s"$out/prep_$tag/bm25"
-      if (!graft.sources.SparseIndex.exists(bmDir))
-        graft.sources.SparseIndex.write(
-          Bm25.fit(Tables.load(spark, sfDir, "documents")), bmDir, nBuckets = 16)
-      val hnswDir = s"$out/prep_$tag/hnsw"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$hnswDir/nodes"))) {
-        val g = Hnsw.build(Tables.docsCorpus(spark, sfDir)
-          .select(col("doc_id"), col("qv").as("dv")), m = 8)
-        g.nodes.write.mode("overwrite").parquet(s"$hnswDir/nodes")
-        g.edges.write.mode("overwrite").parquet(s"$hnswDir/edges")
-        g.entries.write.mode("overwrite").parquet(s"$hnswDir/entries")
+      lazy val ivfDocsDir = {
+        val d = s"$out/prep_$tag/ivf_docs"
+        buildIvf(d, Tables.docsCorpus(spark, sfDir)
+          .select(col("doc_id"), col("qv").as("dv")))
+        d
       }
-      val g = Hnsw.Graph(
-        spark.read.parquet(s"$hnswDir/nodes"),
-        spark.read.parquet(s"$hnswDir/edges"),
-        spark.read.parquet(s"$hnswDir/entries"), "COSINE")
+      lazy val bmDir = {
+        val d = s"$out/prep_$tag/bm25"
+        if (!graft.sources.SparseIndex.exists(d))
+          graft.sources.SparseIndex.write(
+            Bm25.fit(Tables.load(spark, sfDir, "documents")), d, nBuckets = 16)
+        d
+      }
+      lazy val g = {
+        val hnswDir = s"$out/prep_$tag/hnsw"
+        // completeness check on ALL THREE tables: a killed prior build can
+        // strand nodes without edges/entries — rebuild rather than crash
+        val whole = Seq("nodes", "edges", "entries").forall(t =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(s"$hnswDir/$t")))
+        if (!whole) {
+          val built = Hnsw.build(Tables.docsCorpus(spark, sfDir)
+            .select(col("doc_id"), col("qv").as("dv")), m = 8)
+          built.nodes.write.mode("overwrite").parquet(s"$hnswDir/nodes")
+          built.edges.write.mode("overwrite").parquet(s"$hnswDir/edges")
+          built.entries.write.mode("overwrite").parquet(s"$hnswDir/entries")
+        }
+        Hnsw.Graph(
+          spark.read.parquet(s"$hnswDir/nodes"),
+          spark.read.parquet(s"$hnswDir/edges"),
+          spark.read.parquet(s"$hnswDir/entries"), "COSINE")
+      }
       // Dedup index corpus: worst-case identical-text replica at ≤10×;
       // constant-density replica at >10× — there the exclusion removes the
       // increment docs' r=0 content twins, so BOTH scales' queries see the
       // same base-rate candidate set and the slope isolates corpus-size
       // cost (band-partition reads) from candidate volume.
-      val ddDir =
-        if (constDensityDedup) s"$out/prep_$tag/dedupidx_cd"
-        else s"$out/prep_$tag/dedupidx"
-      if (!graft.sources.DedupIndex.exists(ddDir)) {
-        val ddDocs =
-          if (!constDensityDedup || sfDir == src)
-            Tables.load(spark, sfDir, "documents").select("doc_id", "text")
-              .filter(col("doc_id") % 5 =!= 0)
-          else
-            spark.read.parquet(s"$out/documents_cd.parquet")
-              .select("doc_id", "text")
-              .filter(!(col("doc_id") % factor === 0 &&
-                expr(s"doc_id DIV $factor") % 5 === 0))
-        graft.sources.DedupIndex.build(ddDocs, ddDir, nBuckets = 16)
+      lazy val ddDir = {
+        val d =
+          if (constDensityDedup) s"$out/prep_$tag/dedupidx_cd"
+          else s"$out/prep_$tag/dedupidx"
+        if (!graft.sources.DedupIndex.exists(d)) {
+          val ddDocs =
+            if (!constDensityDedup || sfDir == src)
+              Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+                .filter(col("doc_id") % 5 =!= 0)
+            else
+              spark.read.parquet(s"$out/documents_cd.parquet")
+                .select("doc_id", "text")
+                .filter(!(col("doc_id") % factor === 0 &&
+                  expr(s"doc_id DIV $factor") % 5 === 0))
+          graft.sources.DedupIndex.build(ddDocs, d, nBuckets = 16)
+        }
+        d
       }
       // streaming-curation index: SEPARATE from ddDir (curateBatch MUTATES
       // its index via ingestDeduped) — built over the same 80% split
-      val curDir = s"$out/prep_$tag/curidx"
-      if (!graft.sources.DedupIndex.exists(curDir))
-        graft.sources.DedupIndex.build(
-          Tables.load(spark, sfDir, "documents").select("doc_id", "text")
-            .filter(col("doc_id") % 5 =!= 0), curDir, nBuckets = 16)
-      Prep(loadIvf(ivfDir), loadIvf(ivfDocsDir), bmDir, g, ddDir, curDir)
+      lazy val curDir = {
+        val d = s"$out/prep_$tag/curidx"
+        if (!graft.sources.DedupIndex.exists(d))
+          graft.sources.DedupIndex.build(
+            Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+              .filter(col("doc_id") % 5 =!= 0), d, nBuckets = 16)
+        d
+      }
+      Prep(() => loadIvf(ivfDir), () => loadIvf(ivfDocsDir), () => bmDir,
+        () => g, () => ddDir, () => curDir)
     }
 
     // full-materialization guard, applied at the timing site (see Bench)
@@ -179,14 +205,14 @@ object ScaleBench {
         "b1_knn_cos_64q" -> (() => Knn.search(Tables.ordersCorpus(spark, sfDir),
           q64, SearchParams(limit = 10, outputFields = Nil))),
         "b5b_ivf_probe_persisted" -> (() =>
-          Ivf.probePersisted(p.ivf, q64, nprobe = 16, k = 10)),
+          Ivf.probePersisted(p.ivf(), q64, nprobe = 16, k = 10)),
         "b14_hnsw_search" -> (() => {
           val queries = Tables.docsCorpus(spark, sfDir).filter(col("doc_id") < 8)
             .select(col("doc_id").as("qid"), col("qv"))
-          Hnsw.search(p.g, queries, k = 10, ef = 64)
+          Hnsw.search(p.g(), queries, k = 10, ef = 64)
         }),
         "b3b_bm25_persisted" -> (() => Bm25.searchTopK(
-          graft.sources.SparseIndex.read(spark, p.bmDir),
+          graft.sources.SparseIndex.read(spark, p.bmDir()),
           (0L until 8L).map(_ -> "spark join window merge data"), 10)),
         // the reference's signature operator in its 100 TB form: dense leg
         // from the persisted IVF (cell-pruned partition reads), sparse leg
@@ -195,10 +221,10 @@ object ScaleBench {
         "b4b_hybrid_indexed" -> (() => {
           val queries = Tables.docsCorpus(spark, sfDir).filter(col("doc_id") < 8)
             .select(col("doc_id").as("qid"), col("qv"))
-          val dense = Ivf.probePersisted(p.ivfDocs, queries, nprobe = 16, k = 50)
+          val dense = Ivf.probePersisted(p.ivfDocs(), queries, nprobe = 16, k = 50)
             .select(col("qid"), col("doc_id"), col("score").as("rawScore"))
           Hybrid.searchScored(dense,
-            graft.sources.SparseIndex.read(spark, p.bmDir),
+            graft.sources.SparseIndex.read(spark, p.bmDir()),
             (0L until 8L).map(_ -> "spark join window merge data"),
             SearchParams(limit = 10))
         }),
@@ -212,7 +238,7 @@ object ScaleBench {
         "b7_dedup_full_recompute" -> (() => Dedup.lshCandidatePairs(
           Dedup.minhashSignatures(Tables.load(spark, sfDir, "documents")))),
         "b7c_dedup_incr_query" -> (() => graft.sources.DedupIndex.queryBatch(
-          spark, p.ddDir, dedupIncrement, nBuckets = 16)),
+          spark, p.ddDir(), dedupIncrement, nBuckets = 16)),
         // curation throughput floor: the Gopher+C4 map-side gates over the
         // whole corpus — linear by design (every doc is read once); the
         // claim under measure is constant PER-DOC cost (slope ≈ 1/f · t1/t0
@@ -268,7 +294,7 @@ object ScaleBench {
             (col("doc_id") + lit(1000000000000L + b22Gen * 1000000000L))
               .as("doc_id"), col("text"))
           graft.streaming.CurateStream.curateBatch(spark, inc,
-            p.curDir, s"$out/prep_$tag/curated",
+            p.curDir(), s"$out/prep_$tag/curated",
             minQuality = 0.3, threshold = 0.75, nBuckets = 16)
           spark.range(1).toDF("ok")
         }),

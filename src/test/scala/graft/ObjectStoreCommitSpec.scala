@@ -246,6 +246,43 @@ class ObjectStoreCommitSpec extends SparkSpec {
     }
   }
 
+  test("lock-free readers never fail during copy-then-delete commit churn; state converges") {
+    // the ConcurrentServingSpec claim under OBJECT-STORE semantics, where
+    // the reader-visible swap window is wider (per-object deletes + copies
+    // instead of two renames): `ignoreMissingFiles` still turns every race
+    // into a transient undercount, never an exception, and a reader that
+    // stats an armed intent marker blocks on the collection lock until the
+    // commit finishes (then finds nothing to heal)
+    import scala.jdk.CollectionConverters._
+    val cat = mkCat(Files.createTempDirectory("oss_conc"))
+    withFs(new ObjectStoreSimFs()) {
+      cat.insert("t", "m", docs(0 until 24))
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      @volatile var stop = false
+      val readers = (0 until 2).map { r =>
+        new Thread(() => {
+          while (!stop) {
+            try {
+              val n = cat.load("t", "m").count()
+              assert(n >= 0 && n <= 32)
+              val resp = cat.search(SearchRequest("t", "m", vec(3 + r),
+                limit = 3, hybridSearch = true, textFilter = Some("alpha")))
+              assert(resp != null)
+            } catch { case t: Throwable => errors.add(t); stop = true }
+          }
+        }, s"oss-reader-$r")
+      }
+      readers.foreach(_.start())
+      for (i <- 0 until 6)
+        cat.insert("t", "m", docs((i % 3) * 4 until (i % 3) * 4 + 12))
+      stop = true
+      readers.foreach(_.join(30000))
+      assert(errors.isEmpty,
+        s"reader failures under object-store churn: ${errors.asScala.take(3).map(_.toString)}")
+      assert(rows(cat) == docs(0 until 24).map(d => (d.key, d.chunk)).toSet)
+    }
+  }
+
   test("legacy pre-marker delta commits are backfill-published, not dropped or vacuumed") {
     // a delta dir written by pre-r10 code has no _pub marker; under POSIX
     // renames it is COMPLETE — readers must backfill-publish it (silently
