@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's final stdout line as bare JSON; sbt's
+// default logger decorates forked output with "[info] " which broke the
+// parse two rounds running. StdoutOutput passes the child's stdout through
+// undecorated. Set in every scope run/runMain resolve forkOptions from.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 ThisBuild / scalacOptions ++= Seq("-deprecation", "-feature")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

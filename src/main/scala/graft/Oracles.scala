@@ -1747,4 +1747,50 @@ object Oracles {
        |  FROM vocab v, unnest(range(1, length(v.term) + 1)) AS u(i))
        |SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c
        |FROM pairs GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1""".stripMargin
+
+  /** FULL BPE training-loop oracle (Bpe.train, `numMerges` rounds): the two
+    * already-green primitives composed `numMerges` times as chained CTEs.
+    *
+    * Round k (k = 1..n) over the evolving vocab v(k-1), held as the
+    * double-separator symbol string of [[bpeEncode]] plus its word count:
+    *  - s_k: split the string back into its symbol list;
+    *  - p_k: weighted adjacent-pair counts (the [[bpeFirstMerge]] relation,
+    *    but over the CURRENT symbols instead of raw characters);
+    *  - m_k: the argmax row under train's exact (c DESC, a, b) tie-break —
+    *    both engines compare ASCII strings bytewise, so ties agree;
+    *  - v_k: one whole-symbol `replace('.a..b.', '.ab.')` per word (the
+    *    [[bpeEncode]] merge step) via a CROSS JOIN against the 1-row m_k.
+    * The final SELECT unions m_1..m_n with their literal ranks. Early
+    * exhaustion agrees for free: an empty p_k makes m_k (and every later
+    * round) empty, exactly where `train` breaks its loop.
+    */
+  def bpeMerges(numMerges: Int): String = {
+    val init = """'..' || regexp_replace(term, '(.)', '\1..', 'g') || '</w>..'"""
+    // v_k and m_k are each referenced twice (next round + final union):
+    // MATERIALIZED pins one evaluation per round — inlining would expand
+    // v0 2^n times and never finish
+    val rounds = (1 to numMerges).map { k =>
+      s"""s$k AS (SELECT list_filter(string_split(s, '..'), x -> x <> '') AS syms, cnt
+         |        FROM v${k - 1}),
+         |p$k AS (SELECT syms[u.i] AS a, syms[u.i + 1] AS b, SUM(cnt) AS c
+         |        FROM s$k, unnest(range(1, len(syms))) AS u(i)
+         |        GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |        SELECT replace(v.s, '.' || m.a || '..' || m.b || '.',
+         |                       '.' || m.a || m.b || '.') AS s, v.cnt AS cnt
+         |        FROM v${k - 1} v CROSS JOIN m$k m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to numMerges).map { k =>
+      s"""SELECT CAST($k AS INT) AS rank, a, b, a || b AS merged,
+         |       CAST(c AS BIGINT) AS pair_count FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |         x -> x <> '')) AS term
+       |  FROM documents),
+       |v0 AS (SELECT $init AS s, COUNT(*) AS cnt FROM toks GROUP BY term),
+       |$rounds
+       |$union""".stripMargin
+  }
 }

@@ -320,9 +320,11 @@ object SparkEntry {
         graft.functions.Normalize.nfc(col("text2")).as("nfc_text"))
     }),
 
-    // ---- BPE tokenizer training (Sennrich merges over the corpus vocab;
-    //      iterative argmax is not SQL-expressible, so this is a rows-only
-    //      check — the merge semantics are spec-pinned in BpeSpec) ----
+    // ---- BPE tokenizer training (Sennrich merges over the corpus vocab).
+    //      The merge count is fixed (12), so the loop IS SQL-expressible:
+    //      the oracle chains 12 CTE rounds, each composing the argmax
+    //      primitive of q_bpe_first_merge with the whole-symbol replace of
+    //      q_bpe_encode (Oracles.bpeMerges) ----
     "q_bpe_merges" -> ((s, dir) => {
       import s.implicits._
       Bpe.train(Tables.load(s, dir, "documents"), numMerges = 12)
@@ -892,6 +894,7 @@ object SparkEntry {
     "q_nfc_normalize" -> Oracles.nfcNormalize,
     "q_bpe_encode"    -> Oracles.bpeEncode,
     "q_bpe_first_merge" -> Oracles.bpeFirstMerge,
+    "q_bpe_merges"    -> Oracles.bpeMerges(12),
     "q_ngram_overlap" -> Oracles.ngramOverlap(8),
     "q_repetition"    -> Oracles.repetition,
     "q_substr_spans"  -> Oracles.substrSpans(4),
