@@ -113,6 +113,34 @@ object Bench {
     def persistedPq1024 = Ivf.Pq(prepIdx1024.centroids,
       spark.read.parquet(s"$prepDir/pq1024/clustered"), prepPq1024.codebooks, "COSINE")
 
+    // dim-384 GRAPH + HYBRID width points (b14c/b4d): the same docs corpus
+    // b14/b4c serve, vectors widened to the reference's default width 384
+    // (appsettings default_dimension) — corpus size and query count are
+    // held constant, so the delta vs b14/b4c isolates kernel width in the
+    // beam-search and probe paths. Materialized to parquet first (stored
+    // vectors, not an in-plan transform), like orders384.
+    docsCorpus.select(col("doc_id"),
+        Tables.synthVec(col("doc_id"), 384).as("dv"))
+      .write.mode("overwrite").parquet(s"$prepDir/docs384")
+    def docs384 = spark.read.parquet(s"$prepDir/docs384")
+    val g384 = Hnsw.build(docs384, m = 8)
+    g384.nodes.write.mode("overwrite").parquet(s"$prepDir/hnsw384/nodes")
+    g384.edges.write.mode("overwrite").parquet(s"$prepDir/hnsw384/edges")
+    g384.entries.write.mode("overwrite").parquet(s"$prepDir/hnsw384/entries")
+    def hnsw384 = Hnsw.Graph(
+      spark.read.parquet(s"$prepDir/hnsw384/nodes"),
+      spark.read.parquet(s"$prepDir/hnsw384/edges"),
+      spark.read.parquet(s"$prepDir/hnsw384/entries"), "COSINE")
+    val prepDocs384Idx = Ivf.build(docs384, nlist = 256, maxIter = 5)
+    prepDocs384Idx.clustered.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$prepDir/ivf_docs384/clustered")
+    prepDocs384Idx.centroids.write.mode("overwrite")
+      .parquet(s"$prepDir/ivf_docs384/centroids")
+    def persistedDocsIvf384 = Ivf.Index(
+      spark.read.parquet(s"$prepDir/ivf_docs384/centroids"),
+      spark.read.parquet(s"$prepDir/ivf_docs384/clustered"), "COSINE")
+
     // streaming-curation fixture (b22): a persisted dedup index seeded with
     // 80% of the corpus + an initially-empty curated table; each iteration
     // pushes a fresh-keyed 20% "crawl increment" through scrub → quality
@@ -177,6 +205,32 @@ object Bench {
           "deltafold", Map("g" -> g.toString), benchVec(g * 7000 + i))
       })
     benchCat.flush("bench", "deltafold")
+    // churned-vs-rebuilt HNSW serving pair (b14d/b14e): the same final
+    // corpus reached two ways — "hnswchurn" absorbed 12 upsert batches
+    // through absorbIntoHnsw (degree re-prune + stale-edge drop active),
+    // "hnswfresh" was built ONCE from the final state. The pair bounds what
+    // the absorb path's residual edge debt costs at serving time: the two
+    // rows should stay close (the r10 verdict's unbounded-growth finding
+    // would have shown up as churn >> fresh here).
+    def hnswChurnBatch(gen: Int, m: String): Seq[graft.api.EmbeddedVector] =
+      (0 until 100).map { i =>
+        val key = if (i < 50) s"seed${(gen * 83 + i * 7) % 1000}" else s"g${gen}_n$i"
+        graft.api.EmbeddedVector(key, s"bench doc $gen $i lorem ipsum", m,
+          Map("g" -> gen.toString), benchVec(gen * 1000 + i + 211))
+      }
+    for (m <- Seq("hnswchurn", "hnswfresh")) {
+      benchCat.generateSchema(graft.api.SchemaSpec("bench", m, dimension = 64,
+        indexType = "HNSW", extraProps = Map("hnsw_max_absorbs" -> "1000")))
+      benchCat.insert("bench", m, (0 until 1000).map(i =>
+        graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", m,
+          Map("g" -> "0"), benchVec(i))))
+    }
+    benchCat.persistIndex("bench", "hnswchurn") // graph exists -> churn absorbs
+    for (g <- 1 to 12)
+      benchCat.insert("bench", "hnswchurn", hnswChurnBatch(g, "hnswchurn"))
+    for (g <- 1 to 12) // data-only until the one-shot build below
+      benchCat.insert("bench", "hnswfresh", hnswChurnBatch(g, "hnswfresh"))
+    benchCat.persistIndex("bench", "hnswfresh")
     // Applied to EVERY timed query at the timing site: counting a query
     // lets Catalyst prune whatever the count does not need (the as-of lost
     // its whole window; the Gopher/C4 gates and q1's sums degenerated to
@@ -409,6 +463,31 @@ object Bench {
         Ivf.probePersisted(persistedIvf384, q384, nprobe = 8, k = 10)),
       "b15c_pq_adc_dim1024" -> (() =>
         Ivf.probePqAdc(persistedPq1024, q1024, nprobe = 8, k = 10)),
+      // graph + hybrid at width 384 (same corpus/queries as b14/b4c — the
+      // delta is the kernel width through the beam hops / probe legs)
+      "b14c_hnsw_search_dim384" -> (() => {
+        val queries = docs384.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("qid"), col("dv").as("qv"))
+        Hnsw.search(hnsw384, queries, k = 10, ef = 64)
+      }),
+      "b4d_hybrid_indexed_dim384" -> (() => {
+        val queries = docs384.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("qid"), col("dv").as("qv"))
+        val dense = Ivf.probePersisted(persistedDocsIvf384, queries,
+          nprobe = 16, k = 50)
+          .select(col("qid"), col("doc_id"), col("score").as("rawScore"))
+        Hybrid.searchScored(dense, persistedBm25,
+          (0L until 8L).map(_ -> "spark join window merge data"),
+          SearchParams(limit = 10))
+      }),
+      // churn-debt serving pair: beam search over the 12×-absorbed graph vs
+      // the one-shot rebuild of the same corpus (see fixture comment)
+      "b14d_hnsw_search_churned" -> (() =>
+        Hnsw.search(benchCat.loadHnsw("bench", "hnswchurn"),
+          Tables.queryBatch(spark, 8, 64), k = 10, ef = 64)),
+      "b14e_hnsw_search_rebuilt" -> (() =>
+        Hnsw.search(benchCat.loadHnsw("bench", "hnswfresh"),
+          Tables.queryBatch(spark, 8, 64), k = 10, ef = 64)),
       // streaming curation throughput: one micro-batch of the curate
       // pipeline (PII scrub → quality gate → LSH near-dup gate against the
       // persisted index → bucketed merge). Fresh keys per iteration: the

@@ -53,8 +53,11 @@ object RequestGate {
         Decision(allowed = false, calls, current, 0, retry)
       } else {
         q.enqueue(now)
-        Decision(allowed = true, calls, current + 1,
-          math.max(0, calls - current - 1), 0)
+        // info fields reflect state BEFORE this request is recorded —
+        // reference-exact (tenant_rate_limit.py:61-67 computes `info` from
+        // the pruned list before appending): first allowed call reports
+        // current=0, remaining=calls
+        Decision(allowed = true, calls, current, math.max(0, calls - current), 0)
       }
     }
 
@@ -79,8 +82,9 @@ object RequestGate {
     * client key, count failures inside a rolling window anchored at the
     * FIRST failure; past `maxAttempts` failures in the window the key is
     * blocked for `blockSec`. A failure outside the window resets the
-    * anchor (the reference's exact reset-then-count behavior, including
-    * its quirk that the resetting attempt counts as 1).
+    * anchor (the reference's reset-then-count behavior, including its
+    * quirk that the resetting attempt counts as 1 — but NOT its hole of
+    * clearing a still-active block on reset; see registerFailure).
     */
   final class OffenderTracker(
       maxAttempts: Int = 5,      // config default block_max_attempts=5
@@ -111,7 +115,15 @@ object RequestGate {
         case None =>
           store(key) = Rec(1, now, 0L); false
         case Some(r) if now - r.firstSeen > windowSec * 1000L =>
-          r.count = 1; r.firstSeen = now; r.blockedUntil = 0L; false
+          // window reset PRESERVES a still-active block (documented
+          // deviation: the reference zeroes blocked_until here,
+          // offender_manager.py:117-121, which lets a blocked client
+          // self-unblock by failing again once the 60 s window passes —
+          // blockSec=200 > windowSec=60 makes that a real hole for any
+          // caller that skips the isBlocked pre-check)
+          r.count = 1; r.firstSeen = now
+          if (r.blockedUntil <= now) r.blockedUntil = 0L
+          false
         case Some(r) =>
           r.count += 1
           if (r.count > maxAttempts) { r.blockedUntil = now + blockSec * 1000L; true }

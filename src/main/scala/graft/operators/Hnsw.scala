@@ -168,6 +168,68 @@ object Hnsw {
       metric)
   }
 
+  /** Degree re-pruning for incrementally absorbed graphs — HNSW's
+    * neighbour-shrink (Malkov & Yashunin 2016 §4, SELECT-NEIGHBORS on
+    * overflow), batched. Insert absorption appends symmetric edges, so a
+    * node's adjacency grows without bound under sustained churn: hub
+    * degrees inflate every beam expansion and stale links accumulate.
+    * This caps every OVERFULL node's out-adjacency to its `maxDeg` best
+    * neighbours by the graph metric.
+    *
+    * Hub exemption: edges touching an entry medoid (either endpoint) are
+    * connectivity structure, not kNN links — the star topology's whole
+    * point is that medoid degree scales with cell size — so they bypass
+    * the cap. A non-entry node's out-degree is therefore bounded by
+    * maxDeg + its medoid links (≤ a few), and the degree bound the spec
+    * asserts is `maxDeg + entryLinks`.
+    *
+    * Cost shape: the degree count and the split are one pass over `edges`
+    * (call it with the TOUCHED buckets only, never the whole graph); only
+    * OVERFULL nodes' edges are scored, and `vecsFor` receives exactly the
+    * distinct endpoint ids of those edges, so the caller can bucket-restrict
+    * its vector lookup — O(overfull·deg), never O(graph).
+    *
+    * Determinism: ties rank by (score, dst) via [[TopK.perKey]], so reruns
+    * prune identically.
+    *
+    * @param edges    (src, dst) directed adjacency to prune (extra columns
+    *                 dropped)
+    * @param entryIds (doc_id) — the entry medoids, small (≤ nlist)
+    * @param maxDeg   per-node out-adjacency cap (HNSW's m_max; 2·m is the
+    *                 customary layer-0 value)
+    * @param vecsFor  id table (doc_id) → (doc_id, dv) covering at least
+    *                 those ids; rows for other ids are ignored
+    */
+  def pruneAdjacency(edges: DataFrame, entryIds: DataFrame, maxDeg: Int,
+      metric: String, vecsFor: DataFrame => DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+    val srcEntry = entryIds.select(col("doc_id").as("src"))
+    val dstEntry = entryIds.select(col("doc_id").as("dst"))
+    val hub = e.join(broadcast(srcEntry), Seq("src"), "left_semi")
+      .unionByName(
+        e.join(broadcast(srcEntry), Seq("src"), "left_anti")
+          .join(broadcast(dstEntry), Seq("dst"), "left_semi")
+          .select("src", "dst"))
+    val normal = e.join(broadcast(srcEntry), Seq("src"), "left_anti")
+      .join(broadcast(dstEntry), Seq("dst"), "left_anti")
+    val over = normal.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxDeg).select("src")
+    val keepSmall = normal.join(over, Seq("src"), "left_anti")
+    val candidates = normal.join(over, Seq("src"), "left_semi").localCheckpoint()
+    val ids = candidates.select(col("src").as("doc_id"))
+      .unionByName(candidates.select(col("dst").as("doc_id"))).distinct()
+    val vecs = vecsFor(ids)
+    val scored = scorePairs(
+      candidates
+        .join(vecs.select(col("doc_id").as("src"), col("dv").as("a_dv")), "src")
+        .join(vecs.select(col("doc_id").as("dst"), col("dv").as("b_dv")), "dst"),
+      metric).select(col("src"), col("dst"), col("s"))
+    val prunedTop = TopK.perKey(scored, "src", "s", "dst", maxDeg,
+        desc = Knn.higherIsBetter(metric))
+      .select("src", "dst")
+    hub.unionByName(keepSmall).unionByName(prunedTop)
+  }
+
   /** Beam search: queries (qid, qv) → (qid, rank, doc_id, score), top-k per
     * query by the graph metric. `ef` is the beam width (HNSW's efSearch);
     * recall grows with ef and the walk stops as soon as a hop adds nothing

@@ -1011,14 +1011,33 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * echoes its request params back (search_base.py:12-95): the clamped
     * `ef` on an HNSW collection, `nprobe` on an IVF one.
     */
+  /** Response-envelope echo: every request knob of the reference's shared
+    * base model comes back in the response, field for field — the response
+    * model INHERITS the request knobs there (search_base.py:12-95), so a
+    * reference client reads its effective parameters out of every reply.
+    * Optional knobs (`score_threshold`, `text_filter`) appear only when the
+    * request set them; the engine adds the EFFECTIVE `ef` on HNSW
+    * collections (the clamped beam width actually used).
+    */
   private def echoParams(req: SearchRequest): Map[String, String] = {
-    val base = Map("metric_type" -> req.metricType,
-      "limit" -> req.limit.toString, "offset" -> req.offset.toString,
-      "consistency_level" -> req.consistencyLevel)
+    val base = Map(
+      "model" -> req.model,
+      "limit" -> req.limit.toString,
+      "offset" -> req.offset.toString,
+      "nprobe" -> req.nprobe.toString,
+      "round_decimal" -> req.roundDecimal.toString,
+      "consistency_level" -> req.consistencyLevel,
+      "output_fields" -> req.outputFields.mkString(","),
+      "meta_required" -> req.metaRequired.toString,
+      "metric_type" -> req.metricType,
+      "minimum_words_match" -> req.minimumWordsMatch.toString,
+      "include_stop_words" -> req.includeStopWords.toString,
+      "increase_limit_for_text_search" -> req.increaseLimitForTextSearch.toString,
+      "hybrid_search" -> req.hybridSearch.toString) ++
+      req.scoreThreshold.map(v => "score_threshold" -> v.toString) ++
+      req.textFilter.map(v => "text_filter" -> v)
     if (hnswExists(req.tenant, req.model))
       base + ("ef" -> effectiveEf(req, hnswSearchK(req)).toString)
-    else if (indexExists(req.tenant, req.model))
-      base + ("nprobe" -> req.nprobe.toString)
     else base
   }
 
@@ -1450,6 +1469,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       .parquet(d.resolve("edges").toString)
     g.entries.write.mode(SaveMode.Overwrite).parquet(d.resolve("entries").toString)
     spark.catalog.refreshByPath(d.toString)
+    // a full build clears all edge debt (stale reverse links included)
+    writeHnswAbsorbCount(tenant, model, 0)
   }
 
   private def hnswNodesRaw(tenant: String, model: String): DataFrame =
@@ -1514,18 +1535,48 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       properties(tenant, model)("metric_type"))
   }
 
+  /** Absorbs since the last full graph build — the HNSW analogue of the
+    * delta fold's pending-commit count. Advisory (a lost +1 delays one
+    * rebuild by one absorb), so a plain [[writeJson]] atomic-PUT file
+    * suffices; any read failure counts as 0.
+    */
+  private def hnswAbsorbCount(tenant: String, model: String): Int =
+    try readJson(hnswDir(tenant, model).resolve("_absorbs.json"))
+      .getOrElse("count", "0").toInt
+    catch { case scala.util.control.NonFatal(_) => 0 }
+
+  private def writeHnswAbsorbCount(tenant: String, model: String, n: Int): Unit =
+    writeJson(hnswDir(tenant, model).resolve("_absorbs.json"),
+      Map("count" -> n.toString))
+
   /** HNSW insert absorption — the HNSW insert algorithm, batched: beam-search
     * each new vector's nearest existing nodes and append symmetric edges;
-    * entry medoids stay. Replaced keys' old node rows are dropped (their
-    * surviving old edges still walk correctly — scoring always reads the
-    * CURRENT node vectors — they are just no-longer-optimal links, cleaned
-    * up by the next explicit rebuild). An empty graph rebuilds instead.
+    * entry medoids stay. Edge-debt bounds (sustained churn must not grow
+    * the graph without limit):
+    *  - a replaced key's OLD out-edges are dropped (its adjacency is
+    *    re-derived whole by the beam search — the old links are stale);
+    *  - every touched node's out-adjacency is re-pruned to the
+    *    `hnsw_max_degree` best neighbours ([[Hnsw.pruneAdjacency]] — the
+    *    HNSW neighbour-shrink), hub/medoid links exempt;
+    *  - stale REVERSE links (src in an untouched bucket → replaced key)
+    *    are the one debt an O(batch) absorb cannot reach, so after
+    *    `hnsw_max_absorbs` absorbs (default 64, the max_delta_files shape)
+    *    the graph REBUILDS from the data table, which clears them and
+    *    resets the counter.
+    * An empty graph rebuilds instead.
     */
   private def absorbIntoHnsw(tenant: String, model: String,
       batchVecs: DataFrame): Unit = {
     migrateHnswLayout(tenant, model)
     val g = loadHnsw(tenant, model)
     if (g.entries.isEmpty) { persistHnsw(tenant, model); return }
+    val maxAbsorbs = properties(tenant, model)
+      .getOrElse("hnsw_max_absorbs", "64").toInt
+    if (hnswAbsorbCount(tenant, model) >= maxAbsorbs) {
+      // the data commit is already visible (call site awaits it), so the
+      // rebuild sees the batch — absorb and debt-clear in one pass
+      persistHnsw(tenant, model); return
+    }
     val batchIds = batchVecs.select("doc_id")
     val queries = batchVecs.select(col("doc_id").as("qid"), col("dv").as("qv"))
     // materialized BEFORE any directory swap — the beam search reads the
@@ -1551,9 +1602,29 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       .unionByName(batchVecs.withColumn("_bucket", pmod(col("doc_id"), lit(nB))))
     val edgeBuckets = newEdges.select("_bucket").distinct().collect()
       .map(_.getLong(0)).toIndexedSeq
-    val edgesOut = hnswEdgesRaw(tenant, model)
+    // Kept existing edges: drop replaced keys' stale out-links (their whole
+    // adjacency was just re-derived by the beam search; a batch id's old
+    // edges live in exactly the touched buckets, pmod(src) = _bucket).
+    val keptExisting = hnswEdgesRaw(tenant, model)
       .filter(col("_bucket").isin(edgeBuckets: _*))
-      .unionByName(newEdges).distinct()
+      .join(batchIds.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
+    // Degree re-prune (the HNSW neighbour-shrink) over the touched buckets
+    // only. The vector lookup is bucket-restricted: pruneAdjacency hands
+    // back exactly the overfull nodes' edge endpoints, we read just their
+    // node buckets and overlay the batch — O(overfull·deg), never O(graph).
+    val maxDeg = properties(tenant, model).getOrElse("hnsw_max_degree", "16").toInt
+    val vecsFor: DataFrame => DataFrame = ids => {
+      val bs = ids.select(pmod(col("doc_id"), lit(nB)).as("b")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      hnswNodesRaw(tenant, model).filter(col("_bucket").isin(bs: _*))
+        .select("doc_id", "dv")
+        .join(batchIds, Seq("doc_id"), "left_anti")
+        .unionByName(batchVecs.select("doc_id", "dv"))
+    }
+    val edgesOut = Hnsw.pruneAdjacency(
+        keptExisting.drop("_bucket").unionByName(newEdges.drop("_bucket")).distinct(),
+        g.entries.select("doc_id"), maxDeg, g.metric, vecsFor)
+      .withColumn("_bucket", pmod(col("src"), lit(nB)))
     // An upserted key that is a cell's entry medoid must seed future walks
     // with its NEW vector — refresh the (tiny) entries table from the batch.
     val entriesOut = g.entries
@@ -1581,6 +1652,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     deleteRec(nodesTmp); deleteRec(edgesTmp)
     swapDir(entriesTmp, d.resolve("entries"))
     spark.catalog.refreshByPath(d.toString)
+    // after the swaps: a crash before this line undercounts by one absorb —
+    // advisory, the rebuild just comes one absorb later
+    writeHnswAbsorbCount(tenant, model, hnswAbsorbCount(tenant, model) + 1)
   }
 
   /** D4: (re)build the sparse BM25 model tables from the current corpus.

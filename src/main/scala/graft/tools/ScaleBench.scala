@@ -284,7 +284,7 @@ object ScaleBench {
         // the slope measures how micro-batch cost depends on the ACCEPTED
         // CORPUS size behind the index — band/bucket-pruned reads + a
         // touched-buckets-only merge should keep it near-flat. Fresh keys
-        // per call (nanoTime-offset) so timed iterations ingest, not no-op.
+        // per call (counter-offset) so timed iterations ingest, not no-op.
         "b22_curate_batch" -> (() => {
           // monotonic 1e9-spaced key offsets above 1e12: disjoint from any
           // replicated corpus id (≤ ~5e8 even at 100×) and from every other

@@ -51,6 +51,48 @@ class CatalogSpec extends SparkSpec {
     assert(!none.success)
   }
 
+  test("response envelope echoes every request knob (search_base.py:12-95 parity)") {
+    val cat = mkCatalog
+    cat.generateSchema(SchemaSpec("master", "echo-model", dimension = 8))
+    cat.insert("master", "echo-model", (0 until 12).map(i =>
+      EmbeddedVector(s"k$i", s"chunk number $i", "echo-model",
+        Map("cat" -> "c"), vec(i))))
+    // every knob of the reference's shared base model, set to a non-default
+    val req = SearchRequest("master", "echo-model", vec(3),
+      limit = 7, offset = 2, nprobe = 12, roundDecimal = 4,
+      scoreThreshold = Some(-0.5), metricType = "IP",
+      outputFields = Seq("chunk", "meta"), metaRequired = true,
+      textFilter = Some("chunk"), minimumWordsMatch = 1,
+      includeStopWords = true, increaseLimitForTextSearch = 20,
+      hybridSearch = false, consistencyLevel = "Session")
+    val expect = Map(
+      "model" -> "echo-model", "limit" -> "7", "offset" -> "2",
+      "nprobe" -> "12", "round_decimal" -> "4",
+      "consistency_level" -> "Session", "output_fields" -> "chunk,meta",
+      "score_threshold" -> "-0.5", "meta_required" -> "true",
+      "metric_type" -> "IP", "text_filter" -> "chunk",
+      "minimum_words_match" -> "1", "include_stop_words" -> "true",
+      "increase_limit_for_text_search" -> "20", "hybrid_search" -> "false")
+    val resp = cat.search(req)
+    expect.foreach { case (k, v) =>
+      assert(resp.params.get(k).contains(v), s"knob $k: got ${resp.params.get(k)}")
+    }
+    // ...and nothing else: the knob set IS the reference's field list
+    // (non-HNSW collection, so no engine `ef` addendum here)
+    assert(resp.params.keySet == expect.keySet,
+      s"stray/missing echo fields: ${resp.params.keySet.diff(expect.keySet)} / " +
+        s"${expect.keySet.diff(resp.params.keySet)}")
+    // optional knobs stay absent when the request leaves them unset
+    val dflt = cat.search(SearchRequest("master", "echo-model", vec(3)))
+    assert(!dflt.params.contains("score_threshold"))
+    assert(!dflt.params.contains("text_filter"))
+    assert(dflt.params("limit") == "10" && dflt.params("hybrid_search") == "false")
+    // an empty-result (success=false) envelope carries the echo too
+    val none = cat.search(SearchRequest("master", "echo-model", vec(3),
+      metaFilter = Map("cat" -> "zzz")))
+    assert(!none.success && none.params("model") == "echo-model")
+  }
+
   test("driver-side bucket twin matches pmod(xxhash64(key), n) exactly") {
     import spark.implicits._
     val cat = mkCatalog

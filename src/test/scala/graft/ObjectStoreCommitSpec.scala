@@ -433,4 +433,89 @@ class ObjectStoreCommitSpec extends SparkSpec {
       }
     }
   }
+
+  test("racing writers on two collections sharing a tenant dir: crash, heal, both converge") {
+    // Two mutators on DIFFERENT collections take different locks, so their
+    // commit protocols genuinely interleave on the shared object store (one
+    // global op counter). A crash kills the whole process — both writers —
+    // at a nondeterministic point of the combined schedule; after heal +
+    // at-least-once replay BOTH collections must equal their crash-free
+    // twins, and a collection whose writer finished before the crash must
+    // already be correct pre-replay (no cross-collection corruption).
+    def docsFor(m: String, r: Range): Seq[EmbeddedVector] = r.map(i =>
+      EmbeddedVector(s"$m-k$i", s"alpha beta $m doc$i tail${i % 5}", m,
+        Map("g" -> s"c${i % 3}"), vec(i + (if (m == "m2") 40 else 0))))
+    def mkCat2(dir: Path): VectorStoreCatalog = {
+      val cat = new VectorStoreCatalog(spark, dir.toString)
+      Seq("m1", "m2").foreach(m => cat.generateSchema(SchemaSpec("t", m,
+        dimension = 4, nlist = 2, extraProps = Map("n_buckets" -> "2"))))
+      cat
+    }
+    def rowsOf(cat: VectorStoreCatalog, m: String): Set[(String, String)] =
+      cat.load("t", m).select("flouds_vector_id", "chunk").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    def raceInsert(cat: VectorStoreCatalog): Map[String, Boolean] = {
+      val crashed = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+      val threads = Seq("m1", "m2").map { m =>
+        new Thread(() => {
+          try { cat.insert("t", m, docsFor(m, 6 until 16)); crashed.put(m, false) }
+          catch { case _: CrashHooks.InjectedCrash => crashed.put(m, true) }
+        }, s"racer-$m")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      crashed.asScala.toMap
+    }
+    // probe the combined two-writer schedule length
+    val probe = new ObjectStoreSimFs()
+    val n = withFs(probe) {
+      val cat = mkCat2(Files.createTempDirectory("oss_race_probe"))
+      Seq("m1", "m2").foreach(m => cat.insert("t", m, docsFor(m, 0 until 10)))
+      val before = probe.ops
+      raceInsert(cat)
+      probe.ops - before
+    }
+    info(s"racing two-writer schedule: $n object ops")
+    assert(n > 10, s"combined schedule suspiciously short ($n)")
+    val twins: Map[String, Set[(String, String)]] = {
+      val twin = mkCat2(Files.createTempDirectory("oss_race_twin"))
+      Seq("m1", "m2").map { m =>
+        twin.insert("t", m, docsFor(m, 0 until 10))
+        twin.insert("t", m, docsFor(m, 6 until 16))
+        m -> rowsOf(twin, m)
+      }.toMap
+    }
+    for (b <- Seq(1L, n / 4, n / 2, 3 * n / 4, n - 1).distinct.filter(_ >= 0)) {
+      val cat = mkCat2(Files.createTempDirectory(s"oss_race_$b"))
+      withFs(new ObjectStoreSimFs()) {
+        Seq("m1", "m2").foreach(m => cat.insert("t", m, docsFor(m, 0 until 10)))
+      }
+      val crashed = withFs(new ObjectStoreSimFs(budget = b)) { raceInsert(cat) }
+      withFs(new ObjectStoreSimFs()) {
+        Seq("m1", "m2").foreach { m =>
+          if (crashed.get(m).contains(false))
+            // this writer committed before the shared-store crash: its
+            // collection must already be complete — the OTHER collection's
+            // torn commit must not have touched it
+            assert(rowsOf(cat, m) == twins(m),
+              s"window $b: uncrashed $m corrupted by the other writer's crash")
+          else {
+            // crashed mid-commit: surviving rows are valid old∪new versions
+            // and reads heal (marker cleared by first access)
+            val r = rowsOf(cat, m)
+            val valid = (docsFor(m, 0 until 10) ++ docsFor(m, 6 until 16))
+              .map(d => (d.key, d.chunk)).toSet
+            assert(r.subsetOf(valid), s"window $b: $m rows outside old∪new")
+            assert(docsFor(m, 0 until 6).forall(d => r.contains((d.key, d.chunk))),
+              s"window $b: $m lost rows outside the crashed batch")
+          }
+          cat.insert("t", m, docsFor(m, 6 until 16)) // at-least-once replay
+          assert(rowsOf(cat, m) == twins(m),
+            s"window $b: $m diverges from its crash-free twin after replay")
+          assert(!Files.exists(cat.commitIntentPath("t", m)),
+            s"window $b: $m left an armed intent after heal+replay")
+        }
+      }
+    }
+  }
 }

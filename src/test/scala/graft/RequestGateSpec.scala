@@ -25,10 +25,12 @@ class RequestGateSpec extends AnyFunSuite {
     assert(denied.retryAfterSec == 61)
     // keys are independent
     assert(lim.check("ip2").allowed)
-    // 61s later the whole window slid: full budget again
+    // 61s later the whole window slid: full budget again. Info fields are
+    // PRE-RECORD, reference-exact (tenant_rate_limit.py:61-67): the
+    // admitted request itself is not in current/remaining yet
     clk.advanceSec(61)
     val d = lim.check("ip1")
-    assert(d.allowed && d.current == 1 && d.remaining == 2)
+    assert(d.allowed && d.current == 0 && d.remaining == 3)
   }
 
   test("sliding window refills INCREMENTALLY (per-request expiry, not a fixed bucket reset)") {
@@ -40,7 +42,7 @@ class RequestGateSpec extends AnyFunSuite {
     assert(!lim.check("k").allowed)     // full
     clk.advanceSec(31)                  // t=61: the t=0 entry expired, t=30 lives
     val d = lim.check("k")
-    assert(d.allowed && d.current == 2, "only the expired entry refills")
+    assert(d.allowed && d.current == 1, "only the expired entry refills (pre-record count)")
     assert(!lim.check("k").allowed)
   }
 
@@ -77,6 +79,23 @@ class RequestGateSpec extends AnyFunSuite {
     assert(!t.registerFailure("ip"), "reset attempt counts as 1, no block")
     assert((1 to 4).forall(_ => !t.registerFailure("ip")))
     assert(t.registerFailure("ip"), "6th inside the NEW window blocks")
+  }
+
+  test("an active block survives a window reset (no self-unblock by failing again)") {
+    val clk = new FakeClock
+    val t = new RequestGate.OffenderTracker(maxAttempts = 5, windowSec = 60,
+      blockSec = 200, clock = clk.fn)
+    (1 to 6).foreach(_ => t.registerFailure("ip"))
+    assert(t.isBlocked("ip")._1)
+    // 61 s later the FAILURE window has passed but the 200 s block has not;
+    // the reference zeroes blocked_until here (offender_manager.py:117-121)
+    // — a library caller without the isBlocked pre-check would be open
+    // again. The tracker preserves the block instead (documented deviation).
+    clk.advanceSec(61)
+    assert(!t.registerFailure("ip"), "reset attempt restarts the count")
+    assert(t.isBlocked("ip")._1, "failing again must not clear an active block")
+    clk.advanceSec(140) // t=201: block expired on its own schedule
+    assert(!t.isBlocked("ip")._1)
   }
 
   test("successful auth clears the offender record") {
