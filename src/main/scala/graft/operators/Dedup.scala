@@ -346,6 +346,12 @@ object Dedup {
     * The one driver-side aggregate is over the SMALL side (test shingle
     * count, to size the filter); the filter itself is a few MB for millions
     * of entries at fpp=1e-2.
+    *
+    * The probe itself is Catalyst's codegen `BloomFilterMightContain` (the
+    * expression runtime row-level filtering uses) over the serialized filter
+    * as a binary literal — the filter ships once per stage inside the
+    * torrent-broadcast task binary, and the long-probe stays inside
+    * whole-stage codegen instead of dropping to a UDF call per row.
     */
   def contaminationBloom(docs: DataFrame, splitDf: DataFrame,
       fpp: Double = 0.01): DataFrame = {
@@ -354,10 +360,18 @@ object Dedup {
     val testShingles = test.select("shingle").distinct()
     val expected = math.max(testShingles.count(), 1L)
     val bf = testShingles.stat.bloomFilter("shingle", expected, fpp)
-    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
-    val mightMatch = udf((s: Long) => bfB.value.mightContainLong(s))
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightMatch = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bfBytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("shingle"))))
     val trainSeen = sh.filter(col("split") === "train")
-      .filter(mightMatch(col("shingle")))
+      .filter(mightMatch)
       .select("shingle").distinct()
       .withColumn("seen", lit(1L))
     test.join(trainSeen, Seq("shingle"), "left")

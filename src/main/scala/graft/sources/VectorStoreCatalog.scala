@@ -798,6 +798,22 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // doc_id, and the table does not grow without bound under upsert churn.
     // Cost: O(batch + affected cell partitions), independent of corpus size.
     val ivfRes = scala.util.Try { idxOpt.foreach { idx => stage("ivf rewrite") {
+      // Centroid/quantizer DRIFT is the debt the O(batch) cell rewrite
+      // cannot reach: absorbed batches only ever join EXISTING cells, so a
+      // shifted ingest distribution piles into its few nearest cells —
+      // probe cost unbalances and quantization error grows while every
+      // individual rewrite stays exact. After `ivf_max_absorbs` absorbs
+      // (default 64 — the max_delta_files / hnsw_max_absorbs shape) the
+      // index RETRAINS from the current data table instead: fresh KMeans
+      // centroids + quantizer refit, counter reset. The data commit must be
+      // visible first (the retrain reads the merged table).
+      val maxAbsorbs = properties(tenant, model)
+        .getOrElse("ivf_max_absorbs", "64").toInt
+      if (ivfAbsorbCount(tenant, model) >= maxAbsorbs) {
+        scala.concurrent.Await.result(dataCommit,
+          scala.concurrent.duration.Duration.Inf)
+        retrainDense(tenant, model)
+      } else {
       val assigned = Ivf.assign(
         batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv")),
@@ -840,6 +856,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       }
       deleteRec(tmp)
       spark.catalog.refreshByPath(target.toString)
+      // after the swaps — advisory like the HNSW counter: a crash here
+      // undercounts by one and the retrain just comes one absorb later
+      writeIvfAbsorbCount(tenant, model, ivfAbsorbCount(tenant, model) + 1)
+      }
     } } }
 
     // Settle EVERY outstanding commit future BEFORE propagating any failure:
@@ -1379,9 +1399,6 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // byte codes (8x smaller clustered table) + a tiny per-dim params table;
     // IVF_FLAT stores raw vectors; HNSW stores a navigable small-world graph
     // (nodes/edges/entry-medoid tables). (generate_schema_request.py:113-132)
-    // repartition by the partition column first: one file per cell, not
-    // (shuffle partitions × cells) tiny files — probe reads stay file-bound
-    import spark.implicits._
     // quantizers need data to fit params/codebooks; an empty collection
     // persists the flat (empty) layout for them, and the next explicit
     // build after data arrives quantizes. HNSW builds fine empty (an empty
@@ -1393,6 +1410,24 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       spark.catalog.refreshByPath(d.toString)
       return
     }
+    retrainDense(tenant, model)
+    rebuildSparseIndex(tenant, model)
+    spark.catalog.refreshByPath(d.toString)
+  }
+
+  /** Full dense (re)train: fresh KMeans centroids + quantizer params from
+    * the CURRENT data table — both the explicit build ([[persistIndex]])
+    * and the drift-triggered retrain in [[insert]] land here. Clears the
+    * absorb counter: a full build owes no drift debt. Caller holds the
+    * commit scope; the sparse index is NOT touched (it has no centroid
+    * dependency and [[insert]] maintains it concurrently).
+    */
+  private def retrainDense(tenant: String, model: String): Unit = {
+    val d = indexDir(tenant, model)
+    // repartition by the partition column first: one file per cell, not
+    // (shuffle partitions × cells) tiny files — probe reads stay file-bound
+    import spark.implicits._
+    val declaredType = properties(tenant, model).getOrElse("index_type", "IVF_FLAT")
     val idx = buildIndex(tenant, model)
     val effectiveType =
       if (load(tenant, model).isEmpty) "IVF_FLAT" else declaredType
@@ -1427,7 +1462,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     }
     idx.centroids.write.mode(SaveMode.Overwrite)
       .parquet(d.resolve("centroids").toString)
-    rebuildSparseIndex(tenant, model)
+    writeIvfAbsorbCount(tenant, model, 0)
     spark.catalog.refreshByPath(d.toString)
   }
 
@@ -1547,6 +1582,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
   private def writeHnswAbsorbCount(tenant: String, model: String, n: Int): Unit =
     writeJson(hnswDir(tenant, model).resolve("_absorbs.json"),
+      Map("count" -> n.toString))
+
+  /** IVF absorbs since the last full retrain — same advisory shape as
+    * [[hnswAbsorbCount]]. The incremental cell rewrite keeps the clustered
+    * table EXACT against the stored centroids, but the centroids themselves
+    * (and any SQ8/PQ quantizer params) stay frozen at build time: a drifted
+    * ingest distribution piles into its few nearest cells, unbalancing
+    * probe cost and inflating quantization error. After `ivf_max_absorbs`
+    * absorbs the index RETRAINS from the current data table.
+    */
+  private[graft] def ivfAbsorbCount(tenant: String, model: String): Int =
+    try readJson(indexDir(tenant, model).resolve("_ivf_absorbs.json"))
+      .getOrElse("count", "0").toInt
+    catch { case scala.util.control.NonFatal(_) => 0 }
+
+  private def writeIvfAbsorbCount(tenant: String, model: String, n: Int): Unit =
+    writeJson(indexDir(tenant, model).resolve("_ivf_absorbs.json"),
       Map("count" -> n.toString))
 
   /** HNSW insert absorption — the HNSW insert algorithm, batched: beam-search

@@ -302,4 +302,18 @@ class PlanShapeSpec extends SparkSpec {
       s"dense leg lost cell pruning inside the fused plan: $pf")
     assert(fused.count() > 0, "fixture must fuse at least one hit")
   }
+
+  test("bloom decontamination probes via codegen might_contain, not a UDF") {
+    // the tree's last UDF was the broadcast-bloom long-probe; it is now
+    // Catalyst's BloomFilterMightContain over a binary literal — assert the
+    // probe shows up natively and that no ScalaUDF remains in the plan
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val split = Seq((1L, "train"), (2L, "test"), (3L, "test")).toDF("doc_id", "split")
+    val df = Dedup.contaminationBloom(docs, split)
+    val p = plan(df)
+    assert(p.contains("might_contain"), s"expected native bloom probe in plan:\n$p")
+    assert(!p.contains("UDF"), s"no ScalaUDF expected in the bloom plan:\n$p")
+  }
 }
