@@ -69,9 +69,18 @@ object Hnsw {
     * its medoid — see below). Bounded: ≤ nTables·2^nPlanes·cap² scored
     * bridge pairs regardless of skew.
     */
+  /** `coarseIter`: KMeans iterations for the coarse cells. The cells only
+    * need LOCALITY (similar docs usually share a cell so the cell-local kNN
+    * finds them), not a converged clustering — connectivity never depends
+    * on cell quality (hub edges star every node to its medoid and bridges
+    * cross cells), and full-beam exactness is structural. Each KMeans
+    * iteration is a driver-synchronized job over the training sample, so on
+    * a small corpus the default-20 fit was pure fixed latency — the
+    * dominant term of the measured build wall (SCALE.md b13 note).
+    */
   def build(corpus: DataFrame, m: Int = 8, metric: String = "COSINE",
       seed: Long = 42L, nTables: Int = 4, nPlanes: Int = 6,
-      maxBridgeBucket: Int = 4096): Graph = {
+      maxBridgeBucket: Int = 4096, coarseIter: Int = 8): Graph = {
     val spark = corpus.sparkSession
     val n = corpus.count()
     val emptyEdges = spark.createDataFrame(
@@ -86,7 +95,7 @@ object Hnsw {
     // Coarse cells: bounded-sample KMeans; ~64 docs per cell (clamped to
     // [2, n] — MLlib KMeans needs 2 ≤ k ≤ points).
     val nlist = math.max(2, math.min(math.min(4096L, n / 64), n).toInt)
-    val ivf = Ivf.build(corpus, nlist, metric, seed)
+    val ivf = Ivf.build(corpus, nlist, metric, seed, maxIter = coarseIter)
 
     // Cell-local candidate pairs (keyed on centroid_id), both directions.
     val c = ivf.clustered.select(col("centroid_id"),
