@@ -37,35 +37,53 @@ object Bench {
     def docsCorpus   = Tables.docsCorpus(spark, sfDir)
     val q64          = Tables.queryBatch(spark, 64)
 
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=b15_pq_probe_decode,b15b_pq_probe_adc
+    // times just those benches AND builds only their fixtures. The driver
+    // leaves it unset — every `need(...)` below is then true and the full
+    // prep runs exactly as before.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def need(names: String*): Boolean =
+      only.forall(sel => names.exists(sel.contains))
+    def need1(name: String): Boolean = only.forall(_.contains(name))
+
     // ---- untimed prep: persist the indexes the serving-path benches read,
     //      so build cost and query cost are reported SEPARATELY (a serving
-    //      query against a built index is the production hot path) ----
+    //      query against a built index is the production hot path).
+    //      Each fixture family is gated on the benches that read it. ----
     val prepDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
-    graft.sources.SparseIndex.write(
-      Bm25.fit(docs), s"$prepDir/bm25", nBuckets = 16)
+    if (need("b3b_bm25_persisted", "b4b_hybrid_persisted", "b4c_hybrid_indexed",
+        "b4d_hybrid_indexed_dim384"))
+      graft.sources.SparseIndex.write(
+        Bm25.fit(docs), s"$prepDir/bm25", nBuckets = 16)
     // incremental-dedup fixture: persisted LSH index over 80% of the docs;
     // b7b queries the remaining 20% "crawl increment" against it
-    graft.sources.DedupIndex.build(
-      docs.select("doc_id", "text").filter(col("doc_id") % 5 =!= 0),
-      s"$prepDir/dedupidx", nBuckets = 16)
-    val prepIdx = Ivf.build(ordersCorpus.select("doc_id", "dv"), nlist = 256, maxIter = 5)
-    prepIdx.clustered.repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$prepDir/ivf/clustered")
-    prepIdx.centroids.write.mode("overwrite").parquet(s"$prepDir/ivf/centroids")
+    if (need("b7b_dedup_incr", "b7c_dedup_incr_small"))
+      graft.sources.DedupIndex.build(
+        docs.select("doc_id", "text").filter(col("doc_id") % 5 =!= 0),
+        s"$prepDir/dedupidx", nBuckets = 16)
+    lazy val prepIdx = Ivf.build(ordersCorpus.select("doc_id", "dv"), nlist = 256, maxIter = 5)
+    if (need("b5b_ivf_probe_persisted")) {
+      prepIdx.clustered.repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$prepDir/ivf/clustered")
+      prepIdx.centroids.write.mode("overwrite").parquet(s"$prepDir/ivf/centroids")
+    }
     // second persisted IVF over the embedding-backed corpus — the dense leg
     // of the indexed hybrid (b4c), same collection as the BM25 sparse leg
-    val prepDocsIdx = Ivf.build(
-      docsCorpus.select(col("doc_id"), col("qv").as("dv")), nlist = 256, maxIter = 5)
-    prepDocsIdx.clustered.repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$prepDir/ivf_docs/clustered")
-    prepDocsIdx.centroids.write.mode("overwrite").parquet(s"$prepDir/ivf_docs/centroids")
+    if (need("b4c_hybrid_indexed")) {
+      val prepDocsIdx = Ivf.build(
+        docsCorpus.select(col("doc_id"), col("qv").as("dv")), nlist = 256, maxIter = 5)
+      prepDocsIdx.clustered.repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$prepDir/ivf_docs/clustered")
+      prepDocsIdx.centroids.write.mode("overwrite").parquet(s"$prepDir/ivf_docs/centroids")
+    }
     def persistedDocsIvf = Ivf.Index(
       spark.read.parquet(s"$prepDir/ivf_docs/centroids"),
       spark.read.parquet(s"$prepDir/ivf_docs/clustered"), "COSINE")
-    val prepPq = Ivf.quantizePq(prepIdx, mSub = 8, ksub = 64, maxIter = 3)
-    prepPq.clustered.write.mode("overwrite").parquet(s"$prepDir/pq/clustered")
+    lazy val prepPq = Ivf.quantizePq(prepIdx, mSub = 8, ksub = 64, maxIter = 3)
+    if (need("b15_pq_probe_decode", "b15b_pq_probe_adc"))
+      prepPq.clustered.write.mode("overwrite").parquet(s"$prepDir/pq/clustered")
     def persistedPq = Ivf.Pq(prepIdx.centroids,
       spark.read.parquet(s"$prepDir/pq/clustered"), prepPq.codebooks, "COSINE")
     def persistedIvf = Ivf.Index(
@@ -82,34 +100,39 @@ object Bench {
     // materialized to parquet first: production vectors are STORED, and an
     // in-plan synthVec (interpreted transform over a 384-element sequence
     // per row) would dominate the timing and hide the kernel under test
-    Tables.load(spark, sfDir, "orders").select(
-        col("o_orderkey").as("doc_id"),
-        Tables.synthVec(col("o_orderkey"), 384).as("dv"))
-      .write.mode("overwrite").parquet(s"$prepDir/orders384")
+    if (need("b1d_knn_dim384", "b5d_ivf_probe_dim384"))
+      Tables.load(spark, sfDir, "orders").select(
+          col("o_orderkey").as("doc_id"),
+          Tables.synthVec(col("o_orderkey"), 384).as("dv"))
+        .write.mode("overwrite").parquet(s"$prepDir/orders384")
     def orders384 = spark.read.parquet(s"$prepDir/orders384")
     val q384  = Tables.queryBatch(spark, 64, 384)
     val q1024 = Tables.queryBatch(spark, 64, 1024)
-    val prep384 = Ivf.build(orders384, nlist = 64, maxIter = 3)
-    prep384.clustered.repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$prepDir/ivf384/clustered")
-    prep384.centroids.write.mode("overwrite").parquet(s"$prepDir/ivf384/centroids")
+    if (need("b5d_ivf_probe_dim384")) {
+      val prep384 = Ivf.build(orders384, nlist = 64, maxIter = 3)
+      prep384.clustered.repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$prepDir/ivf384/clustered")
+      prep384.centroids.write.mode("overwrite").parquet(s"$prepDir/ivf384/centroids")
+    }
     def persistedIvf384 = Ivf.Index(
       spark.read.parquet(s"$prepDir/ivf384/centroids"),
       spark.read.parquet(s"$prepDir/ivf384/clustered"), "COSINE")
-    Tables.load(spark, sfDir, "orders")
-      .filter(col("o_orderkey") % 8 === 0)
-      .select(col("o_orderkey").as("doc_id"),
-        Tables.synthVec(col("o_orderkey"), 1024).as("dv"))
-      .write.mode("overwrite").parquet(s"$prepDir/orders1024")
-    def orders1024 = spark.read.parquet(s"$prepDir/orders1024")
+    lazy val orders1024 = {
+      Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 8 === 0)
+        .select(col("o_orderkey").as("doc_id"),
+          Tables.synthVec(col("o_orderkey"), 1024).as("dv"))
+        .write.mode("overwrite").parquet(s"$prepDir/orders1024")
+      spark.read.parquet(s"$prepDir/orders1024")
+    }
     // clamp cluster counts to the slice size (tiny sf smoke runs would
     // otherwise hand KMeans more centers than points)
-    val n1024 = orders1024.count()
-    val k1024 = math.max(2, math.min(32L, n1024 / 8).toInt)
-    val prepIdx1024 = Ivf.build(orders1024, nlist = k1024, maxIter = 2)
-    val prepPq1024  = Ivf.quantizePq(prepIdx1024, mSub = 16, ksub = k1024, maxIter = 2)
-    prepPq1024.clustered.write.mode("overwrite").parquet(s"$prepDir/pq1024/clustered")
+    lazy val k1024 = math.max(2, math.min(32L, orders1024.count() / 8).toInt)
+    lazy val prepIdx1024 = Ivf.build(orders1024, nlist = k1024, maxIter = 2)
+    lazy val prepPq1024  = Ivf.quantizePq(prepIdx1024, mSub = 16, ksub = k1024, maxIter = 2)
+    if (need("b15c_pq_adc_dim1024"))
+      prepPq1024.clustered.write.mode("overwrite").parquet(s"$prepDir/pq1024/clustered")
     def persistedPq1024 = Ivf.Pq(prepIdx1024.centroids,
       spark.read.parquet(s"$prepDir/pq1024/clustered"), prepPq1024.codebooks, "COSINE")
 
@@ -119,24 +142,29 @@ object Bench {
     // held constant, so the delta vs b14/b4c isolates kernel width in the
     // beam-search and probe paths. Materialized to parquet first (stored
     // vectors, not an in-plan transform), like orders384.
-    docsCorpus.select(col("doc_id"),
-        Tables.synthVec(col("doc_id"), 384).as("dv"))
-      .write.mode("overwrite").parquet(s"$prepDir/docs384")
+    if (need("b14c_hnsw_search_dim384", "b4d_hybrid_indexed_dim384"))
+      docsCorpus.select(col("doc_id"),
+          Tables.synthVec(col("doc_id"), 384).as("dv"))
+        .write.mode("overwrite").parquet(s"$prepDir/docs384")
     def docs384 = spark.read.parquet(s"$prepDir/docs384")
-    val g384 = Hnsw.build(docs384, m = 8)
-    g384.nodes.write.mode("overwrite").parquet(s"$prepDir/hnsw384/nodes")
-    g384.edges.write.mode("overwrite").parquet(s"$prepDir/hnsw384/edges")
-    g384.entries.write.mode("overwrite").parquet(s"$prepDir/hnsw384/entries")
+    if (need("b14c_hnsw_search_dim384")) {
+      val g384 = Hnsw.build(docs384, m = 8)
+      g384.nodes.write.mode("overwrite").parquet(s"$prepDir/hnsw384/nodes")
+      g384.edges.write.mode("overwrite").parquet(s"$prepDir/hnsw384/edges")
+      g384.entries.write.mode("overwrite").parquet(s"$prepDir/hnsw384/entries")
+    }
     def hnsw384 = Hnsw.Graph(
       spark.read.parquet(s"$prepDir/hnsw384/nodes"),
       spark.read.parquet(s"$prepDir/hnsw384/edges"),
       spark.read.parquet(s"$prepDir/hnsw384/entries"), "COSINE")
-    val prepDocs384Idx = Ivf.build(docs384, nlist = 256, maxIter = 5)
-    prepDocs384Idx.clustered.repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$prepDir/ivf_docs384/clustered")
-    prepDocs384Idx.centroids.write.mode("overwrite")
-      .parquet(s"$prepDir/ivf_docs384/centroids")
+    if (need("b4d_hybrid_indexed_dim384")) {
+      val prepDocs384Idx = Ivf.build(docs384, nlist = 256, maxIter = 5)
+      prepDocs384Idx.clustered.repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$prepDir/ivf_docs384/clustered")
+      prepDocs384Idx.centroids.write.mode("overwrite")
+        .parquet(s"$prepDir/ivf_docs384/centroids")
+    }
     def persistedDocsIvf384 = Ivf.Index(
       spark.read.parquet(s"$prepDir/ivf_docs384/centroids"),
       spark.read.parquet(s"$prepDir/ivf_docs384/clustered"), "COSINE")
@@ -147,9 +175,20 @@ object Bench {
     // gate → near-dup gate → bucketed merge (CurateStream.curateBatch —
     // the per-trigger body of the streaming pipeline). Separate from
     // b7b's index: ingestDeduped MUTATES its index.
-    graft.sources.DedupIndex.build(
-      docs.select("doc_id", "text").filter(col("doc_id") % 5 =!= 0),
-      s"$prepDir/curidx", nBuckets = 16)
+    if (need("b22_curate_batch"))
+      graft.sources.DedupIndex.build(
+        docs.select("doc_id", "text").filter(col("doc_id") % 5 =!= 0),
+        s"$prepDir/curidx", nBuckets = 16)
+
+    // b14/b14b read the graph b13 persists; when they are selected without
+    // b13 (iteration aid), build it here untimed instead
+    if (!need1("b13_hnsw_build") &&
+        need("b14_hnsw_search", "b14b_hnsw_search_bulk")) {
+      val g = Hnsw.build(docsCorpus.select(col("doc_id"), col("qv").as("dv")), m = 8)
+      g.edges.write.mode("overwrite").parquet(s"$prepDir/hnsw/edges")
+      g.nodes.write.mode("overwrite").parquet(s"$prepDir/hnsw/nodes")
+      g.entries.write.mode("overwrite").parquet(s"$prepDir/hnsw/entries")
+    }
 
     // facade-insert fixtures (b6b/b6c): one collection data-only, one with a
     // persisted IVF index, both seeded with the same 1000 rows (untimed)
@@ -163,48 +202,55 @@ object Bench {
         graft.api.EmbeddedVector(key, s"bench doc $gen $i lorem ipsum", m,
           Map("g" -> gen.toString), benchVec(gen * 1000 + i))
       }
-    for (m <- Seq("plain", "indexed", "deltam")) {
+    val modeBench = Map("plain" -> "b6b_upsert_data",
+      "indexed" -> "b6c_upsert_indexed", "deltam" -> "b6d_upsert_delta")
+    for (m <- Seq("plain", "indexed", "deltam") if need(modeBench(m))) {
       benchCat.generateSchema(graft.api.SchemaSpec("bench", m, dimension = 64,
         extraProps = if (m == "deltam") Map("ingest_mode" -> "delta") else Map.empty))
       benchCat.insert("bench", m, (0 until 1000).map(i =>
         graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", m,
           Map("g" -> "0"), benchVec(i))))
     }
-    benchCat.persistIndex("bench", "indexed")
-    benchCat.flush("bench", "deltam") // fold the seed wave (untimed)
+    if (need("b6c_upsert_indexed")) benchCat.persistIndex("bench", "indexed")
+    if (need("b6d_upsert_delta"))
+      benchCat.flush("bench", "deltam") // fold the seed wave (untimed)
     // b6e fixture: a delta-mode collection held at a FIXED pending-delta
     // count (4 small request-sized commits over a folded 1000-row base —
     // below the fold threshold, so the merge-on-read view is stable across
     // iterations). b6d times the delta COMMIT; this collection exists to
     // time what the mode costs READERS: window over ≤N+1 delta batches +
     // broadcast anti-join against the base scan.
-    benchCat.generateSchema(graft.api.SchemaSpec("bench", "deltaread",
-      dimension = 64, extraProps = Map("ingest_mode" -> "delta")))
-    benchCat.insert("bench", "deltaread", (0 until 1000).map(i =>
-      graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "deltaread",
-        Map("g" -> "0"), benchVec(i))))
-    benchCat.flush("bench", "deltaread")
-    for (g <- 1 to 4)
-      benchCat.insert("bench", "deltaread", (0 until 50).map { i =>
-        val key = if (i < 25) s"seed${g * 100 + i}" else s"p${g}_n$i"
-        graft.api.EmbeddedVector(key, s"pending doc $g $i lorem ipsum",
-          "deltaread", Map("g" -> g.toString), benchVec(g * 7000 + i))
-      })
+    if (need("b6e_search_pending_deltas")) {
+      benchCat.generateSchema(graft.api.SchemaSpec("bench", "deltaread",
+        dimension = 64, extraProps = Map("ingest_mode" -> "delta")))
+      benchCat.insert("bench", "deltaread", (0 until 1000).map(i =>
+        graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "deltaread",
+          Map("g" -> "0"), benchVec(i))))
+      benchCat.flush("bench", "deltaread")
+      for (g <- 1 to 4)
+        benchCat.insert("bench", "deltaread", (0 until 50).map { i =>
+          val key = if (i < 25) s"seed${g * 100 + i}" else s"p${g}_n$i"
+          graft.api.EmbeddedVector(key, s"pending doc $g $i lorem ipsum",
+            "deltaread", Map("g" -> g.toString), benchVec(g * 7000 + i))
+        })
+    }
     // ... and its CONTROL: the identical collection, folded — b6f minus
     // b6e's number is the read-side cost of 4 pending deltas specifically
     // (request overhead and corpus scan are common to both)
-    benchCat.generateSchema(graft.api.SchemaSpec("bench", "deltafold",
-      dimension = 64, extraProps = Map("ingest_mode" -> "delta")))
-    benchCat.insert("bench", "deltafold", (0 until 1000).map(i =>
-      graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "deltafold",
-        Map("g" -> "0"), benchVec(i))))
-    for (g <- 1 to 4)
-      benchCat.insert("bench", "deltafold", (0 until 50).map { i =>
-        val key = if (i < 25) s"seed${g * 100 + i}" else s"p${g}_n$i"
-        graft.api.EmbeddedVector(key, s"pending doc $g $i lorem ipsum",
-          "deltafold", Map("g" -> g.toString), benchVec(g * 7000 + i))
-      })
-    benchCat.flush("bench", "deltafold")
+    if (need("b6f_search_folded_control")) {
+      benchCat.generateSchema(graft.api.SchemaSpec("bench", "deltafold",
+        dimension = 64, extraProps = Map("ingest_mode" -> "delta")))
+      benchCat.insert("bench", "deltafold", (0 until 1000).map(i =>
+        graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "deltafold",
+          Map("g" -> "0"), benchVec(i))))
+      for (g <- 1 to 4)
+        benchCat.insert("bench", "deltafold", (0 until 50).map { i =>
+          val key = if (i < 25) s"seed${g * 100 + i}" else s"p${g}_n$i"
+          graft.api.EmbeddedVector(key, s"pending doc $g $i lorem ipsum",
+            "deltafold", Map("g" -> g.toString), benchVec(g * 7000 + i))
+        })
+      benchCat.flush("bench", "deltafold")
+    }
     // churned-vs-rebuilt HNSW serving pair (b14d/b14e): the same final
     // corpus reached two ways — "hnswchurn" absorbed 12 upsert batches
     // through absorbIntoHnsw (degree re-prune + stale-edge drop active),
@@ -218,19 +264,25 @@ object Bench {
         graft.api.EmbeddedVector(key, s"bench doc $gen $i lorem ipsum", m,
           Map("g" -> gen.toString), benchVec(gen * 1000 + i + 211))
       }
-    for (m <- Seq("hnswchurn", "hnswfresh")) {
+    val churnBench = Map("hnswchurn" -> "b14d_hnsw_search_churned",
+      "hnswfresh" -> "b14e_hnsw_search_rebuilt")
+    for (m <- Seq("hnswchurn", "hnswfresh") if need(churnBench(m))) {
       benchCat.generateSchema(graft.api.SchemaSpec("bench", m, dimension = 64,
         indexType = "HNSW", extraProps = Map("hnsw_max_absorbs" -> "1000")))
       benchCat.insert("bench", m, (0 until 1000).map(i =>
         graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", m,
           Map("g" -> "0"), benchVec(i))))
     }
-    benchCat.persistIndex("bench", "hnswchurn") // graph exists -> churn absorbs
-    for (g <- 1 to 12)
-      benchCat.insert("bench", "hnswchurn", hnswChurnBatch(g, "hnswchurn"))
-    for (g <- 1 to 12) // data-only until the one-shot build below
-      benchCat.insert("bench", "hnswfresh", hnswChurnBatch(g, "hnswfresh"))
-    benchCat.persistIndex("bench", "hnswfresh")
+    if (need("b14d_hnsw_search_churned")) {
+      benchCat.persistIndex("bench", "hnswchurn") // graph exists -> churn absorbs
+      for (g <- 1 to 12)
+        benchCat.insert("bench", "hnswchurn", hnswChurnBatch(g, "hnswchurn"))
+    }
+    if (need("b14e_hnsw_search_rebuilt")) {
+      for (g <- 1 to 12) // data-only until the one-shot build below
+        benchCat.insert("bench", "hnswfresh", hnswChurnBatch(g, "hnswfresh"))
+      benchCat.persistIndex("bench", "hnswfresh")
+    }
     // Applied to EVERY timed query at the timing site: counting a query
     // lets Catalyst prune whatever the count does not need (the as-of lost
     // its whole window; the Gopher/C4 gates and q1's sums degenerated to
@@ -518,9 +570,6 @@ object Bench {
         chunkUs = HotSpanUs / 64)),
     ) else Seq.empty)
 
-    // iteration aid: SPARK_GRAFT_BENCH_ONLY=b15_pq_probe_decode,b15b_pq_probe_adc
-    // times just those benches (prep still runs; the driver leaves it unset)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     // Each bench: best of `iters` timed runs. Measured single-shot swings
     // of 2–10× on identical code from JVM/host state (block-manager debt,
     // JIT, burst-throttled disk); min-of-N reports the operator, not the

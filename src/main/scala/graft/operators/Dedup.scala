@@ -355,8 +355,15 @@ object Dedup {
     */
   def contaminationBloom(docs: DataFrame, splitDf: DataFrame,
       fpp: Double = 0.01): DataFrame = {
-    val sh = shingles(docs).distinct().join(splitDf, "doc_id")
-    val test = sh.filter(col("split") === "test")
+    // Split FIRST, shingle second: the split filter reaches the docs scan
+    // (pushed through the doc_id join), so the test-side passes below touch
+    // only the small split's text — never the full corpus. The train side
+    // is shingled exactly once, map-side bloom-pruned BEFORE its first
+    // shuffle (the old shape ran a full-corpus (doc_id, shingle) distinct
+    // ahead of the probe — the very shuffle this operator exists to avoid —
+    // and recomputed it for each of the three actions).
+    val tagged = docs.join(splitDf, "doc_id")
+    val test = shingles(tagged.filter(col("split") === "test")).distinct()
     val testShingles = test.select("shingle").distinct()
     val expected = math.max(testShingles.count(), 1L)
     val bf = testShingles.stat.bloomFilter("shingle", expected, fpp)
@@ -370,7 +377,7 @@ object Dedup {
         org.apache.spark.sql.catalyst.expressions.Literal(
           bfBytes, org.apache.spark.sql.types.BinaryType),
         org.apache.spark.sql.graft.ColumnBridge.expression(col("shingle"))))
-    val trainSeen = sh.filter(col("split") === "train")
+    val trainSeen = shingles(tagged.filter(col("split") === "train"))
       .filter(mightMatch)
       .select("shingle").distinct()
       .withColumn("seen", lit(1L))
