@@ -196,6 +196,35 @@ object ScaleBench {
     // timed call grows the accepted corpus by ≤512 docs — negligible drift
     // vs the 50k/500k bases, and every call ingests genuinely new keys.
     var b22Gen = 0
+    // Decontamination fixture: the "protected benchmark suite" (test split)
+    // is FIXED at the base corpus's test docs while the train corpus grows
+    // with the factor — the asymmetry contaminationBloom is built for. At
+    // the scaled dir only r=0 copies are split-eligible (their BASE id
+    // decides, same hash as TextAnalysis.split); every r>0 copy is train.
+    // Past 10× the corpus is the constant-density replica, where the bloom
+    // prune rate itself falls ~1/factor (cross-replica shingles are
+    // disjoint from the fixed test set) — exact must shuffle the whole
+    // train shingle stream either way.
+    def contamFixture(sfDir: String): (DataFrame, DataFrame) = {
+      val scaledRun = sfDir != src
+      val docsDf =
+        if (scaledRun && constDensityDedup)
+          spark.read.parquet(s"$out/documents_cd.parquet")
+        else Tables.load(spark, sfDir, "documents")
+      val trainCut = (0.8 * 4294967296.0).toLong
+      val validCut = (0.9 * 4294967296.0).toLong
+      def splitOf(id: org.apache.spark.sql.Column) = {
+        val h = (id * 2654435761L) % 4294967296L
+        when(h < trainCut, "train").when(h < validCut, "valid").otherwise("test")
+      }
+      val split =
+        if (!scaledRun)
+          docsDf.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+        else docsDf.select(col("doc_id"),
+          when(col("doc_id") % factor === 0,
+            splitOf(expr(s"doc_id DIV $factor"))).otherwise("train").as("split"))
+      (docsDf, split)
+    }
     def headliners(sfDir: String, tag: String): Seq[(String, () => DataFrame)] = {
       // lazy: with SPARK_GRAFT_SCALE_ONLY restricted to queries that read
       // no persisted index (e.g. the map-side curation filters), the index
@@ -243,6 +272,19 @@ object ScaleBench {
         // whole corpus — linear by design (every doc is read once); the
         // claim under measure is constant PER-DOC cost (slope ≈ 1/f · t1/t0
         // stays ~flat) with no shuffle at any scale
+        // decontamination pair: exact distincts + shuffles every train
+        // (doc, shingle) pair; bloom prunes the train side MAP-SIDE against
+        // the fixed test set's broadcast filter before its first exchange.
+        // The slope gap is what the probe buys when the protected suite
+        // stays small and the corpus grows.
+        "b16_contam_exact" -> (() => {
+          val (d, s) = contamFixture(sfDir)
+          Dedup.contamination(d, s)
+        }),
+        "b16b_contam_bloom" -> (() => {
+          val (d, s) = contamFixture(sfDir)
+          Dedup.contaminationBloom(d, s)
+        }),
         "b18_gopher_c4" -> (() =>
           graft.SparkEntry.queries("q_gopher_rules")(spark, sfDir)
             .join(graft.SparkEntry.queries("q_c4_rules")(spark, sfDir)
