@@ -316,4 +316,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("might_contain"), s"expected native bloom probe in plan:\n$p")
     assert(!p.contains("UDF"), s"no ScalaUDF expected in the bloom plan:\n$p")
   }
+
+  test("bloom decontamination prunes the train side BEFORE its first shuffle") {
+    // the r11 restructure's contract: the might_contain filter must sit
+    // below every Exchange on the train branch — the whole point is that
+    // pruned rows never reach an exchange (at 100 TB the saved shuffle IS
+    // the operator). Walk the physical tree: the bloom-probe filter's
+    // subtree must be exchange-free.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val split = Seq((1L, "train"), (2L, "test"), (3L, "test")).toDF("doc_id", "split")
+    // AQE wraps finished stages in leaf QueryStageExec nodes that hide the
+    // subtree from collect(); a static plan keeps the whole tree walkable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Dedup.contaminationBloom(docs, split)
+      val bloomFilters = df.queryExecution.executedPlan.collect {
+        case f: FilterExec if f.condition.toString.contains("might_contain") => f
+      }
+      assert(bloomFilters.nonEmpty, "bloom-probe FilterExec not found")
+      for (f <- bloomFilters) {
+        val shufflesBelow = f.collect { case s: ShuffleExchangeLike => s }
+        assert(shufflesBelow.isEmpty,
+          s"bloom probe must prune before any exchange, found:\n$f")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
