@@ -51,6 +51,35 @@ class CatalogSpec extends SparkSpec {
     assert(!none.success)
   }
 
+  test("adversarial names cannot escape the catalog root (path_validator.py parity)") {
+    // the reference adds a path layer rejecting `..`/`~`/`$` patterns
+    // (app/utils/path_validator.py:20-50). This catalog is structurally
+    // confined instead: tenant names allow no dot/slash at validation
+    // (TenantRe), and tableName substitutes [-.] -> _ under a constant
+    // prefix, so no accepted (tenant, model) pair can name a parent or
+    // sibling directory. Assert that with the nastiest names validation
+    // accepts, plus that the classic traversal strings are rejected.
+    val root = Files.createTempDirectory("graft_cat_safe")
+    val cat = new VectorStoreCatalog(spark, root.toString)
+    // model "..." is all-dots and passes the reference's model regex too
+    for (m <- Seq("...", "-..-", "a.b-c")) {
+      cat.generateSchema(SchemaSpec("master", m, dimension = 8))
+      val dir = cat.tableDir("master", m).toAbsolutePath.normalize
+      assert(dir.startsWith(root.toAbsolutePath.normalize),
+        s"model '$m' escaped the catalog root: $dir")
+      cat.insert("master", m, Seq(
+        EmbeddedVector("k1", "safe chunk", m, Map(), vec(1))))
+      assert(cat.load("master", m).count() == 1)
+    }
+    // names with separators or traversal characters are rejected up front
+    for (t <- Seq("../x", "a/b", "~root", "a$b", ".."))
+      intercept[IllegalArgumentException](
+        cat.generateSchema(SchemaSpec(t, "m", dimension = 8)))
+    for (m <- Seq("../x", "a/b", "a~b", "a$b"))
+      intercept[IllegalArgumentException](
+        cat.generateSchema(SchemaSpec("master", m, dimension = 8)))
+  }
+
   test("response envelope echoes every request knob (search_base.py:12-95 parity)") {
     val cat = mkCatalog
     cat.generateSchema(SchemaSpec("master", "echo-model", dimension = 8))
