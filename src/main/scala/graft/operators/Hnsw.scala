@@ -48,6 +48,9 @@ object Hnsw {
     bucketed.join(keep, Seq("table", "bucket"), "left_semi")
   }
 
+  private def ceilLog2(x: Long): Int =
+    if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1L)
+
   private def scorePairs(pairs: DataFrame, metric: String): DataFrame =
     pairs
       .withColumn("nd2", VecExprs.norm2(col("a_dv")))
@@ -108,9 +111,17 @@ object Hnsw {
 
     // Long-range bridges: multi-table hyperplane-LSH bucket pairs (keyed on
     // (table, bucket)) — connects near-duplicate regions across cells.
+    // nPlanes must GROW with the corpus: a fixed 2^nPlanes bucket count
+    // means bucket size n/2^nPlanes, and the bucket self-join emits
+    // size² pairs per bucket — quadratic in n (measured: b13 slope 1.28
+    // at 10× with the fixed default). Scaling planes to hold ~64 docs per
+    // expected bucket keeps bridge volume ≈ nTables·n·64 — linear — while
+    // bucket-local similarity only sharpens with more planes (bridges are
+    // a recall supplement; connectivity rides on the hub edges).
+    val nPlanesEff = math.max(nPlanes, ceilLog2(math.max(1L, n / 64)))
     val dim = corpus.select(size(col("dv"))).head().getInt(0)
     val b0 = AnnLsh.withBuckets(corpus.select(col("doc_id"), col("dv").as("qv")),
-      "doc_id", nTables, nPlanes, dim)
+      "doc_id", nTables, nPlanesEff, dim)
     val b = bridgeBuckets(b0, maxBridgeBucket)
     val bridgePairs = b.select(col("table"), col("bucket"),
         col("doc_id").as("a_id"), col("qv").as("a_dv"))

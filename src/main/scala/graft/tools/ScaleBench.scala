@@ -240,6 +240,12 @@ object ScaleBench {
             .select(col("doc_id").as("qid"), col("qv"))
           Hnsw.search(p.g(), queries, k = 10, ef = 64)
         }),
+        // graph BUILD at scale: the claim is linear shuffle volume (keyed
+        // cell/bucket joins, per-node top-m) with no quadratic term — the
+        // timed DAG is the full edge construction incl. the coarse KMeans
+        "b13_hnsw_build" -> (() =>
+          Hnsw.build(Tables.docsCorpus(spark, sfDir)
+            .select(col("doc_id"), col("qv").as("dv")), m = 8).edges),
         "b3b_bm25_persisted" -> (() => Bm25.searchTopK(
           graft.sources.SparseIndex.read(spark, p.bmDir()),
           (0L until 8L).map(_ -> "spark join window merge data"), 10)),
