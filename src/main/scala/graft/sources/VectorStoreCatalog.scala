@@ -2057,10 +2057,21 @@ object VectorStoreCatalog {
     * The aside name has no '=' and is `_`-prefixed so Spark's partition
     * discovery never parses it as a value or reads it as data.
     */
+  /** Aside names must carry the slot REVERSIBLY but contain no '=': Spark's
+    * partition discovery ignores `_`-prefixed names ONLY when they carry no
+    * '=', so `_aside__bucket=0_<n>` was parsed as a partition column and
+    * crashed concurrent readers with CONFLICTING_PARTITION_COLUMN_NAMES
+    * (caught by the lock-free-reader churn spec, r11). '~' never occurs in
+    * slot names ([A-Za-z0-9_=.] only), so the encoding round-trips; decode
+    * also accepts PRE-FIX aside names (they contain '=' and no '~').
+    */
+  private def encodeSlot(s: String): String = s.replace("=", "~")
+  private def decodeSlot(s: String): String = s.replace("~", "=")
+
   private[graft] def swapDir(src: Path, dst: Path): Unit = {
     val f = fs
     val old = dst.resolveSibling(
-      "_aside_" + dst.getFileName.toString + "_" + System.nanoTime())
+      "_aside_" + encodeSlot(dst.getFileName.toString) + "_" + System.nanoTime())
     if (Files.exists(dst)) {
       if (f.atomicMoves) {
         // publish BEFORE the move: the aside must land already-complete,
@@ -2088,7 +2099,7 @@ object VectorStoreCatalog {
     */
   private[graft] def asideCanonical(aside: Path): Option[Path] =
     aside.getFileName.toString match {
-      case AsideName(slot) => Some(aside.resolveSibling(slot))
+      case AsideName(slot) => Some(aside.resolveSibling(decodeSlot(slot)))
       case _               => None
     }
 
@@ -2106,7 +2117,7 @@ object VectorStoreCatalog {
       listChildren(dir).map { c =>
         c.getFileName.toString match {
           case AsideName(slot) if Files.isDirectory(c) =>
-            val canonical = c.resolveSibling(slot)
+            val canonical = c.resolveSibling(decodeSlot(slot))
             if (f.isPublished(canonical)) f.deleteTree(c)
             else if (f.isPublished(c)) {
               if (Files.exists(canonical)) f.deleteTree(canonical)
