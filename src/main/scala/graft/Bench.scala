@@ -42,9 +42,16 @@ object Bench {
     // leaves it unset — every `need(...)` below is then true and the full
     // prep runs exactly as before.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    def need(names: String*): Boolean =
+    // every name a fixture gate mentions, recorded so the benches list can
+    // cross-check them below — a renamed bench whose gate still says the old
+    // name would otherwise silently skip fixture prep and die on a missing
+    // parquet path only when the bench itself runs
+    val gateNames = scala.collection.mutable.LinkedHashSet[String]()
+    def need(names: String*): Boolean = {
+      gateNames ++= names
       only.forall(sel => names.exists(sel.contains))
-    def need1(name: String): Boolean = only.forall(_.contains(name))
+    }
+    def need1(name: String): Boolean = { gateNames += name; only.forall(_.contains(name)) }
 
     // ---- untimed prep: persist the indexes the serving-path benches read,
     //      so build cost and query cost are reported SEPARATELY (a serving
@@ -579,6 +586,23 @@ object Bench {
     // as fast numbers. Failures now surface per-bench in an `errors` JSON
     // field (+ an error_count), and a bench with zero successful iterations
     // reports no timing at all.
+    // Fail fast on name drift BEFORE any timing: (a) a fixture gate naming a
+    // bench that no longer exists (rename without updating the gate), and
+    // (b) a SPARK_GRAFT_BENCH_ONLY entry that matches nothing (typo — the
+    // selected bench would otherwise just be silently absent from results).
+    // The hotkey pair is opt-in via env, so its names count as known even
+    // when the Seq above excluded them.
+    val knownNames = benches.map(_._1).toSet ++
+      Set("b20d_asof_hotkey", "b20e_asof_hotkey_chunked")
+    val staleGates = gateNames.toSet -- knownNames
+    require(staleGates.isEmpty,
+      s"fixture gate references unknown bench(es): ${staleGates.mkString(", ")}")
+    only.foreach { sel =>
+      val unknown = sel -- knownNames
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown bench(es): ${unknown.mkString(", ")}")
+    }
+
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = benches.filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -809,25 +809,43 @@ object Oracles {
        |WHERE rank <= $k""".stripMargin
 
   /** Multi-table random-hyperplane LSH ANN over quantized embeddings —
-    * mirror of [[graft.operators.AnnLsh]]: plane p = t*nPlanes+j has seed
+    * mirror of [[graft.operators.AnnLsh]]: plane p = t*np+j has seed
     * p*1000+3; plane component uses the 0-based element index (qe.i is
     * 1-based => i-1); candidates = union over tables of same-bucket pairs.
+    *
+    * `nPlanes` is the FLOOR, exactly as in [[graft.operators.AnnLsh.search]]:
+    * the effective count np = GREATEST(nPlanes, ceil(log2(count/64))) is
+    * computed IN SQL from the same corpus the Spark side counts, so the
+    * oracle reproduces the auto-scaled bucketing at every SF. ceil(log2(x))
+    * equals Scala's bit-twiddled ceilLog2 for every x ≥ 2 (log2 of exact
+    * powers of two is exact in IEEE double), and the x ≤ 1 → 0 branch is
+    * spelled out.
     */
   def annLsh(nq: Int, k: Int, nTables: Int = 4, nPlanes: Int = 6): String =
-    s"""WITH qe AS (
+    s"""WITH eff AS (
+       |  SELECT GREATEST($nPlanes,
+       |           CASE WHEN x <= 1 THEN 0
+       |                ELSE CAST(CEIL(LOG2(CAST(x AS DOUBLE))) AS BIGINT) END) AS np
+       |  FROM (SELECT GREATEST(1, (SELECT COUNT(*) FROM embeddings) // 64) AS x)),
+       |qe AS (
        |  SELECT vec_id, i, round(CAST(e AS DOUBLE) * 1000) AS x
        |  FROM (SELECT vec_id, unnest(embedding) AS e,
        |               generate_subscripts(embedding, 1) AS i
        |        FROM embeddings)),
+       |pl AS (
+       |  SELECT t, j, t * (SELECT np FROM eff) + j AS p
+       |  FROM (SELECT CAST(range AS BIGINT) AS t FROM range($nTables))
+       |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(24))
+       |  WHERE j < (SELECT np FROM eff)),
        |pd AS (
-       |  SELECT vec_id, p,
+       |  SELECT vec_id, t, j,
        |         SUM(x * (((p*1000 + 3)*131 + (i - 1)*313 + 7) % 97 - 48)) AS pdot
-       |  FROM qe CROSS JOIN (SELECT CAST(range AS BIGINT) AS p FROM range(${nTables * nPlanes})) pl
-       |  GROUP BY vec_id, p),
+       |  FROM qe CROSS JOIN pl
+       |  GROUP BY vec_id, t, j),
        |bk AS (
-       |  SELECT vec_id, p // $nPlanes AS tbl,
-       |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(pow(2.0, p % $nPlanes) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM pd GROUP BY vec_id, p // $nPlanes),
+       |  SELECT vec_id, t AS tbl,
+       |         CAST(SUM(CASE WHEN pdot > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pd GROUP BY vec_id, t),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS qid, d.vec_id AS doc_id
        |  FROM bk q JOIN bk d ON q.tbl = d.tbl AND q.bucket = d.bucket

@@ -114,6 +114,56 @@ object ServiceShell {
     }
   }
 
+  /** Admin key-fingerprint listing (`app/routers/admin.py:36-67`): SHA-256
+    * fingerprints + masked ids of stored client secrets — never the raw
+    * secret. Gated to admin/superadmin callers like the reference's
+    * client_type check; client ids pass through the log sanitizer
+    * (`app/utils/log_sanitizer.py:60-82`: control chars → `_`, 200-char
+    * cap). The client store here is the tenant user table (the engine has
+    * no separate key_manager config file).
+    */
+  object AdminService {
+
+    def sha256Hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    /** first-n "..." last-n; a string of ≤ 2n chars returns whole
+      * (`admin.py:28-33` — at that length the mask would reveal it anyway).
+      */
+    def masked(s: String, n: Int = 4): String =
+      if (s == null || s.isEmpty) ""
+      else if (s.length <= n * 2) s
+      else s.take(n) + "..." + s.takeRight(n)
+
+    /** `sanitize_for_log`: CR/LF/tab/control chars (C0 + DEL + C1) → `_`,
+      * hard 200-char cap with a `...` tail.
+      */
+    def sanitizeForLog(value: String): String = {
+      if (value == null) return "None"
+      val cleaned = value.map(c =>
+        if (c < ' ' || (c >= '\u007f' && c <= '\u009f')) '_' else c)
+      if (cleaned.length > 200) cleaned.take(197) + "..." else cleaned
+    }
+
+    /** GET /admin/fingerprints: Left(403 detail) for non-admin callers,
+      * else one row per stored client — (client_id, fingerprint, masked).
+      * A client whose secret cannot be fingerprinted is skipped, not
+      * fatal (`admin.py:63-64`).
+      */
+    def fingerprints(clients: Map[String, String],
+        clientType: String): Either[String, Seq[Map[String, String]]] =
+      if (clientType != "admin" && clientType != "superadmin")
+        Left("Admin access required")
+      else Right(clients.toSeq.sortBy(_._1).flatMap { case (cid, secret) =>
+        try Some(Map(
+          "client_id" -> sanitizeForLog(cid),
+          "fingerprint" -> sha256Hex(secret),
+          "masked" -> masked(secret)))
+        catch { case _: Throwable => None }
+      })
+  }
+
   /** Component-status fold (`health_service.py:40-73`): any unhealthy ⇒
     * unhealthy, else any degraded ⇒ degraded, else healthy; plus uptime.
     * Checks are injected (storage reachability, config readability, …) and

@@ -26,6 +26,24 @@ object AnnLsh {
 
   def planeSeed(p: Int): Long = p * 1000L + 3L
 
+  /** Default plane-count floor: with fewer planes than this, small corpora
+    * degenerate to near-full scans (≤ 2^6 buckets).
+    */
+  val MinPlanes = 6
+
+  /** Auto-scaled plane count: enough sign bits that the EXPECTED bucket
+    * holds ~64 docs. A fixed plane count makes the candidate set a linear
+    * FRACTION of the corpus (bucket size n/2^planes grows with n — the
+    * same quadratic the HNSW bridge stage had, SCALE.md "AnnLsh plane-count
+    * regime"); scaling planes with log2(n/64) holds candidate volume
+    * ≈ nTables·n·64 — linear in n with a flat per-query term.
+    */
+  def autoPlanes(n: Long): Int =
+    math.max(MinPlanes, ceilLog2(math.max(1L, n / 64)))
+
+  private def ceilLog2(x: Long): Int =
+    if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1L)
+
   /** (id, qv) → (id, qv, table, bucket): one row per hash table, produced by
     * ONE scan — all tables' buckets are computed into an array per row and
     * exploded (vs a union of nTables selects, which scans the corpus
@@ -48,11 +66,23 @@ object AnnLsh {
   /** Approximate top-k: candidates = union over tables of docs sharing the
     * query's bucket. corpus/queries: (doc_id|qid, qv).
     * Returns (qid, rank, doc_id, score).
+    *
+    * `nPlanes = None` (the default) auto-scales the plane count with the
+    * corpus ([[autoPlanes]] — floor [[MinPlanes]], growing as
+    * ceil(log2(n/64)) so expected bucket size stays ~64 and the candidate
+    * join stays linear in n); this costs one count() job, skipped when the
+    * caller passes `corpusCount` (a persisted collection knows its size).
+    * `Some(p)` uses exactly p planes — the explicit-knob override for
+    * callers that computed their own regime (e.g. [[Hnsw.build]]'s bridge
+    * stage, which calls [[withBuckets]] directly).
     */
   def search(corpus: DataFrame, queries: DataFrame, k: Int,
-      nTables: Int = 4, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    val c = withBuckets(corpus, "doc_id", nTables, nPlanes, dim)
-    val q = withBuckets(queries, "qid", nTables, nPlanes, dim)
+      nTables: Int = 4, nPlanes: Option[Int] = None, dim: Int = 64,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val planes = nPlanes.getOrElse(
+      autoPlanes(corpusCount.getOrElse(corpus.count())))
+    val c = withBuckets(corpus, "doc_id", nTables, planes, dim)
+    val q = withBuckets(queries, "qid", nTables, planes, dim)
       .withColumnRenamed("qv", "qqv")
     val cand = c.join(broadcast(q), Seq("table", "bucket"))
       .select("qid", "doc_id").distinct()

@@ -72,6 +72,15 @@ object Hnsw {
     * its medoid — see below). Bounded: ≤ nTables·2^nPlanes·cap² scored
     * bridge pairs regardless of skew.
     */
+  /** `nPlanes` is a FLOOR, not the count used: the effective bridge plane
+    * count auto-scales as max(nPlanes, ceil(log2(n/64))) so expected bucket
+    * size stays ~64 and the bridge self-join stays linear in n (SCALE.md
+    * "build scaling, measured at 10×" — the fixed default was quadratic).
+    * An explicit argument therefore RAISES the plane count on small corpora
+    * but cannot lower it below the auto-scale on large ones; there is
+    * deliberately no opt-out (a sub-scale plane count is a measured
+    * quadratic, never a sane regime).
+    */
   /** `coarseIter`: KMeans iterations for the coarse cells. The cells only
     * need LOCALITY (similar docs usually share a cell so the cell-local kNN
     * finds them), not a converged clustering — connectivity never depends
@@ -85,7 +94,12 @@ object Hnsw {
       seed: Long = 42L, nTables: Int = 4, nPlanes: Int = 6,
       maxBridgeBucket: Int = 4096, coarseIter: Int = 8): Graph = {
     val spark = corpus.sparkSession
-    val n = corpus.count()
+    // ONE stats job for corpus size AND vector width (a separate
+    // select(size(dv)).head() was a second full scheduler round-trip per
+    // build); max(size) is exact — every stored vector has the collection
+    // dim, enforced at ingest.
+    val statsRow = corpus.agg(count(lit(1)), max(size(col("dv")))).head()
+    val n = statsRow.getLong(0)
     val emptyEdges = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -119,7 +133,7 @@ object Hnsw {
     // bucket-local similarity only sharpens with more planes (bridges are
     // a recall supplement; connectivity rides on the hub edges).
     val nPlanesEff = math.max(nPlanes, ceilLog2(math.max(1L, n / 64)))
-    val dim = corpus.select(size(col("dv"))).head().getInt(0)
+    val dim = statsRow.getInt(1)
     val b0 = AnnLsh.withBuckets(corpus.select(col("doc_id"), col("dv").as("qv")),
       "doc_id", nTables, nPlanesEff, dim)
     val b = bridgeBuckets(b0, maxBridgeBucket)

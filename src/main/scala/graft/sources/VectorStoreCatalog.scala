@@ -1820,6 +1820,17 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def grants(tenant: String, clientId: String): Seq[String] =
     configGet(tenant, s"role.$clientId").map(_.split(",").toSeq).getOrElse(Nil)
 
+  /** All stored clients of a tenant: clientId → secret. Feeds the admin
+    * fingerprint endpoint ([[graft.api.ServiceShell.AdminService]] —
+    * `admin.py:36-67` iterates key_manager.clients; the engine's client
+    * store is the tenant user table). Secrets never leave the facade
+    * unhashed/unmasked.
+    */
+  def listUsers(tenant: String): Map[String, String] =
+    configAll(tenant).collect {
+      case (k, v) if k.startsWith("user.") => k.stripPrefix("user.") -> v
+    }
+
   /** Password policy (base_milvus.py:755-783): ≥8 chars with upper, lower,
     * digit and one special from the reference's set. Returns the violation
     * message, or None when the password passes.

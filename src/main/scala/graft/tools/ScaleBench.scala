@@ -235,6 +235,16 @@ object ScaleBench {
           q64, SearchParams(limit = 10, outputFields = Nil))),
         "b5b_ivf_probe_persisted" -> (() =>
           Ivf.probePersisted(p.ivf(), q64, nprobe = 16, k = 10)),
+        // LSH ANN with the AUTO-SCALED plane count (r12): fixed planes made
+        // the per-query candidate set a linear fraction of the corpus
+        // (bucket size n/2^planes); auto planes hold bucket size ~64, so
+        // only the corpus bucketing scan grows with n and the slope falls
+        "b11_ann_lsh" -> (() => {
+          val c = Tables.docsCorpus(spark, sfDir)
+          AnnLsh.search(c.select(col("doc_id"), col("qv")),
+            c.filter(col("doc_id") < 64).select(col("doc_id").as("qid"), col("qv")),
+            k = 10)
+        }),
         "b14_hnsw_search" -> (() => {
           val queries = Tables.docsCorpus(spark, sfDir).filter(col("doc_id") < 8)
             .select(col("doc_id").as("qid"), col("qv"))

@@ -204,7 +204,7 @@ class AnnLshSpec extends SparkSpec {
     val c = graft.core.Tables.docsCorpus(spark, Sf)
     val corpus = c.select(col("doc_id"), col("qv"))
     val queries = c.filter(col("doc_id") < 8).select(col("doc_id").as("qid"), col("qv"))
-    val approx = AnnLsh.search(corpus, queries, k = 10, nTables = 8, nPlanes = 5)
+    val approx = AnnLsh.search(corpus, queries, k = 10, nTables = 8, nPlanes = Some(5))
     val top1 = approx.filter(col("rank") === 1).collect()
     top1.foreach(r => assert(r.getAs[Long]("qid") == r.getAs[Long]("doc_id"),
       "self must be its own nearest neighbour within its bucket"))
@@ -212,6 +212,29 @@ class AnnLshSpec extends SparkSpec {
       SearchParams(limit = 10, outputFields = Nil))
     val recall = Ivf.recallVsExact(approx, exact)
     assert(recall >= 0.35, s"4x6-plane LSH recall@10 too low: $recall")
+  }
+
+  test("auto plane count: floor 6 small, ceil(log2(n/64)) large; default = explicit") {
+    // the formula itself (the scale contract: expected bucket size ~64)
+    assert(AnnLsh.autoPlanes(100) == 6)       // floor
+    assert(AnnLsh.autoPlanes(64L * 64) == 6)  // 64 buckets of 64 — at the floor
+    assert(AnnLsh.autoPlanes(5000) == 7)      // 5000/64 = 78 -> 2^7 = 128 >= 78
+    assert(AnnLsh.autoPlanes(1000000) == 14)  // 1e6/64 = 15625 -> 2^14
+    // a corpus big enough that auto > floor: the default must equal the
+    // explicit Some(autoPlanes(n)) run row-for-row
+    val corpus = graft.core.Tables.queryBatch(spark, 5000, 16)
+      .select(col("qid").as("doc_id"), col("qv"))
+    val queries = graft.core.Tables.queryBatch(spark, 4, 16)
+    val auto = AnnLsh.search(corpus, queries, k = 5, dim = 16)
+    val explicitP = AnnLsh.search(corpus, queries, k = 5,
+      nPlanes = Some(AnnLsh.autoPlanes(5000)), dim = 16)
+    assert(AnnLsh.autoPlanes(5000) > AnnLsh.MinPlanes)
+    assert(auto.exceptAll(explicitP).isEmpty && explicitP.exceptAll(auto).isEmpty,
+      "default (auto) bucketing must equal the explicit effective plane count")
+    // corpusCount hint: same rows, no count job needed by the caller
+    val hinted = AnnLsh.search(corpus, queries, k = 5, dim = 16,
+      corpusCount = Some(5000L))
+    assert(hinted.exceptAll(auto).isEmpty && auto.exceptAll(hinted).isEmpty)
   }
 }
 

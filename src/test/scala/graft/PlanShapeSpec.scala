@@ -331,6 +331,7 @@ class PlanShapeSpec extends SparkSpec {
     val split = Seq((1L, "train"), (2L, "test"), (3L, "test")).toDF("doc_id", "split")
     // AQE wraps finished stages in leaf QueryStageExec nodes that hide the
     // subtree from collect(); a static plan keeps the whole tree walkable
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = Dedup.contaminationBloom(docs, split)
@@ -343,6 +344,6 @@ class PlanShapeSpec extends SparkSpec {
         assert(shufflesBelow.isEmpty,
           s"bloom probe must prune before any exchange, found:\n$f")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 }

@@ -91,6 +91,48 @@ class ServiceShellSpec extends AnyFunSuite {
   }
 }
 
+/** Admin key-fingerprint endpoint parity (`admin.py:23-67`): masking,
+  * SHA-256 fingerprint format, admin gating, log sanitization.
+  */
+class AdminServiceSpec extends AnyFunSuite {
+  import ServiceShell.AdminService
+
+  test("masked: first4...last4; ≤8 chars returns whole; empty stays empty") {
+    assert(AdminService.masked("abcdefghij") == "abcd...ghij")
+    assert(AdminService.masked("abcdefgh") == "abcdefgh") // len == 2n: whole
+    assert(AdminService.masked("abc") == "abc")
+    assert(AdminService.masked("") == "")
+  }
+
+  test("fingerprint is lowercase sha256 hex of the raw secret") {
+    // known vector: sha256("abc")
+    assert(AdminService.sha256Hex("abc") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+
+  test("sanitizeForLog: control chars → _, 200-char cap with ... tail") {
+    assert(AdminService.sanitizeForLog("a\r\nb\tc") == "a__b_c")
+    assert(AdminService.sanitizeForLog("x\u0001y\u007fz") == "x_y_z")
+    val long = AdminService.sanitizeForLog("q" * 300)
+    assert(long.length == 200 && long.endsWith("..."))
+    assert(AdminService.sanitizeForLog(null) == "None")
+  }
+
+  test("fingerprints: 403 detail for non-admin; rows for admin and superadmin") {
+    val clients = Map("cid_a" -> "secret-aaaa-zzzz", "cid_b" -> "s")
+    assert(ServiceShell.AdminService.fingerprints(clients, "user") ==
+      Left("Admin access required"))
+    for (ct <- Seq("admin", "superadmin")) {
+      val rows = AdminService.fingerprints(clients, ct).toOption.get
+      assert(rows.map(_("client_id")) == Seq("cid_a", "cid_b"))
+      val a = rows.head
+      assert(a("fingerprint") == AdminService.sha256Hex("secret-aaaa-zzzz"))
+      assert(a("masked") == "secr...zzzz")
+      assert(!a.values.exists(_ == "secret-aaaa-zzzz"), "raw secret must not appear")
+    }
+  }
+}
+
 /** Transactional tenant setup through the real catalog (needs Spark for
   * the catalog constructor only).
   */
