@@ -290,6 +290,25 @@ object Bench {
         benchCat.insert("bench", "hnswfresh", hnswChurnBatch(g, "hnswfresh"))
       benchCat.persistIndex("bench", "hnswfresh")
     }
+    // insert-at-threshold fixture (b6g): an indexed collection held ONE
+    // absorb away from its drift threshold (`ivf_max_absorbs = 1`), so the
+    // first timed insert crosses it. Pre-r12 that insert paid the full
+    // KMeans retrain inline; now it only schedules the detached rebuild —
+    // the row's claim is that its wall stays at b6c's O(batch) level, not
+    // b5's build level. Iterations alternate the two production shapes
+    // under rebuild pressure: threshold-crossing (schedule) and
+    // rebuild-in-flight (backlog append); both must be O(batch).
+    if (need("b6g_upsert_at_threshold")) {
+      benchCat.generateSchema(graft.api.SchemaSpec("bench", "thresh",
+        dimension = 64, extraProps = Map("ivf_max_absorbs" -> "1")))
+      benchCat.insert("bench", "thresh", (0 until 1000).map(i =>
+        graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "thresh",
+          Map("g" -> "0"), benchVec(i))))
+      benchCat.persistIndex("bench", "thresh")
+      benchCat.insert("bench", "thresh", upsertBatch(999, "thresh")) // counter -> 1
+    }
+    var b6gGen = 2000
+
     // Applied to EVERY timed query at the timing site: counting a query
     // lets Catalyst prune whatever the count does not need (the as-of lost
     // its whole window; the Gopher/C4 gates and q1's sums degenerated to
@@ -561,6 +580,15 @@ object Bench {
         graft.streaming.CurateStream.curateBatch(spark, inc,
           s"$prepDir/curidx", s"$prepDir/curated",
           minQuality = 0.3, threshold = 0.75, nBuckets = 16)
+        spark.range(1).toDF("ok")
+      }),
+      // LAST in the run order: its detached rebuild may still be running
+      // when the bench ends (by design — that is the row's whole claim),
+      // and trailing it keeps that background work from polluting other
+      // rows' timings
+      "b6g_upsert_at_threshold" -> (() => {
+        b6gGen += 1
+        benchCat.insert("bench", "thresh", upsertBatch(b6gGen, "thresh"))
         spark.range(1).toDF("ok")
       }),
     ) ++ (if (sys.env.contains("SPARK_GRAFT_BENCH_HOTKEY")) Seq[(String, () => DataFrame)](

@@ -202,6 +202,47 @@ object Hnsw {
       metric)
   }
 
+  /** Sharded graph build — the prescribed arm for corpora past the
+    * single-graph regime boundary (the nlist clamp: one graph's cell-local
+    * kNN term is n·(n/4096) past ~262k docs — SCALE.md "known scale
+    * limits"). Shards are doc_id-hash slices (pmod(doc_id, S)), so each is
+    * a UNIFORM sample of the corpus and each shard graph is an independent
+    * small-world sized back inside the clamp regime
+    * (S = ceil(n/shardTarget)).
+    *
+    * The union of shard graphs IS a servable [[Graph]], unchanged search
+    * machinery: edges stay shard-local (no cross-shard links are needed)
+    * because the entry medoids of EVERY shard seed each query's beam —
+    * the walk explores all shards simultaneously and the per-query
+    * ef-beam/top-k merge is exactly the ranked-list fan-out+merge of
+    * distributed ANN serving. Recall matches the unsharded graph within
+    * spec bounds (HnswSpec): a query's true top-k is split across shards
+    * by the hash, and each shard recovers its own members independently —
+    * sharding never makes a neighbour harder to reach, it only removes
+    * CROSS-shard edges that beam search would not need (each shard seeds
+    * from its own medoids).
+    *
+    * Cost: S independent builds of ~shardTarget docs — linear total, each
+    * inside the clamp regime. The driver loop here runs them sequentially;
+    * on a cluster each shard build is an independent job chain (submit
+    * them from S scheduler threads for wall-clock S-way parallelism).
+    */
+  def buildSharded(corpus: DataFrame, m: Int = 8, metric: String = "COSINE",
+      seed: Long = 42L, shardTarget: Int = 200000): Graph = {
+    val n = corpus.count()
+    val s = math.max(1, math.ceil(n.toDouble / shardTarget.toDouble).toInt)
+    if (s == 1) return build(corpus, m, metric, seed)
+    val shards = (0 until s).map { i =>
+      // per-shard seed: shard KMeans inits must not correlate
+      build(corpus.filter(pmod(col("doc_id"), lit(s)) === i), m, metric,
+        seed + i)
+    }
+    Graph(corpus,
+      shards.map(_.edges).reduce(_.unionByName(_)),
+      shards.map(_.entries).reduce(_.unionByName(_)),
+      metric)
+  }
+
   /** Degree re-pruning for incrementally absorbed graphs — HNSW's
     * neighbour-shrink (Malkov & Yashunin 2016 §4, SELECT-NEIGHBORS on
     * overflow), batched. Insert absorption appends symmetric edges, so a

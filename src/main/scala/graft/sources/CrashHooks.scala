@@ -30,3 +30,15 @@ private[graft] object CrashHooks {
       if (armed.contains(point)) { armed -= point; throw new InjectedCrash(point) }
     }
 }
+
+/** Test-only synchronization for the ASYNC index rebuilds: when a gate is
+  * set, every background rebuild task parks on it before reading its data
+  * snapshot, so a spec can deterministically run inserts "while the rebuild
+  * is in flight" (backlog path) and prove the triggering insert returned
+  * without waiting for the build. Production cost: one volatile read per
+  * scheduled rebuild.
+  */
+private[graft] object RebuildHooks {
+  @volatile var holdGate: Option[java.util.concurrent.CountDownLatch] = None
+  def maybeHold(): Unit = holdGate.foreach(_.await())
+}

@@ -257,7 +257,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
   private def readDeltas(tenant: String, model: String,
       pending: Seq[Path]): DataFrame =
-    spark.read
+    // pread: a lock-free reader's listed delta may be folded away (deleted)
+    // before its tasks read it — same vanishing-file tolerance as every
+    // other table read
+    pread
       .schema(rawSchema(tenant, model).add(StructField("_dseq", LongType)))
       .parquet(pending.map(_.toString): _*)
 
@@ -342,6 +345,124 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * replaces this.
     */
   private def pread = spark.read.option("ignoreMissingFiles", "true")
+
+  // ---- asynchronous drift/churn rebuilds ----
+  //
+  // The absorb-threshold rebuilds (`ivf_max_absorbs` retrain,
+  // `hnsw_max_absorbs` graph rebuild) used to run INLINE in the triggering
+  // insert's commit scope: the 64th insert paid the full KMeans/graph-build
+  // wall (b13-class — tens of seconds to minutes at production corpus
+  // sizes). The trigger now only SCHEDULES the rebuild and returns O(batch):
+  //  - the OLD generation keeps serving, and keeps absorbing every
+  //    subsequent insert incrementally, so it stays EXACT throughout;
+  //  - inserts that land while the build runs ALSO append their batch to a
+  //    backlog; the build's snapshot predates them, and the publish step
+  //    replays the backlog into the staged tables (last writer wins per
+  //    key) before any swap — the published generation misses nothing;
+  //  - the publish itself runs under the collection lock via per-table
+  //    swapDir renames (the same staged shape the explicit persistIndex /
+  //    persistHnsw builds now use).
+  // One rebuild thread total: rebuilds are heavyweight Spark job chains and
+  // serializing them bounds their interference with serving; per-collection
+  // single-flight is enforced by the in-flight marker (a second threshold
+  // crossing while one is pending just keeps absorbing).
+  private val rebuildExec = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-index-rebuild"); t.setDaemon(true); t })
+  private val inflightRebuilds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[Unit]]()
+
+  /** tmp roots being written by a LOCK-FREE background build phase: they
+    * match vacuum's `*_tmp_*` debris pattern (and contain live `_temporary`
+    * Spark staging), so vacuum must neither sweep nor descend into them.
+    */
+  private val liveTmps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def rebuildKey(tenant: String, model: String, fam: String): String =
+    s"$tenant/$model#$fam"
+
+  private def denseInflightMarker(tenant: String, model: String): Path =
+    indexDir(tenant, model).resolve("_retrain_inflight.json")
+  private def denseBacklogDir(tenant: String, model: String): Path =
+    indexDir(tenant, model).resolve("_retrain_backlog")
+  private def hnswInflightMarker(tenant: String, model: String): Path =
+    hnswDir(tenant, model).resolve("_rebuild_inflight.json")
+  private def hnswBacklogDir(tenant: String, model: String): Path =
+    hnswDir(tenant, model).resolve("_rebuild_backlog")
+
+  /** True while an async rebuild of `fam` is pending: marker present AND a
+    * live task. A marker WITHOUT a live task is a crash leftover (the
+    * daemon thread died with its JVM); the live index is complete and exact
+    * regardless (incremental absorbs continued throughout), so recovery is
+    * just clearing the stale marker + backlog and letting the absorb
+    * counter re-trigger. Caller holds the collection lock.
+    */
+  private def rebuildInflight(tenant: String, model: String, fam: String,
+      marker: Path, backlog: Path): Boolean = {
+    if (!Files.exists(marker)) return false
+    if (inflightRebuilds.containsKey(rebuildKey(tenant, model, fam))) true
+    else {
+      Files.deleteIfExists(marker)
+      if (Files.exists(backlog)) deleteRec(backlog)
+      false
+    }
+  }
+
+  /** Append one insert batch (doc_id, dv) to a rebuild backlog — under the
+    * collection lock, so `_seq` (nanoTime) strictly orders batches and the
+    * replay's last-writer-wins per key reproduces commit order.
+    */
+  private def appendBacklog(dir: Path, vecs: DataFrame): Unit = {
+    Files.createDirectories(dir)
+    vecs.select(col("doc_id"), col("dv"))
+      .withColumn("_seq", lit(System.nanoTime()))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(dir.resolve("b" + System.nanoTime()).toString)
+  }
+
+  /** Backlog as (doc_id, dv), last writer wins per key; None when absent
+    * or empty. Also returns the batch count (the published generation's
+    * residual absorb debt — replayed rows joined centroids/graphs built
+    * without them).
+    */
+  private def readBacklog(dir: Path): Option[(DataFrame, Int)] = {
+    if (!Files.exists(dir)) return None
+    val parts = listChildren(dir).filter(_.getFileName.toString.startsWith("b"))
+    if (parts.isEmpty) return None
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("_seq").desc)
+    val latest = pread.schema("doc_id LONG, dv ARRAY<DOUBLE>, _seq LONG")
+      .parquet(parts.map(_.toString): _*)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).select("doc_id", "dv")
+    Some((latest, parts.size))
+  }
+
+  /** Block until every pending background rebuild of this collection has
+    * finished, rethrowing its failure. The facade's sync point (call before
+    * tearing a collection down; specs use it for determinism) — never
+    * required for correctness of reads or inserts.
+    */
+  def awaitRebuilds(tenant: String, model: String): Unit =
+    Seq("ivf", "hnsw").foreach { fam =>
+      val f = inflightRebuilds.get(rebuildKey(tenant, model, fam))
+      if (f != null)
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw new RuntimeException(
+              s"background $fam rebuild of $tenant/$model failed", e.getCause)
+          case _: java.util.concurrent.CancellationException => ()
+        }
+    }
+
+  private def scheduleRebuild(tenant: String, model: String, fam: String,
+      marker: Path)(body: => Unit): Unit = {
+    writeJson(marker, Map("since" -> java.time.Instant.now().toString))
+    val key = rebuildKey(tenant, model, fam)
+    val task = new java.util.concurrent.FutureTask[Unit](() => body)
+    inflightRebuilds.put(key, task)
+    rebuildExec.execute(() => try task.run() finally inflightRebuilds.remove(key, task))
+  }
 
   // ---- torn-commit detection + recovery (`_commit_intent` marker) ----
   //
@@ -480,7 +601,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       }
       def sweep(dir: Path): Int =
         listChildren(dir).map { c =>
-          if (debris(c)) { deleteRec(c); 1 }
+          // a live background-rebuild tmp matches the debris pattern and
+          // holds live `_temporary` Spark staging — neither sweep nor descend
+          if (liveTmps.contains(c.toString)) 0
+          else if (debris(c)) { deleteRec(c); 1 }
           else if (Files.isDirectory(c)) sweep(c)
           else 0
         }.sum
@@ -804,16 +928,18 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // probe cost unbalances and quantization error grows while every
       // individual rewrite stays exact. After `ivf_max_absorbs` absorbs
       // (default 64 — the max_delta_files / hnsw_max_absorbs shape) the
-      // index RETRAINS from the current data table instead: fresh KMeans
-      // centroids + quantizer refit, counter reset. The data commit must be
-      // visible first (the retrain reads the merged table).
+      // index RETRAINS from the current data table: fresh KMeans centroids
+      // + quantizer refit. The retrain is SCHEDULED, not inlined — this
+      // insert still absorbs incrementally below (the old generation stays
+      // exact and keeps serving while the build runs) and returns O(batch);
+      // see scheduleDenseRetrain. While a retrain is in flight, each
+      // absorbed batch is also appended to the backlog the publish replays.
       val maxAbsorbs = properties(tenant, model)
         .getOrElse("ivf_max_absorbs", "64").toInt
-      if (ivfAbsorbCount(tenant, model) >= maxAbsorbs) {
-        scala.concurrent.Await.result(dataCommit,
-          scala.concurrent.duration.Duration.Inf)
-        retrainDense(tenant, model)
-      } else {
+      val retrainInflight = rebuildInflight(tenant, model, "ivf",
+        denseInflightMarker(tenant, model), denseBacklogDir(tenant, model))
+      val atThreshold = !retrainInflight &&
+        ivfAbsorbCount(tenant, model) >= maxAbsorbs
       val assigned = Ivf.assign(
         batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv")),
@@ -859,7 +985,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // after the swaps — advisory like the HNSW counter: a crash here
       // undercounts by one and the retrain just comes one absorb later
       writeIvfAbsorbCount(tenant, model, ivfAbsorbCount(tenant, model) + 1)
-      }
+      if (retrainInflight)
+        appendBacklog(denseBacklogDir(tenant, model),
+          batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
+            col("vector").as("dv")))
+      else if (atThreshold) scheduleDenseRetrain(tenant, model)
     } } }
 
     // Settle EVERY outstanding commit future BEFORE propagating any failure:
@@ -1416,14 +1546,29 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   }
 
   /** Full dense (re)train: fresh KMeans centroids + quantizer params from
-    * the CURRENT data table — both the explicit build ([[persistIndex]])
-    * and the drift-triggered retrain in [[insert]] land here. Clears the
-    * absorb counter: a full build owes no drift debt. Caller holds the
-    * commit scope; the sparse index is NOT touched (it has no centroid
-    * dependency and [[insert]] maintains it concurrently).
+    * the CURRENT data table — the explicit build ([[persistIndex]]) and the
+    * torn-commit heal land here SYNCHRONOUSLY; the drift-triggered retrain
+    * in [[insert]] runs the same two halves detached
+    * ([[scheduleDenseRetrain]]). Staged: the whole build writes to a tmp
+    * root and publishes by per-table rename ([[publishDense]]) — lock-free
+    * readers never see a half-written generation (the pre-r12 shape
+    * overwrote the LIVE dirs, so the torn window was the whole build).
+    * Clears the absorb counter: a full build owes no drift debt. Caller
+    * holds the commit scope; the sparse index is NOT touched (it has no
+    * centroid dependency and [[insert]] maintains it concurrently).
     */
   private def retrainDense(tenant: String, model: String): Unit = {
-    val d = indexDir(tenant, model)
+    val tmp = indexDir(tenant, model).resolve("_tmp_retrain_" + System.nanoTime())
+    buildDenseTo(tenant, model, tmp)
+    publishDense(tenant, model, tmp)
+  }
+
+  /** Phase 1 of a dense (re)train: KMeans + quantize + write, all under a
+    * private tmp root — pure Spark jobs, no live directory is touched, so
+    * this half can run WITHOUT the collection lock (the async retrain does;
+    * its snapshot is the lock-free read contract every reader already has).
+    */
+  private def buildDenseTo(tenant: String, model: String, tmp: Path): Unit = {
     // repartition by the partition column first: one file per cell, not
     // (shuffle partitions × cells) tiny files — probe reads stay file-bound
     import spark.implicits._
@@ -1431,17 +1576,15 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val idx = buildIndex(tenant, model)
     val effectiveType =
       if (load(tenant, model).isEmpty) "IVF_FLAT" else declaredType
-    // live-dir overwrites begin here (full rebuild path)
-    armIntent(tenant, model)
     effectiveType match {
       case "IVF_SQ8" =>
         val sq = Ivf.quantizeIndex(idx)
         sq.clustered.repartition(col("centroid_id"))
           .write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
-          .parquet(d.resolve("clustered").toString)
+          .parquet(tmp.resolve("clustered").toString)
         sq.mins.indices.map(i => (i, sq.mins(i), sq.scales(i)))
           .toDF("pos", "mn", "scale")
-          .write.mode(SaveMode.Overwrite).parquet(d.resolve("sq8").toString)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("sq8").toString)
       case "IVF_PQ" =>
         val dim = dimension(tenant, model)
         val mSub = Seq(8, 4, 2, 1).find(dim % _ == 0).get
@@ -1450,21 +1593,153 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           ksub = math.max(2, math.min(256, (n / 4).toInt)))
         pq.clustered.repartition(col("centroid_id"))
           .write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
-          .parquet(d.resolve("clustered").toString)
+          .parquet(tmp.resolve("clustered").toString)
         pq.codebooks.zipWithIndex
           .flatMap { case (cb, m) => cb.zipWithIndex.map { case (c, j) => (m, j, c) } }
           .toDF("sub", "code", "center")
-          .write.mode(SaveMode.Overwrite).parquet(d.resolve("pq").toString)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("pq").toString)
       case _ =>
         idx.clustered.repartition(col("centroid_id"))
           .write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
-          .parquet(d.resolve("clustered").toString)
+          .parquet(tmp.resolve("clustered").toString)
     }
     idx.centroids.write.mode(SaveMode.Overwrite)
-      .parquet(d.resolve("centroids").toString)
+      .parquet(tmp.resolve("centroids").toString)
+  }
+
+  /** Phase 2: publish a staged dense generation — per-table atomic swapDir
+    * renames (clustered, then quantizer params, then centroids). The
+    * reader-visible window is the GAP BETWEEN RENAMES (microseconds): a
+    * lock-free probe racing the publish can pair one generation's centroids
+    * with the other's clustered/params, scoring that one request against a
+    * mixed generation — no crash (cell ids stay in [0, nlist)), the same
+    * transient class the lock-free bucket-swap contract documents; on a
+    * cluster the table format's transaction makes the publish atomic.
+    * Quantizer params of the outgoing generation are REMOVED when the new
+    * one has none (index_type change): stale params must not decode fresh
+    * raw vectors. Caller holds the commit scope.
+    */
+  private def publishDense(tenant: String, model: String, tmp: Path): Unit = {
+    val d = indexDir(tenant, model)
+    Files.createDirectories(d)
+    armIntent(tenant, model)
+    swapDir(tmp.resolve("clustered"), d.resolve("clustered"))
+    for (q <- Seq("sq8", "pq"))
+      if (Files.exists(tmp.resolve(q))) swapDir(tmp.resolve(q), d.resolve(q))
+      else if (Files.exists(d.resolve(q))) deleteRec(d.resolve(q))
+    swapDir(tmp.resolve("centroids"), d.resolve("centroids"))
+    deleteRec(tmp)
     writeIvfAbsorbCount(tenant, model, 0)
     spark.catalog.refreshByPath(d.toString)
   }
+
+  /** Drift-threshold retrain, DETACHED from the triggering insert: the
+    * insert writes the in-flight marker, resets the counter and enqueues
+    * the build — O(batch) wall (AsyncRebuildSpec parks the build at a gate
+    * and the insert still returns). The old generation keeps serving — and
+    * keeps absorbing every subsequent insert incrementally, staying exact —
+    * until the staged build publishes under the collection lock; batches
+    * that land meanwhile are replayed from the backlog into the staged
+    * tables BEFORE any swap, so the published generation misses nothing.
+    * Caller holds the commit scope (the marker write is ordered against
+    * every concurrent mutator).
+    */
+  private def scheduleDenseRetrain(tenant: String, model: String): Unit = {
+    writeIvfAbsorbCount(tenant, model, 0)
+    scheduleRebuild(tenant, model, "ivf", denseInflightMarker(tenant, model)) {
+      runDenseRetrain(tenant, model)
+    }
+  }
+
+  private def runDenseRetrain(tenant: String, model: String): Unit = {
+    RebuildHooks.maybeHold()
+    val d = indexDir(tenant, model)
+    val tmp = d.resolve("_tmp_retrain_" + System.nanoTime())
+    liveTmps.add(tmp.toString)
+    try {
+      // phase 1, NO lock: build from the current data table (anything that
+      // commits after the marker went up is in the backlog)
+      buildDenseTo(tenant, model, tmp)
+      // phase 2, collection lock: replay the backlog into the staged
+      // tables, publish, clear the rebuild state
+      withCommitScope(tenant, model) {
+        val nBatches = reconcileDenseBacklog(tenant, model, tmp)
+        publishDense(tenant, model, tmp)
+        if (Files.exists(denseBacklogDir(tenant, model)))
+          deleteRec(denseBacklogDir(tenant, model))
+        Files.deleteIfExists(denseInflightMarker(tenant, model))
+        // replayed rows joined centroids trained without them — residual
+        // absorb debt, same meaning as the incremental counter
+        writeIvfAbsorbCount(tenant, model, nBatches)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // the LIVE index is complete and exact (incremental absorbs
+        // continued throughout) — discard the staged state and let the
+        // absorb counter re-trigger a fresh attempt
+        lockFor(tenant, model).synchronized {
+          if (Files.exists(tmp)) deleteRec(tmp)
+          if (Files.exists(denseBacklogDir(tenant, model)))
+            deleteRec(denseBacklogDir(tenant, model))
+          Files.deleteIfExists(denseInflightMarker(tenant, model))
+        }
+        throw e
+    } finally liveTmps.remove(tmp.toString)
+  }
+
+  /** Replay the backlog into a STAGED dense index (under the collection
+    * lock, before its publish): assign the latest version of every
+    * backlogged key to the staged centroids, encode with the staged
+    * quantizer, and rewrite exactly the affected staged cells — the same
+    * affected-cell shape as insert's incremental absorb, O(backlog + those
+    * cells), never O(corpus). Overlap with the build's snapshot is
+    * harmless: staged rows of backlogged keys are dropped before the
+    * re-encoded rows go in (same key + same vector land in the same cell).
+    * Returns the number of batches replayed.
+    */
+  private def reconcileDenseBacklog(tenant: String, model: String, tmp: Path): Int =
+    readBacklog(denseBacklogDir(tenant, model)).fold(0) { case (latest0, nBatches) =>
+      val latest = latest0.localCheckpoint()
+      val metric = properties(tenant, model)("metric_type")
+      val centroids = pread.parquet(tmp.resolve("centroids").toString)
+      val payload =
+        if (Files.exists(tmp.resolve("sq8"))) "codes ARRAY<INT>"
+        else if (Files.exists(tmp.resolve("pq"))) "pqcodes ARRAY<INT>"
+        else "dv ARRAY<DOUBLE>"
+      val tmpClustered = pread.schema(s"doc_id LONG, $payload, centroid_id INT")
+        .parquet(tmp.resolve("clustered").toString)
+      val assigned = Ivf.assign(latest, centroids, metric).localCheckpoint()
+      val encoded = (sq8ParamsAt(tmp) match {
+        case Some((mins, scales)) =>
+          Ivf.sq8Codes(assigned, mins, scales).select("centroid_id", "doc_id", "codes")
+        case None => pqCodebooksAt(tmp) match {
+          case Some(cbs) =>
+            Ivf.pqEncode(assigned, cbs).select("centroid_id", "doc_id", "pqcodes")
+          case None => assigned.select("centroid_id", "doc_id", "dv")
+        }
+      }).select(tmpClustered.columns.map(col).toSeq: _*)
+      val ids = latest.select("doc_id")
+      // affected cells: where the snapshot's copies of backlogged keys sit
+      // (semi-join, never a giant isin) ∪ where the replays land — both
+      // collect ≤ nlist ids
+      val oldCells = tmpClustered.join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select("centroid_id").distinct().collect().map(_.getInt(0)).toIndexedSeq
+      val newCells = assigned.select("centroid_id").distinct().collect()
+        .map(_.getInt(0)).toIndexedSeq
+      val cells = (oldCells ++ newCells).distinct
+      val out = tmpClustered.filter(col("centroid_id").isin(cells: _*))
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .unionByName(encoded.filter(col("centroid_id").isin(cells: _*)))
+      val fix = tmp.resolve("clustered_fix")
+      out.repartition(col("centroid_id")).write.mode(SaveMode.Overwrite)
+        .partitionBy("centroid_id").parquet(fix.toString)
+      cells.foreach { c =>
+        swapDir(fix.resolve(s"centroid_id=$c"),
+          tmp.resolve("clustered").resolve(s"centroid_id=$c"))
+      }
+      deleteRec(fix)
+      nBatches
+    }
 
   def ensureIndex(tenant: String, model: String): Unit =
     if (!indexExists(tenant, model) && !hnswExists(tenant, model))
@@ -1482,30 +1757,104 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * pmod(doc_id, nB) (doc_id IS xxhash64(key), so a node shares its data
     * row's bucket), edges by the src node's bucket — so insert absorption
     * rewrites only touched bucket directories, never the whole graph.
+    * Staged like [[retrainDense]]: the whole build lands under a tmp root
+    * and publishes by per-table rename, so lock-free readers never see a
+    * half-written generation.
     */
   private def persistHnsw(tenant: String, model: String): Unit = {
+    val tmp = hnswDir(tenant, model).resolve("_tmp_rebuild_" + System.nanoTime())
+    buildHnswTo(tenant, model, tmp)
+    publishHnsw(tenant, model, tmp)
+  }
+
+  /** Phase 1 of a graph (re)build: [[Hnsw.build]] over the current data
+    * table, written bucketed under a private tmp root — pure jobs, no live
+    * dir touched, runnable WITHOUT the collection lock (the async rebuild
+    * does).
+    */
+  private def buildHnswTo(tenant: String, model: String, tmp: Path): Unit = {
     val corpus = load(tenant, model).select(
       xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv"))
     val g = Hnsw.build(corpus, m = 8,
       metric = properties(tenant, model)("metric_type"))
     val nB = nBuckets(tenant, model).toLong
-    val d = hnswDir(tenant, model)
-    Files.createDirectories(d)
-    // the graph tables overwrite live dirs directly (full rebuild — there
-    // is no prior state worth preserving), so mark before the first write
-    armIntent(tenant, model)
     g.nodes.withColumn("_bucket", pmod(col("doc_id"), lit(nB)))
       .repartition(col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
-      .parquet(d.resolve("nodes").toString)
+      .parquet(tmp.resolve("nodes").toString)
     g.edges.withColumn("_bucket", pmod(col("src"), lit(nB)))
       .repartition(col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
-      .parquet(d.resolve("edges").toString)
-    g.entries.write.mode(SaveMode.Overwrite).parquet(d.resolve("entries").toString)
+      .parquet(tmp.resolve("edges").toString)
+    g.entries.write.mode(SaveMode.Overwrite).parquet(tmp.resolve("entries").toString)
+  }
+
+  /** Phase 2: publish a staged graph generation — per-table renames (nodes,
+    * edges, entries). The reader-visible window is the gap between renames:
+    * a racing beam search can pair one generation's entries with the
+    * other's nodes/edges for that one request — joins drop unmatched ids
+    * (no crash; keys are never deleted, so seeds stay valid), a transient
+    * recall dip of the same class as the bucket-swap contract. Caller holds
+    * the commit scope. A full build clears all edge debt (stale reverse
+    * links included), so the absorb counter resets.
+    */
+  private def publishHnsw(tenant: String, model: String, tmp: Path): Unit = {
+    val d = hnswDir(tenant, model)
+    Files.createDirectories(d)
+    armIntent(tenant, model)
+    swapDir(tmp.resolve("nodes"), d.resolve("nodes"))
+    swapDir(tmp.resolve("edges"), d.resolve("edges"))
+    swapDir(tmp.resolve("entries"), d.resolve("entries"))
+    deleteRec(tmp)
     spark.catalog.refreshByPath(d.toString)
-    // a full build clears all edge debt (stale reverse links included)
     writeHnswAbsorbCount(tenant, model, 0)
+  }
+
+  /** Churn-threshold graph rebuild, DETACHED from the triggering insert —
+    * the HNSW twin of [[scheduleDenseRetrain]]: marker + counter reset +
+    * enqueue; the old graph keeps serving and absorbing (exactly) until the
+    * staged build — with the backlog absorbed into it pre-publish — swaps
+    * in under the collection lock.
+    */
+  private def scheduleHnswRebuild(tenant: String, model: String): Unit = {
+    writeHnswAbsorbCount(tenant, model, 0)
+    scheduleRebuild(tenant, model, "hnsw", hnswInflightMarker(tenant, model)) {
+      runHnswRebuild(tenant, model)
+    }
+  }
+
+  private def runHnswRebuild(tenant: String, model: String): Unit = {
+    RebuildHooks.maybeHold()
+    val d = hnswDir(tenant, model)
+    val tmp = d.resolve("_tmp_rebuild_" + System.nanoTime())
+    liveTmps.add(tmp.toString)
+    try {
+      buildHnswTo(tenant, model, tmp) // phase 1, NO lock (snapshot read)
+      withCommitScope(tenant, model) {
+        // replay churn that landed during the build INTO THE STAGED graph
+        // (the standard absorb, pointed at the tmp root) — the published
+        // generation misses nothing and readers never see a gap
+        val nBatches = readBacklog(hnswBacklogDir(tenant, model)).fold(0) {
+          case (latest, nb) =>
+            absorbHnswAt(tmp, tenant, model, latest.localCheckpoint(), live = false)
+            nb
+        }
+        publishHnsw(tenant, model, tmp)
+        if (Files.exists(hnswBacklogDir(tenant, model)))
+          deleteRec(hnswBacklogDir(tenant, model))
+        Files.deleteIfExists(hnswInflightMarker(tenant, model))
+        writeHnswAbsorbCount(tenant, model, nBatches)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        lockFor(tenant, model).synchronized {
+          if (Files.exists(tmp)) deleteRec(tmp)
+          if (Files.exists(hnswBacklogDir(tenant, model)))
+            deleteRec(hnswBacklogDir(tenant, model))
+          Files.deleteIfExists(hnswInflightMarker(tenant, model))
+        }
+        throw e
+    } finally liveTmps.remove(tmp.toString)
   }
 
   private def hnswNodesRaw(tenant: String, model: String): DataFrame =
@@ -1620,15 +1969,42 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private def absorbIntoHnsw(tenant: String, model: String,
       batchVecs: DataFrame): Unit = {
     migrateHnswLayout(tenant, model)
-    val g = loadHnsw(tenant, model)
-    if (g.entries.isEmpty) { persistHnsw(tenant, model); return }
-    val maxAbsorbs = properties(tenant, model)
-      .getOrElse("hnsw_max_absorbs", "64").toInt
-    if (hnswAbsorbCount(tenant, model) >= maxAbsorbs) {
-      // the data commit is already visible (call site awaits it), so the
-      // rebuild sees the batch — absorb and debt-clear in one pass
+    if (loadHnsw(tenant, model).entries.isEmpty) {
+      // first build — there is no old generation to serve, so synchronous
+      // (the data commit is already visible: the call site awaits it)
       persistHnsw(tenant, model); return
     }
+    val maxAbsorbs = properties(tenant, model)
+      .getOrElse("hnsw_max_absorbs", "64").toInt
+    val rebuildPending = rebuildInflight(tenant, model, "hnsw",
+      hnswInflightMarker(tenant, model), hnswBacklogDir(tenant, model))
+    val atThreshold = !rebuildPending &&
+      hnswAbsorbCount(tenant, model) >= maxAbsorbs
+    // the absorb ALWAYS runs — the live graph stays exact (and keeps
+    // serving) whether or not a full rebuild is pending or being scheduled
+    absorbHnswAt(hnswDir(tenant, model), tenant, model, batchVecs, live = true)
+    if (rebuildPending)
+      appendBacklog(hnswBacklogDir(tenant, model), batchVecs)
+    else if (atThreshold) scheduleHnswRebuild(tenant, model)
+  }
+
+  /** The absorb core, pointed at any graph root `d` — the LIVE dir on the
+    * insert path, a STAGED tmp generation when the async rebuild replays
+    * its backlog pre-publish (`live = false`: no intent marker, no crash
+    * hooks, no absorb-counter bump — private dirs need none of the
+    * commit protocol).
+    */
+  private def absorbHnswAt(d: Path, tenant: String, model: String,
+      batchVecs: DataFrame, live: Boolean): Unit = {
+    def nodesRaw = pread.schema("doc_id LONG, dv ARRAY<DOUBLE>, _bucket LONG")
+      .parquet(d.resolve("nodes").toString)
+    def edgesRaw = pread.schema("src LONG, dst LONG, _bucket LONG")
+      .parquet(d.resolve("edges").toString)
+    val g = Hnsw.Graph(
+      nodesRaw.drop("_bucket"), edgesRaw.drop("_bucket"),
+      pread.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+        .parquet(d.resolve("entries").toString),
+      properties(tenant, model)("metric_type"))
     val batchIds = batchVecs.select("doc_id")
     val queries = batchVecs.select(col("doc_id").as("qid"), col("dv").as("qv"))
     // materialized BEFORE any directory swap — the beam search reads the
@@ -1640,7 +2016,6 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val newEdges = nbrs.unionByName(
         nbrs.select(col("dst").as("src"), col("src").as("dst")))
       .withColumn("_bucket", pmod(col("src"), lit(nB)))
-    val d = hnswDir(tenant, model)
 
     // BUCKET-RESTRICTED rewrite, O(batch), never O(graph): node buckets =
     // the batch ids' buckets (a replaced key hashes to the same bucket as
@@ -1648,16 +2023,17 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // edges (≤ 2·m·batch endpoints). Untouched bucket dirs keep their files.
     val nodeBuckets = batchVecs.select(pmod(col("doc_id"), lit(nB)).as("b"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
-    val nodesOut = hnswNodesRaw(tenant, model)
+    val nodesOut = nodesRaw
       .filter(col("_bucket").isin(nodeBuckets: _*))
       .join(batchIds, Seq("doc_id"), "left_anti")
-      .unionByName(batchVecs.withColumn("_bucket", pmod(col("doc_id"), lit(nB))))
+      .unionByName(batchVecs.select("doc_id", "dv")
+        .withColumn("_bucket", pmod(col("doc_id"), lit(nB))))
     val edgeBuckets = newEdges.select("_bucket").distinct().collect()
       .map(_.getLong(0)).toIndexedSeq
     // Kept existing edges: drop replaced keys' stale out-links (their whole
     // adjacency was just re-derived by the beam search; a batch id's old
     // edges live in exactly the touched buckets, pmod(src) = _bucket).
-    val keptExisting = hnswEdgesRaw(tenant, model)
+    val keptExisting = edgesRaw
       .filter(col("_bucket").isin(edgeBuckets: _*))
       .join(batchIds.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
     // Degree re-prune (the HNSW neighbour-shrink) over the touched buckets
@@ -1668,7 +2044,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val vecsFor: DataFrame => DataFrame = ids => {
       val bs = ids.select(pmod(col("doc_id"), lit(nB)).as("b")).distinct()
         .collect().map(_.getLong(0)).toIndexedSeq
-      hnswNodesRaw(tenant, model).filter(col("_bucket").isin(bs: _*))
+      nodesRaw.filter(col("_bucket").isin(bs: _*))
         .select("doc_id", "dv")
         .join(batchIds, Seq("doc_id"), "left_anti")
         .unionByName(batchVecs.select("doc_id", "dv"))
@@ -1693,11 +2069,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     edgesOut.repartition(col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(edgesTmp.toString)
     entriesOut.write.mode(SaveMode.Overwrite).parquet(entriesTmp.toString)
-    armIntent(tenant, model)
+    if (live) armIntent(tenant, model)
     nodeBuckets.foreach { b =>
       swapDir(nodesTmp.resolve(s"_bucket=$b"),
         d.resolve("nodes").resolve(s"_bucket=$b"))
-      CrashHooks.maybe("hnsw.midNodeSwap")
+      if (live) CrashHooks.maybe("hnsw.midNodeSwap")
     }
     edgeBuckets.foreach(b => swapDir(edgesTmp.resolve(s"_bucket=$b"),
       d.resolve("edges").resolve(s"_bucket=$b")))
@@ -1706,7 +2082,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     spark.catalog.refreshByPath(d.toString)
     // after the swaps: a crash before this line undercounts by one absorb —
     // advisory, the rebuild just comes one absorb later
-    writeHnswAbsorbCount(tenant, model, hnswAbsorbCount(tenant, model) + 1)
+    if (live)
+      writeHnswAbsorbCount(tenant, model, hnswAbsorbCount(tenant, model) + 1)
   }
 
   /** D4: (re)build the sparse BM25 model tables from the current corpus.
@@ -1728,8 +2105,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     if (!sparseIndexExists(tenant, model)) rebuildSparseIndex(tenant, model)
 
   /** SQ8 per-dim params when the persisted index is IVF_SQ8. */
-  private def sq8Params(tenant: String, model: String): Option[(Seq[Double], Seq[Double])] = {
-    val p = indexDir(tenant, model).resolve("sq8")
+  private def sq8Params(tenant: String, model: String): Option[(Seq[Double], Seq[Double])] =
+    sq8ParamsAt(indexDir(tenant, model))
+
+  /** SQ8 params of any index root (live dir, or a staged tmp generation). */
+  private def sq8ParamsAt(d: Path): Option[(Seq[Double], Seq[Double])] = {
+    val p = d.resolve("sq8")
     if (!Files.exists(p)) None
     else {
       val rows = pread.parquet(p.toString).orderBy("pos").collect()
@@ -1738,8 +2119,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   }
 
   /** PQ codebooks when the persisted index is IVF_PQ. */
-  private def pqCodebooks(tenant: String, model: String): Option[Seq[Seq[Seq[Double]]]] = {
-    val p = indexDir(tenant, model).resolve("pq")
+  private def pqCodebooks(tenant: String, model: String): Option[Seq[Seq[Seq[Double]]]] =
+    pqCodebooksAt(indexDir(tenant, model))
+
+  private def pqCodebooksAt(d: Path): Option[Seq[Seq[Seq[Double]]]] = {
+    val p = d.resolve("pq")
     if (!Files.exists(p)) None
     else {
       val rows = pread.parquet(p.toString).orderBy("sub", "code").collect()
@@ -1772,8 +2156,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val centroids = pread.parquet(d.resolve("centroids").toString)
     val metric = properties(tenant, model)("metric_type")
     // explicit clustered schema per index type: an empty collection's index
-    // has no parquet files to infer from
-    def clustered(payload: String) = spark.read
+    // has no parquet files to infer from. pread (ignoreMissingFiles), not
+    // spark.read: a lock-free reader racing a staged-generation publish
+    // sees the whole clustered dir swap under it (AsyncRebuildSpec's
+    // racing searcher caught the bare read as FAILED_READ_FILE)
+    def clustered(payload: String) = pread
       .schema(s"doc_id LONG, $payload, centroid_id INT")
       .parquet(d.resolve("clustered").toString)
     sq8Params(tenant, model) match {

@@ -1,0 +1,194 @@
+package graft
+
+import graft.api._
+import graft.sources.{RebuildHooks, VectorStoreCatalog}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.CountDownLatch
+
+/** The r12 async rebuild contract (r11 verdict item 2 + the staged-publish
+  * advice): crossing `ivf_max_absorbs` / `hnsw_max_absorbs` SCHEDULES the
+  * full rebuild instead of inlining it in the triggering insert's commit
+  * scope. Asserted here:
+  *  - the triggering insert returns while the build is provably not even
+  *    started (parked at [[RebuildHooks.holdGate]]) — the O(batch) claim
+  *    without a flaky timing assertion;
+  *  - inserts that land while the build runs keep the OLD generation exact
+  *    (served immediately) and are replayed from the backlog into the NEW
+  *    generation before its publish — including key REPLACEMENTS, with no
+  *    duplicate doc_ids surviving;
+  *  - rebuild state (marker, backlog) is cleared on publish and the absorb
+  *    counter restarts at the number of replayed batches;
+  *  - a concurrent lock-free reader crossing the whole retrain publish
+  *    never crashes (the r11 verdict's racing-searcher gap).
+  */
+class AsyncRebuildSpec extends SparkSpec {
+
+  private def avec(seed: Int): Seq[Double] =
+    (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+  private def bvec(seed: Int): Seq[Double] = avec(seed).map(_ + 1000.0)
+
+  test("IVF: triggering insert returns with the build held; backlog replays into the published index") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_async_ivf").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
+      extraProps = Map("ivf_max_absorbs" -> "1")))
+    cat.insert("t", "m", (0 until 100).map(i =>
+      EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), avec(i))))
+    cat.persistIndex("t", "m")
+    val centroidsBefore = cat.loadIndex("t", "m").centroids.collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("center")).toVector).toSet
+
+    val gate = new CountDownLatch(1)
+    RebuildHooks.holdGate = Some(gate)
+    try {
+      // absorb 1 (counter -> 1), then the threshold crossing: the insert
+      // must RETURN while the build is still parked at the gate
+      cat.insert("t", "m", (0 until 10).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      cat.insert("t", "m", (10 until 20).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      assert(cat.ivfAbsorbCount("t", "m") == 0,
+        "threshold crossing must schedule + reset, not inline the retrain")
+      // the triggering batch serves from the old generation immediately
+      val pre = cat.search(SearchRequest("t", "m", bvec(15), limit = 1))
+      assert(pre.success && pre.data.head.content == "bdoc 15")
+
+      // churn WHILE the build is held: a fresh key and a REPLACEMENT of a
+      // key the build's snapshot will also contain. Seeds 50/60: the avec
+      // lattice has period 97 in seed space (131·Δseed ≡ 0 mod 97 ⇔
+      // Δseed ≡ 0 mod 97), so any seed ≡ 0..39 (mod 97) would DUPLICATE an
+      // existing vector and tie at cosine 1.0
+      cat.insert("t", "m", Seq(
+        EmbeddedVector("c0", "cdoc 0", "m", Map(), bvec(50)),
+        EmbeddedVector("b5", "bdoc 5 v2", "m", Map(), bvec(60))))
+      val mid = cat.search(SearchRequest("t", "m", bvec(60), limit = 1))
+      assert(mid.success && mid.data.head.content == "bdoc 5 v2",
+        "backlogged churn must serve from the old generation right away")
+    } finally {
+      gate.countDown()
+      RebuildHooks.holdGate = None
+    }
+    cat.awaitRebuilds("t", "m")
+
+    // the retrain actually re-ran KMeans over the merged distribution
+    val centroidsAfter = cat.loadIndex("t", "m").centroids.collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("center")).toVector).toSet
+    assert(centroidsAfter != centroidsBefore, "retrain must move centroids")
+
+    // backlog landed in the NEW index: fresh key, replaced key at its new
+    // vector, and no duplicate doc_ids anywhere
+    val fresh = cat.search(SearchRequest("t", "m", bvec(50), limit = 1))
+    assert(fresh.success && fresh.data.head.content == "cdoc 0")
+    val repl = cat.search(SearchRequest("t", "m", bvec(60), limit = 1))
+    assert(repl.success && repl.data.head.content == "bdoc 5 v2")
+    val dupes = cat.loadIndex("t", "m").clustered
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dupes == 0, "backlog replay must not leave duplicate doc_ids")
+
+    // rebuild state cleared; counter = replayed batches (1)
+    assert(cat.ivfAbsorbCount("t", "m") == 1,
+      "replayed backlog batches are residual absorb debt")
+    val idxDir = Paths.get(cat.tableDir("t", "m").toString, "index")
+    assert(!Files.exists(idxDir.resolve("_retrain_inflight.json")))
+    assert(!Files.exists(idxDir.resolve("_retrain_backlog")))
+  }
+
+  test("HNSW: detached rebuild absorbs the backlog into the staged graph before publish") {
+    def vec(seed: Int): Seq[Double] = avec(seed)
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_async_hnsw").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW",
+      extraProps = Map("hnsw_max_absorbs" -> "1")))
+    cat.insert("t", "m", (0 until 40).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
+    cat.persistIndex("t", "m")
+
+    val gate = new CountDownLatch(1)
+    RebuildHooks.holdGate = Some(gate)
+    try {
+      cat.insert("t", "m", Seq(EmbeddedVector("n0", "new 0", "m", Map(), vec(50))))
+      // threshold crossing: schedules, returns with the build parked
+      cat.insert("t", "m", Seq(EmbeddedVector("n1", "new 1", "m", Map(), vec(51))))
+      val pre = cat.search(SearchRequest("t", "m", vec(51), limit = 3))
+      assert(pre.success && pre.data.head.content == "new 1",
+        "triggering batch must serve from the old graph immediately")
+      // backlog churn: fresh key + replacement
+      // seed 60: ≢ any existing seed mod 97 (the lattice's seed period)
+      cat.insert("t", "m", Seq(
+        EmbeddedVector("n2", "new 2", "m", Map(), vec(52)),
+        EmbeddedVector("k7", "chunk 7 v2", "m", Map(), vec(60))))
+      val mid = cat.search(SearchRequest("t", "m", vec(60), limit = 3))
+      assert(mid.success && mid.data.head.content == "chunk 7 v2")
+    } finally {
+      gate.countDown()
+      RebuildHooks.holdGate = None
+    }
+    cat.awaitRebuilds("t", "m")
+
+    // the published graph serves the backlog (fresh + replaced at new vec)
+    val fresh = cat.search(SearchRequest("t", "m", vec(52), limit = 3))
+    assert(fresh.success && fresh.data.head.content == "new 2")
+    val repl = cat.search(SearchRequest("t", "m", vec(60), limit = 3))
+    assert(repl.success && repl.data.head.content == "chunk 7 v2")
+    val d = Paths.get(cat.hnswDirOf("t", "m"))
+    assert(!Files.exists(d.resolve("_rebuild_inflight.json")))
+    assert(!Files.exists(d.resolve("_rebuild_backlog")))
+    // one replayed batch of residual debt
+    val counter = """"count"\s*:\s*"(\d+)"""".r
+      .findFirstMatchIn(Files.readString(d.resolve("_absorbs.json")))
+      .map(_.group(1).toInt).getOrElse(-1)
+    assert(counter == 1, s"replayed backlog batches are residual debt, got $counter")
+  }
+
+  test("a lock-free reader searching across the whole retrain publish never crashes") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_async_race").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
+      extraProps = Map("ivf_max_absorbs" -> "1")))
+    cat.insert("t", "m", (0 until 100).map(i =>
+      EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), avec(i))))
+    cat.persistIndex("t", "m")
+
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    var served = 0
+    val reader = new Thread(() => {
+      while (!stop)
+        try {
+          val r = cat.search(SearchRequest("t", "m", avec(3), limit = 1))
+          // during a publish the reader may score against a mixed
+          // generation or catch a rename window — the documented
+          // transients are mixed scores and UNDERCOUNTS (including to
+          // zero, surfaced as the reference's "No vectors found"
+          // response). It must return a well-formed response, never
+          // throw, and never fail with any OTHER message.
+          assert(r.success ||
+            r.message == "No vectors found for the given query.", r.message)
+          if (r.success) served += 1
+        } catch { case t: Throwable => failures.add(t); stop = true }
+    }, "racing-searcher")
+    reader.start()
+    try {
+      // drift churn crossing the threshold (async retrain + publish), then
+      // two explicit synchronous retrains — the reader crosses the staged
+      // publish's rename windows in both modes
+      cat.insert("t", "m", (0 until 20).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      cat.insert("t", "m", (20 until 40).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      cat.awaitRebuilds("t", "m")
+      cat.persistIndex("t", "m")
+      cat.persistIndex("t", "m")
+    } finally {
+      stop = true
+      reader.join(30000)
+    }
+    assert(failures.isEmpty, s"reader crashed across a publish: ${failures.peek()}")
+    assert(served > 0, "the reader must actually have raced the publishes")
+    // settled state: exact again
+    val hit = cat.search(SearchRequest("t", "m", bvec(25), limit = 1))
+    assert(hit.success && hit.data.head.content == "bdoc 25")
+  }
+}

@@ -26,6 +26,33 @@ class HnswSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("sharded build: union graph serves with recall on par with the unsharded graph") {
+    val corpus = Tables.docsCorpus(spark, Sf)
+      .select(col("doc_id"), col("qv").as("dv"))
+    val queries = Tables.docsCorpus(spark, Sf).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("qid"), col("qv"))
+    val n = corpus.count()
+    // force ≥3 shards on the test corpus (production shardTarget is the
+    // nlist-clamp regime bound; the mechanics are scale-free)
+    val sharded = Hnsw.buildSharded(corpus, m = 8, shardTarget = (n / 3).toInt)
+    val exact = Knn.search(corpus, queries, SearchParams(limit = 10, outputFields = Nil))
+    val shardedRecall = Ivf.recallVsExact(
+      Hnsw.search(sharded, queries, k = 10, ef = 64), exact)
+    val unshardedRecall = Ivf.recallVsExact(
+      Hnsw.search(Hnsw.build(corpus, m = 8), queries, k = 10, ef = 64), exact)
+    assert(shardedRecall >= 0.8, s"sharded recall $shardedRecall")
+    assert(shardedRecall >= unshardedRecall - 0.1,
+      s"sharded $shardedRecall must stay on par with unsharded $unshardedRecall")
+    // edges stay shard-local: no edge crosses a shard boundary
+    val s = math.ceil(n.toDouble / (n / 3).toDouble).toInt
+    val crossing = sharded.edges
+      .filter(pmod(col("src"), lit(s)) =!= pmod(col("dst"), lit(s))).count()
+    assert(crossing == 0, s"$crossing cross-shard edges in a sharded graph")
+    // a 1-shard target degenerates to the plain build (same entry count)
+    val one = Hnsw.buildSharded(corpus, m = 8, shardTarget = (n + 1).toInt)
+    assert(one.entries.count() == Hnsw.build(corpus, m = 8).entries.count())
+  }
+
   test("searchBulk is row-identical to search at full and partial beam") {
     val corpus = Tables.docsCorpus(spark, Sf).limit(300)
       .select(col("doc_id"), col("qv").as("dv"))
@@ -316,11 +343,17 @@ class HnswSpec extends SparkSpec {
         Seq(EmbeddedVector(s"n$r", s"new $r", "m", Map(), vec(50 + r))))
       assert(counter() == r + 1, s"absorb ${r + 1} must bump the counter")
     }
-    // 4th insert: counter at the cap → full rebuild absorbs the batch and
-    // resets the debt clock
+    // 4th insert: counter at the cap → a full rebuild is SCHEDULED (r12:
+    // detached from the insert) and the debt clock resets at schedule time;
+    // the batch itself is absorbed into the serving graph immediately
     cat.insert("t", "m",
       Seq(EmbeddedVector("n3", "new 3", "m", Map(), vec(53))))
-    assert(counter() == 0, "rebuild must reset the absorb counter")
+    assert(counter() == 0, "scheduling the rebuild must reset the absorb counter")
+    val preHit = cat.search(SearchRequest("t", "m", vec(53), limit = 3))
+    assert(preHit.success && preHit.data.head.content == "new 3",
+      "the triggering batch must be served before the detached rebuild lands")
+    cat.awaitRebuilds("t", "m")
+    assert(counter() == 0, "a completed rebuild with no backlog owes no debt")
     val hit = cat.search(SearchRequest("t", "m", vec(53), limit = 3))
     assert(hit.success && hit.data.head.content == "new 3",
       "the batch that triggered the rebuild must be in the rebuilt graph")

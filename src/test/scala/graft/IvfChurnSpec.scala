@@ -48,11 +48,18 @@ class IvfChurnSpec extends SparkSpec {
     assert(preHit.success && preHit.data.head.content == "bdoc 5",
       s"drifted key must be servable pre-retrain, got ${preHit.data.headOption}")
 
-    // third absorb crosses ivf_max_absorbs=2: retrain fires, counter resets
+    // third absorb crosses ivf_max_absorbs=2: the retrain is SCHEDULED
+    // (detached from the insert — r12) and the counter resets at schedule
+    // time; the triggering batch is still served immediately via the old
+    // generation's incremental absorb
     cat.insert("t", "m", (40 until 60).map(i =>
       EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
     assert(cat.ivfAbsorbCount("t", "m") == 0,
-      "crossing ivf_max_absorbs must retrain and reset the counter")
+      "crossing ivf_max_absorbs must schedule a retrain and reset the counter")
+    val preRetrain = cat.search(SearchRequest("t", "m", bvec(45), limit = 1))
+    assert(preRetrain.success && preRetrain.data.head.content == "bdoc 45",
+      "the triggering batch must be servable before the detached retrain lands")
+    cat.awaitRebuilds("t", "m")
 
     // the retrain actually re-ran KMeans over the merged distribution:
     // centroids changed, and at least one covers region B
