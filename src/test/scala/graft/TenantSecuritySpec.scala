@@ -156,3 +156,67 @@ class TenantSecuritySpec extends SparkSpec {
       "changed config must compile exactly one new list")
   }
 }
+
+/** OWASP header decoration + docs-HTML sanitizer parity
+  * (`security_headers.py:44-176`, `docs_sanitizer.py:14-76`).
+  */
+class SecurityDecorationsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.api.SecurityDecorations._
+
+  test("production headers: 5 base + HSTS + CSP; HSTS drops when disabled or non-prod") {
+    val prod = headersToAdd(isProduction = true).toMap
+    assert(prod("X-Content-Type-Options") == "nosniff")
+    assert(prod("X-Frame-Options") == "DENY")
+    assert(prod("X-XSS-Protection") == "1; mode=block")
+    assert(prod("Referrer-Policy") == "strict-origin-when-cross-origin")
+    assert(prod("Permissions-Policy").startsWith("accelerometer=(), autoplay=()"))
+    assert(prod("Strict-Transport-Security") ==
+      "max-age=31536000; includeSubDomains; preload")
+    assert(prod.contains("Content-Security-Policy"))
+    assert(prod.size == 7)
+    assert(!headersToAdd(isProduction = false).toMap
+      .contains("Strict-Transport-Security"), "no HSTS outside production")
+    assert(!headersToAdd(isProduction = true, CspConfig(enableHsts = false))
+      .toMap.contains("Strict-Transport-Security"), "no HSTS when disabled")
+  }
+
+  test("CSP: defaults, keyword re-quoting, quote stripping, dev websocket allowance") {
+    val dflt = buildCsp(CspConfig(), isProduction = true)
+    assert(dflt.startsWith("default-src 'self'; script-src 'self'; " +
+      "style-src 'self' 'unsafe-inline'; img-src 'self' data: https:; "))
+    assert(dflt.endsWith("frame-ancestors 'none'; base-uri 'self'; form-action 'self'"))
+    assert(dflt.contains("worker-src 'self' blob:; "))
+    // bare keywords get quoted; double-quoted tokens get stripped then requoted
+    val custom = buildCsp(CspConfig(
+      scriptSrc = Some(Seq("self", "\"unsafe-eval\"", "https://cdn.example"))),
+      isProduction = true)
+    assert(custom.contains("script-src 'self' 'unsafe-eval' https://cdn.example; "))
+    // development adds localhost:* and ws: to connect-src only
+    val dev = buildCsp(CspConfig(), isProduction = false)
+    assert(dev.contains("connect-src 'self' localhost:* ws:; "))
+    assert(buildCsp(CspConfig(), isProduction = true)
+      .contains("connect-src 'self'; "))
+  }
+
+  test("decorate overwrites existing header values like the reference's assignment loop") {
+    val out = decorate(Map("X-Frame-Options" -> "SAMEORIGIN", "X-Other" -> "kept"),
+      isProduction = true)
+    assert(out("X-Frame-Options") == "DENY")
+    assert(out("X-Other") == "kept")
+  }
+
+  test("docs sanitizer: strips the CF beacon only for docs-path HTML, None otherwise") {
+    val beacon = "<script defer src='https://static.cloudflareinsights.com/beacon.min.js' " +
+      "data-cf-beacon='{}'>\n</script>"
+    val html = s"<html><head>$beacon</head><body>ok</body></html>"
+    assert(sanitizeDocsHtml("/docs", "text/html; charset=utf-8", html) ==
+      Some("<html><head></head><body>ok</body></html>"))
+    // non-docs path, non-HTML content, and beacon-free bodies pass through as None
+    assert(sanitizeDocsHtml("/api/v1/search", "text/html", html).isEmpty)
+    assert(sanitizeDocsHtml("/docs", "application/json", html).isEmpty)
+    assert(sanitizeDocsHtml("/docs", "text/html", "<html>clean</html>").isEmpty)
+    // the regex is case-insensitive and dot-matches-newline like the reference's
+    val upper = "<SCRIPT src='x STATIC.CLOUDFLAREINSIGHTS.COM y'>a\nb</SCRIPT>done"
+    assert(sanitizeDocsHtml("/redoc", "TEXT/HTML", upper) == Some("done"))
+  }
+}
