@@ -223,20 +223,35 @@ object Hnsw {
     * from its own medoids).
     *
     * Cost: S independent builds of ~shardTarget docs — linear total, each
-    * inside the clamp regime. The driver loop here runs them sequentially;
-    * on a cluster each shard build is an independent job chain (submit
-    * them from S scheduler threads for wall-clock S-way parallelism).
+    * inside the clamp regime — submitted from `buildParallelism` scheduler
+    * threads (a build's wall is dominated by driver-synchronized job
+    * latency, KMeans iterations above all, so concurrent shard builds
+    * interleave their job chains on the same executors; results are
+    * seed-deterministic and independent of scheduling). Graph construction
+    * only — the DataFrames composing each shard's plan are lazy, so the
+    * concurrency materializes when the caller writes/counts the union.
+    * Each shard gets its own KMeans seed (inits must not correlate).
     */
   def buildSharded(corpus: DataFrame, m: Int = 8, metric: String = "COSINE",
-      seed: Long = 42L, shardTarget: Int = 200000): Graph = {
+      seed: Long = 42L, shardTarget: Int = 200000,
+      buildParallelism: Int = 4): Graph = {
     val n = corpus.count()
     val s = math.max(1, math.ceil(n.toDouble / shardTarget.toDouble).toInt)
     if (s == 1) return build(corpus, m, metric, seed)
-    val shards = (0 until s).map { i =>
-      // per-shard seed: shard KMeans inits must not correlate
-      build(corpus.filter(pmod(col("doc_id"), lit(s)) === i), m, metric,
-        seed + i)
-    }
+    // build() itself runs eager jobs (stats agg, KMeans fit), so the
+    // fan-out must be thread-level, not plan-level
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(s, buildParallelism)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val shards =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence((0 until s).map { i =>
+          scala.concurrent.Future(
+            build(corpus.filter(pmod(col("doc_id"), lit(s)) === i), m, metric,
+              seed + i))
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     Graph(corpus,
       shards.map(_.edges).reduce(_.unionByName(_)),
       shards.map(_.entries).reduce(_.unionByName(_)),
