@@ -308,6 +308,28 @@ object Bench {
       benchCat.insert("bench", "thresh", upsertBatch(999, "thresh")) // counter -> 1
     }
     var b6gGen = 2000
+    // ... and the HNSW twin (b6h) with its below-threshold CONTROL (b6i):
+    // the graph rebuild is the pricier wall (b13-class), so the
+    // detached-rebuild claim matters most here. Both collections take the
+    // same 100-row churn batch (the b14d shape — an HNSW absorb's cost is
+    // the per-batch beam search, so batch size sets the row's floor);
+    // b6h crosses `hnsw_max_absorbs = 1` every iteration, b6i never
+    // crosses — their DELTA is what the threshold costs the insert.
+    val hnswThreshBench = Map("hthresh" -> "b6h_upsert_hnsw_at_threshold",
+      "hplain" -> "b6i_upsert_hnsw_control")
+    for (m <- Seq("hthresh", "hplain") if need(hnswThreshBench(m))) {
+      benchCat.generateSchema(graft.api.SchemaSpec("bench", m,
+        dimension = 64, indexType = "HNSW",
+        extraProps = Map("hnsw_max_absorbs" ->
+          (if (m == "hthresh") "1" else "100000"))))
+      benchCat.insert("bench", m, (0 until 1000).map(i =>
+        graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", m,
+          Map("g" -> "0"), benchVec(i))))
+      benchCat.persistIndex("bench", m)
+      benchCat.insert("bench", m, hnswChurnBatch(999, m)) // counter -> 1
+    }
+    var b6hGen = 3000
+    var b6iGen = 4000
 
     // Applied to EVERY timed query at the timing site: counting a query
     // lets Catalyst prune whatever the count does not need (the as-of lost
@@ -589,6 +611,16 @@ object Bench {
       "b6g_upsert_at_threshold" -> (() => {
         b6gGen += 1
         benchCat.insert("bench", "thresh", upsertBatch(b6gGen, "thresh"))
+        spark.range(1).toDF("ok")
+      }),
+      "b6h_upsert_hnsw_at_threshold" -> (() => {
+        b6hGen += 1
+        benchCat.insert("bench", "hthresh", hnswChurnBatch(b6hGen, "hthresh"))
+        spark.range(1).toDF("ok")
+      }),
+      "b6i_upsert_hnsw_control" -> (() => {
+        b6iGen += 1
+        benchCat.insert("bench", "hplain", hnswChurnBatch(b6iGen, "hplain"))
         spark.range(1).toDF("ok")
       }),
     ) ++ (if (sys.env.contains("SPARK_GRAFT_BENCH_HOTKEY")) Seq[(String, () => DataFrame)](

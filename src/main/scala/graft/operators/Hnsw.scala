@@ -92,14 +92,19 @@ object Hnsw {
     */
   def build(corpus: DataFrame, m: Int = 8, metric: String = "COSINE",
       seed: Long = 42L, nTables: Int = 4, nPlanes: Int = 6,
-      maxBridgeBucket: Int = 4096, coarseIter: Int = 8): Graph = {
+      maxBridgeBucket: Int = 4096, coarseIter: Int = 8,
+      stats: Option[(Long, Int)] = None): Graph = {
     val spark = corpus.sparkSession
     // ONE stats job for corpus size AND vector width (a separate
     // select(size(dv)).head() was a second full scheduler round-trip per
     // build); max(size) is exact — every stored vector has the collection
-    // dim, enforced at ingest.
-    val statsRow = corpus.agg(count(lit(1)), max(size(col("dv")))).head()
-    val n = statsRow.getLong(0)
+    // dim, enforced at ingest. `stats` = (count, dim) skips even that job
+    // when the caller already aggregated it ([[buildSharded]]'s 1-shard
+    // degenerate case).
+    val (n, dimStat) = stats.getOrElse {
+      val r = corpus.agg(count(lit(1)), max(size(col("dv")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+    }
     val emptyEdges = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -133,7 +138,7 @@ object Hnsw {
     // bucket-local similarity only sharpens with more planes (bridges are
     // a recall supplement; connectivity rides on the hub edges).
     val nPlanesEff = math.max(nPlanes, ceilLog2(math.max(1L, n / 64)))
-    val dim = statsRow.getInt(1)
+    val dim = dimStat
     val b0 = AnnLsh.withBuckets(corpus.select(col("doc_id"), col("dv").as("qv")),
       "doc_id", nTables, nPlanesEff, dim)
     val b = bridgeBuckets(b0, maxBridgeBucket)
@@ -235,9 +240,13 @@ object Hnsw {
   def buildSharded(corpus: DataFrame, m: Int = 8, metric: String = "COSINE",
       seed: Long = 42L, shardTarget: Int = 200000,
       buildParallelism: Int = 4): Graph = {
-    val n = corpus.count()
+    // one stats job either way: the degenerate 1-shard case hands (n, dim)
+    // straight to build() instead of re-aggregating
+    val statsRow = corpus.agg(count(lit(1)), max(size(col("dv")))).head()
+    val n = statsRow.getLong(0)
+    val dim = if (statsRow.isNullAt(1)) 0 else statsRow.getInt(1)
     val s = math.max(1, math.ceil(n.toDouble / shardTarget.toDouble).toInt)
-    if (s == 1) return build(corpus, m, metric, seed)
+    if (s == 1) return build(corpus, m, metric, seed, stats = Some((n, dim)))
     // build() itself runs eager jobs (stats agg, KMeans fit), so the
     // fan-out must be thread-level, not plan-level
     val pool = java.util.concurrent.Executors.newFixedThreadPool(

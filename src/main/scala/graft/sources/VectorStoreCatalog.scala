@@ -395,6 +395,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * regardless (incremental absorbs continued throughout), so recovery is
     * just clearing the stale marker + backlog and letting the absorb
     * counter re-trigger. Caller holds the collection lock.
+    *
+    * The liveness check is instance-scoped, like every tableLock in this
+    * class: the store's single-writer contract is ONE live catalog per
+    * store path (a restart is a NEW instance — the old one's daemon died
+    * with its JVM, so its marker really is stale). Concurrent catalog
+    * instances on one path were never supported by the JVM-monitor locks
+    * either; on a cluster the table format's transactions replace both.
     */
   private def rebuildInflight(tenant: String, model: String, fam: String,
       marker: Path, backlog: Path): Boolean = {
@@ -1775,8 +1782,15 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private def buildHnswTo(tenant: String, model: String, tmp: Path): Unit = {
     val corpus = load(tenant, model).select(
       xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv"))
-    val g = Hnsw.build(corpus, m = 8,
-      metric = properties(tenant, model)("metric_type"))
+    // auto-shard past the single-graph regime boundary: buildSharded
+    // degenerates to the plain build while the corpus fits one shard
+    // (`hnsw_shard_target` defaults to the nlist-clamp point — SCALE.md
+    // "sharding arm"), so small collections pay nothing and a past-clamp
+    // collection gets per-shard builds + the union graph automatically
+    val g = Hnsw.buildSharded(corpus, m = 8,
+      metric = properties(tenant, model)("metric_type"),
+      shardTarget = properties(tenant, model)
+        .getOrElse("hnsw_shard_target", "200000").toInt)
     val nB = nBuckets(tenant, model).toLong
     g.nodes.withColumn("_bucket", pmod(col("doc_id"), lit(nB)))
       .repartition(col("_bucket"))

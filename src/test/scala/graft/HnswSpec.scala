@@ -166,6 +166,35 @@ class HnswSpec extends SparkSpec {
     assert(g.edges.count() > 0 && !g.entries.isEmpty)
   }
 
+  test("facade auto-shards past hnsw_shard_target; absorb and search unchanged") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_hnsw_shard").toString)
+    // shard target far below the corpus: persistIndex must route through
+    // buildSharded (3 shards here; production default is the clamp point)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW",
+      extraProps = Map("hnsw_shard_target" -> "30",
+        "hnsw_max_absorbs" -> "1000")))
+    cat.insert("t", "m", (0 until 90).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
+    cat.persistIndex("t", "m")
+    // the union graph carries every shard's entry medoids
+    val nEntries = cat.loadHnsw("t", "m").entries.count()
+    // exact self-match through the sharded graph
+    val hit = cat.search(SearchRequest("t", "m", vec(17), limit = 5))
+    assert(hit.success && hit.data.head.content == "chunk 17")
+    // absorb into the sharded graph: fresh key + replacement both serve
+    cat.insert("t", "m", Seq(
+      EmbeddedVector("k95", "fresh doc", "m", Map(), vec(95)),
+      EmbeddedVector("k17", "moved", "m", Map(), vec(60))))
+    val fresh = cat.search(SearchRequest("t", "m", vec(95), limit = 3))
+    assert(fresh.success && fresh.data.head.content == "fresh doc")
+    val moved = cat.search(SearchRequest("t", "m", vec(60), limit = 3))
+    assert(moved.success && moved.data.head.content == "moved")
+    assert(nEntries > 3, s"3 shards must union >3 entry medoids, got $nEntries")
+  }
+
   test("facade HNSW lifecycle: build, search, insert-absorb, empty-then-insert") {
     def vec(seed: Int): Seq[Double] =
       (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
