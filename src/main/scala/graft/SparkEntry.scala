@@ -439,6 +439,19 @@ object SparkEntry {
       val g = Hnsw.build(corpus, m = 8)
       Hnsw.search(g, queries, k = 10, ef = 8192)
     }),
+    // Sharded graph at full beam: [[Hnsw.buildSharded]]'s union graph is
+    // per-shard connected and every shard's medoids seed each query, so an
+    // exhaustive walk covers the whole corpus — bit-exact vs brute force,
+    // same oracle as q_hnsw_knn. shardTarget 64 puts the verify SFs in the
+    // genuinely-sharded regime (sf0.01's ~200 docs → 4 shards).
+    "q_hnsw_sharded" -> ((s, dir) => {
+      val corpus = Tables.docsCorpus(s, dir)
+        .select(col("doc_id"), col("qv").as("dv"))
+      val queries = Tables.docsCorpus(s, dir).filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"), col("qv"))
+      val g = Hnsw.buildSharded(corpus, m = 8, shardTarget = 64)
+      Hnsw.search(g, queries, k = 10, ef = 8192)
+    }),
     // Bulk graph search at full beam: [[Hnsw.searchBulk]] (shuffle-join
     // query attach) walks the same connected graph exhaustively, so it too
     // must equal exact brute-force KNN — same oracle as q_hnsw_knn.
@@ -911,6 +924,7 @@ object SparkEntry {
     // full-width beam (ef ≥ corpus) over a connected graph == exact KNN
     "q_hnsw_knn"      -> Oracles.annEmbedExact(8, 10),
     "q_hnsw_bulk"     -> Oracles.annEmbedExact(8, 10),
+    "q_hnsw_sharded"  -> Oracles.annEmbedExact(8, 10),
     "q_ann_lsh"       -> Oracles.annLsh(4, 10),
     "q_sessionize"    -> Oracles.sessionize(30L * 60 * 1000000L), // us gap, matches query
     "q_asof_join"     -> Oracles.asofJoin,
