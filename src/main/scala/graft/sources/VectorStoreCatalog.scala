@@ -444,6 +444,93 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     Some((latest, parts.size))
   }
 
+  // ---- rebuild input snapshot (hard links) ----
+
+  /** Pin the row storage a background rebuild reads: hard-link every live
+    * data/delta file into a private snapshot root, under the collection
+    * lock, at schedule time. Phase 1 then builds from files that CANNOT
+    * vanish: a concurrent insert or auto-flush swaps bucket dirs and
+    * unlinks the old files, but the snapshot's links keep the bytes alive,
+    * so bystander rows — in the build's input but NOT in the backlog (the
+    * backlog only holds batches committed AFTER the marker) — can never be
+    * silently dropped by a lock-free `ignoreMissingFiles` read racing the
+    * churn the feature targets. O(#files) metadata ops, no data copied —
+    * the triggering insert stays O(batch). On a cluster a table format's
+    * snapshot isolation is this exact mechanism one level down (immutable
+    * data files retained until vacuum). Falls back to a byte copy on
+    * filesystems without hard links.
+    */
+  private def snapshotRows(tenant: String, model: String): Path = {
+    val snap = tableDir(tenant, model).resolve("_tmp_snap_" + System.nanoTime())
+    liveTmps.add(snap.toString) // vacuum must not sweep a live snapshot
+    linkTree(dataDir(tenant, model), snap.resolve("data"))
+    liveDeltas(tenant, model).foreach(d =>
+      linkTree(d, snap.resolve("delta").resolve(d.getFileName.toString)))
+    snap
+  }
+
+  private def dropSnapshot(snap: Path): Unit = {
+    try deleteRec(snap)
+    catch { case scala.util.control.NonFatal(_) => () } // vacuum sweeps later
+    liveTmps.remove(snap.toString)
+  }
+
+  /** Recursive hard-link mirror of `src` under `dst`, restricted to what a
+    * Spark reader sees (`_`/`.`-prefixed names without a partition `=` are
+    * invisible to it, and `*_tmp_*` phase-1 debris is never live).
+    */
+  private def linkTree(src: Path, dst: Path): Unit = {
+    if (!Files.exists(src)) return
+    Files.createDirectories(dst)
+    listChildren(src).foreach { c =>
+      val n = c.getFileName.toString
+      val hidden = (n.startsWith("_") || n.startsWith(".")) && !n.contains("=")
+      if (!hidden && !n.contains("_tmp_")) {
+        if (Files.isDirectory(c)) linkTree(c, dst.resolve(n))
+        else
+          try Files.createLink(dst.resolve(n), c)
+          catch {
+            case _: UnsupportedOperationException =>
+              Files.copy(c, dst.resolve(n))
+          }
+      }
+    }
+  }
+
+  /** The snapshot's merge-on-read view — [[loadRaw]]'s exact semantics
+    * (base + last-wins pending deltas) over the pinned files, WITHOUT
+    * `ignoreMissingFiles`: nothing vanishes from a private snapshot, so a
+    * missing file here is a real fault that must abort the rebuild loudly
+    * (the live index stays exact and the absorb counter re-triggers)
+    * rather than silently drop rows.
+    */
+  private def loadFromSnapshot(tenant: String, model: String,
+      snap: Path): DataFrame = {
+    val schema = rawSchema(tenant, model)
+    val dataP = snap.resolve("data")
+    val base =
+      if (listChildren(dataP).nonEmpty)
+        spark.read.schema(schema).parquet(dataP.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val pending = listDirs(snap.resolve("delta"))
+    val merged =
+      if (pending.isEmpty) base
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("flouds_vector_id").orderBy(col("_dseq").desc)
+        val winners = spark.read
+          .schema(schema.add(StructField("_dseq", LongType)))
+          .parquet(pending.map(_.toString): _*)
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .drop("_rn", "_dseq")
+        base.join(broadcast(winners.select("flouds_vector_id")),
+            Seq("flouds_vector_id"), "left_anti")
+          .unionByName(winners)
+      }
+    merged.drop("_bucket")
+  }
+
   /** Block until every pending background rebuild of this collection has
     * finished, rethrowing its failure. The facade's sync point (call before
     * tearing a collection down; specs use it for determinism) — never
@@ -1489,11 +1576,20 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * cannot fit zero rows; Milvus index creation on an empty collection
     * succeeds, and later inserts are absorbed by nearest-cell assignment).
     */
-  def buildIndex(tenant: String, model: String): Ivf.Index = {
-    val props = properties(tenant, model)
-    val corpus = load(tenant, model).select(
+  def buildIndex(tenant: String, model: String): Ivf.Index =
+    buildIndexFrom(tenant, model, vecCorpus(tenant, model))
+
+  /** The (doc_id, dv) view every index builder consumes — live table by
+    * default; the async rebuilds substitute a [[loadFromSnapshot]] view.
+    */
+  private def vecCorpus(tenant: String, model: String): DataFrame =
+    load(tenant, model).select(
       xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv"))
-    val n = corpus.count()
+
+  private def buildIndexFrom(tenant: String, model: String, corpus: DataFrame,
+      nOpt: Option[Long] = None): Ivf.Index = {
+    val props = properties(tenant, model)
+    val n = nOpt.getOrElse(corpus.count())
     if (n == 0)
       Ivf.buildWithCentroids(corpus,
         Ivf.seededCentroids(spark, nlist = 2, dim = dimension(tenant, model)),
@@ -1566,23 +1662,26 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   private def retrainDense(tenant: String, model: String): Unit = {
     val tmp = indexDir(tenant, model).resolve("_tmp_retrain_" + System.nanoTime())
-    buildDenseTo(tenant, model, tmp)
+    buildDenseTo(tenant, model, tmp, vecCorpus(tenant, model))
     publishDense(tenant, model, tmp)
   }
 
   /** Phase 1 of a dense (re)train: KMeans + quantize + write, all under a
     * private tmp root — pure Spark jobs, no live directory is touched, so
-    * this half can run WITHOUT the collection lock (the async retrain does;
-    * its snapshot is the lock-free read contract every reader already has).
+    * this half can run WITHOUT the collection lock. `corpus` is the
+    * (doc_id, dv) input: the live table on the synchronous (locked) paths,
+    * a [[snapshotRows]]-pinned view on the async retrain (files that
+    * cannot vanish under concurrent churn).
     */
-  private def buildDenseTo(tenant: String, model: String, tmp: Path): Unit = {
+  private def buildDenseTo(tenant: String, model: String, tmp: Path,
+      corpus: DataFrame): Unit = {
     // repartition by the partition column first: one file per cell, not
     // (shuffle partitions × cells) tiny files — probe reads stay file-bound
     import spark.implicits._
     val declaredType = properties(tenant, model).getOrElse("index_type", "IVF_FLAT")
-    val idx = buildIndex(tenant, model)
-    val effectiveType =
-      if (load(tenant, model).isEmpty) "IVF_FLAT" else declaredType
+    val n = corpus.count()
+    val idx = buildIndexFrom(tenant, model, corpus, Some(n))
+    val effectiveType = if (n == 0) "IVF_FLAT" else declaredType
     effectiveType match {
       case "IVF_SQ8" =>
         val sq = Ivf.quantizeIndex(idx)
@@ -1595,7 +1694,6 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       case "IVF_PQ" =>
         val dim = dimension(tenant, model)
         val mSub = Seq(8, 4, 2, 1).find(dim % _ == 0).get
-        val n = idx.clustered.count()
         val pq = Ivf.quantizePq(idx, mSub,
           ksub = math.max(2, math.min(256, (n / 4).toInt)))
         pq.clustered.repartition(col("centroid_id"))
@@ -1653,20 +1751,26 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   private def scheduleDenseRetrain(tenant: String, model: String): Unit = {
     writeIvfAbsorbCount(tenant, model, 0)
+    // pin the build's input HERE, under the triggering insert's commit
+    // scope: everything committed so far is in the snapshot, everything
+    // after the marker goes to the backlog — no row can fall between them
+    val snap = snapshotRows(tenant, model)
     scheduleRebuild(tenant, model, "ivf", denseInflightMarker(tenant, model)) {
-      runDenseRetrain(tenant, model)
+      runDenseRetrain(tenant, model, snap)
     }
   }
 
-  private def runDenseRetrain(tenant: String, model: String): Unit = {
+  private def runDenseRetrain(tenant: String, model: String, snap: Path): Unit = {
     RebuildHooks.maybeHold()
     val d = indexDir(tenant, model)
     val tmp = d.resolve("_tmp_retrain_" + System.nanoTime())
     liveTmps.add(tmp.toString)
     try {
-      // phase 1, NO lock: build from the current data table (anything that
-      // commits after the marker went up is in the backlog)
-      buildDenseTo(tenant, model, tmp)
+      // phase 1, NO lock: build from the schedule-time snapshot (anything
+      // that commits after the marker went up is in the backlog)
+      buildDenseTo(tenant, model, tmp, loadFromSnapshot(tenant, model, snap)
+        .select(xxhash64(col("flouds_vector_id")).as("doc_id"),
+          col("vector").as("dv")))
       // phase 2, collection lock: replay the backlog into the staged
       // tables, publish, clear the rebuild state
       withCommitScope(tenant, model) {
@@ -1691,7 +1795,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           Files.deleteIfExists(denseInflightMarker(tenant, model))
         }
         throw e
-    } finally liveTmps.remove(tmp.toString)
+    } finally { liveTmps.remove(tmp.toString); dropSnapshot(snap) }
   }
 
   /** Replay the backlog into a STAGED dense index (under the collection
@@ -1770,18 +1874,17 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   private def persistHnsw(tenant: String, model: String): Unit = {
     val tmp = hnswDir(tenant, model).resolve("_tmp_rebuild_" + System.nanoTime())
-    buildHnswTo(tenant, model, tmp)
+    buildHnswTo(tenant, model, tmp, vecCorpus(tenant, model))
     publishHnsw(tenant, model, tmp)
   }
 
-  /** Phase 1 of a graph (re)build: [[Hnsw.build]] over the current data
-    * table, written bucketed under a private tmp root — pure jobs, no live
-    * dir touched, runnable WITHOUT the collection lock (the async rebuild
-    * does).
+  /** Phase 1 of a graph (re)build: [[Hnsw.build]] over `corpus` (the live
+    * table on the synchronous locked paths, a [[snapshotRows]]-pinned view
+    * on the async rebuild), written bucketed under a private tmp root —
+    * pure jobs, no live dir touched, runnable WITHOUT the collection lock.
     */
-  private def buildHnswTo(tenant: String, model: String, tmp: Path): Unit = {
-    val corpus = load(tenant, model).select(
-      xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv"))
+  private def buildHnswTo(tenant: String, model: String, tmp: Path,
+      corpus: DataFrame): Unit = {
     // auto-shard past the single-graph regime boundary: buildSharded
     // degenerates to the plain build while the corpus fits one shard
     // (`hnsw_shard_target` defaults to the nlist-clamp point — SCALE.md
@@ -1832,18 +1935,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   private def scheduleHnswRebuild(tenant: String, model: String): Unit = {
     writeHnswAbsorbCount(tenant, model, 0)
+    // pin the build's input under the commit scope, like scheduleDenseRetrain
+    val snap = snapshotRows(tenant, model)
     scheduleRebuild(tenant, model, "hnsw", hnswInflightMarker(tenant, model)) {
-      runHnswRebuild(tenant, model)
+      runHnswRebuild(tenant, model, snap)
     }
   }
 
-  private def runHnswRebuild(tenant: String, model: String): Unit = {
+  private def runHnswRebuild(tenant: String, model: String, snap: Path): Unit = {
     RebuildHooks.maybeHold()
     val d = hnswDir(tenant, model)
     val tmp = d.resolve("_tmp_rebuild_" + System.nanoTime())
     liveTmps.add(tmp.toString)
     try {
-      buildHnswTo(tenant, model, tmp) // phase 1, NO lock (snapshot read)
+      // phase 1, NO lock: build from the schedule-time pinned snapshot
+      buildHnswTo(tenant, model, tmp, loadFromSnapshot(tenant, model, snap)
+        .select(xxhash64(col("flouds_vector_id")).as("doc_id"),
+          col("vector").as("dv")))
       withCommitScope(tenant, model) {
         // replay churn that landed during the build INTO THE STAGED graph
         // (the standard absorb, pointed at the tmp root) — the published
@@ -1868,7 +1976,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           Files.deleteIfExists(hnswInflightMarker(tenant, model))
         }
         throw e
-    } finally liveTmps.remove(tmp.toString)
+    } finally { liveTmps.remove(tmp.toString); dropSnapshot(snap) }
   }
 
   private def hnswNodesRaw(tenant: String, model: String): DataFrame =

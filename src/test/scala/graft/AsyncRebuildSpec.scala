@@ -142,6 +142,84 @@ class AsyncRebuildSpec extends SparkSpec {
     assert(counter == 1, s"replayed backlog batches are residual debt, got $counter")
   }
 
+  /** r13 (advisor, high): phase 1 used to read the LIVE data table with
+    * `ignoreMissingFiles` — files listed then unlinked by concurrent
+    * bucket swaps / delta folds were silently skipped, so bystander rows
+    * (present at schedule time, absent from the backlog) vanished from the
+    * published generation. The build input is now a hard-link snapshot
+    * pinned under the collection lock at schedule time. Simulated at its
+    * adversarial worst: EVERY live data file is deleted while the build is
+    * parked at the gate — the published generation must still contain
+    * every row that existed at schedule time.
+    */
+  import scala.jdk.CollectionConverters._
+
+  private def deleteParquetUnder(root: java.nio.file.Path): Unit = {
+    val s = Files.walk(root)
+    try s.iterator().asScala.toList
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .foreach(Files.delete(_))
+    finally s.close()
+  }
+
+  test("IVF: the rebuild input is pinned — vanished live files cannot drop bystander rows") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_snap_ivf").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
+      extraProps = Map("ivf_max_absorbs" -> "1")))
+    cat.insert("t", "m", (0 until 100).map(i =>
+      EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), avec(i))))
+    cat.persistIndex("t", "m")
+    val gate = new CountDownLatch(1)
+    RebuildHooks.holdGate = Some(gate)
+    try {
+      cat.insert("t", "m", (0 until 10).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      cat.insert("t", "m", (10 until 20).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      val td = cat.tableDir("t", "m")
+      assert(Files.list(td).iterator().asScala.exists(
+        _.getFileName.toString.startsWith("_tmp_snap_")),
+        "schedule must pin a snapshot of the row storage")
+      // worst-case churn: every live data file unlinked before the build reads
+      deleteParquetUnder(td.resolve("data"))
+    } finally {
+      gate.countDown()
+      RebuildHooks.holdGate = None
+    }
+    cat.awaitRebuilds("t", "m")
+    val ids = cat.loadIndex("t", "m").clustered.select("doc_id").distinct().count()
+    assert(ids == 120,
+      s"published generation must hold all 120 schedule-time rows, got $ids")
+    assert(!Files.list(cat.tableDir("t", "m")).iterator().asScala.exists(
+      _.getFileName.toString.startsWith("_tmp_snap_")),
+      "the snapshot is dropped after the rebuild")
+  }
+
+  test("HNSW: the rebuild input is pinned — vanished live files cannot drop bystander nodes") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_snap_hnsw").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW",
+      extraProps = Map("hnsw_max_absorbs" -> "1")))
+    cat.insert("t", "m", (0 until 40).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), avec(i))))
+    cat.persistIndex("t", "m")
+    val gate = new CountDownLatch(1)
+    RebuildHooks.holdGate = Some(gate)
+    try {
+      cat.insert("t", "m", Seq(EmbeddedVector("n0", "new 0", "m", Map(), avec(50))))
+      cat.insert("t", "m", Seq(EmbeddedVector("n1", "new 1", "m", Map(), avec(51))))
+      deleteParquetUnder(cat.tableDir("t", "m").resolve("data"))
+    } finally {
+      gate.countDown()
+      RebuildHooks.holdGate = None
+    }
+    cat.awaitRebuilds("t", "m")
+    val nodes = cat.loadHnsw("t", "m").nodes.select("doc_id").distinct().count()
+    assert(nodes == 42,
+      s"published graph must hold all 42 schedule-time nodes, got $nodes")
+  }
+
   test("a lock-free reader searching across the whole retrain publish never crashes") {
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_async_race").toString)
