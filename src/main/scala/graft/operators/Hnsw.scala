@@ -240,6 +240,9 @@ object Hnsw {
   def buildSharded(corpus: DataFrame, m: Int = 8, metric: String = "COSINE",
       seed: Long = 42L, shardTarget: Int = 200000,
       buildParallelism: Int = 4): Graph = {
+    // shardTarget is a user-settable collection property (hnsw_shard_target):
+    // ceil(n/0) would fan out ~2^31 shard futures — fail fast instead
+    require(shardTarget > 0, s"shardTarget must be positive, got $shardTarget")
     // one stats job either way: the degenerate 1-shard case hands (n, dim)
     // straight to build() instead of re-aggregating
     val statsRow = corpus.agg(count(lit(1)), max(size(col("dv")))).head()

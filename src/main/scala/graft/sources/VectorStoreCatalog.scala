@@ -103,10 +103,34 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   /** Drop a collection: remove its whole directory (schema, data, indexes,
     * deltas) under the collection lock. The undo arm of the transactional
     * tenant setup, and the local analogue of Milvus drop_collection.
+    *
+    * In-flight background rebuilds are drained FIRST, outside the lock (a
+    * running rebuild's publish phase takes that same lock — awaiting under
+    * it would deadlock): a queued-but-unstarted rebuild cancels outright,
+    * a running one is awaited with its outcome discarded (the directory is
+    * about to go). Phase 2 of the rebuilds additionally guards on
+    * collection existence, so even a schedule racing this drop can never
+    * resurrect index dirs for a dropped — or same-name recreated —
+    * collection.
     */
-  def dropCollection(tenant: String, model: String): Unit =
+  def dropCollection(tenant: String, model: String): Unit = {
+    drainRebuilds(tenant, model)
     lockFor(tenant, model).synchronized {
       VectorStoreCatalog.deleteRec(tableDir(tenant, model))
+    }
+  }
+
+  private def drainRebuilds(tenant: String, model: String): Unit =
+    Seq("ivf", "hnsw").foreach { fam =>
+      val f = inflightRebuilds.get(rebuildKey(tenant, model, fam))
+      // NO FutureTask.cancel here: cancel(false) flips a RUNNING task's
+      // state to CANCELLED (its state stays NEW while the body runs), so
+      // get() would return immediately WITH THE BUILD STILL RUNNING — the
+      // exact resurrect race this drain exists to close. Awaiting is
+      // always correct: queued tasks run as the pool frees up.
+      if (f != null)
+        try f.get()
+        catch { case _: Throwable => () }
     }
 
   /** Multi-step tenant bootstrap with ROLLBACK (reference
@@ -362,12 +386,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   //  - the publish itself runs under the collection lock via per-table
   //    swapDir renames (the same staged shape the explicit persistIndex /
   //    persistHnsw builds now use).
-  // One rebuild thread total: rebuilds are heavyweight Spark job chains and
-  // serializing them bounds their interference with serving; per-collection
-  // single-flight is enforced by the in-flight marker (a second threshold
-  // crossing while one is pending just keeps absorbing).
-  private val rebuildExec = java.util.concurrent.Executors.newSingleThreadExecutor(
-    (r: Runnable) => { val t = new Thread(r, "graft-index-rebuild"); t.setDaemon(true); t })
+  // A SMALL bounded rebuild pool: rebuilds are heavyweight Spark job chains,
+  // so the pool stays tiny to bound interference with serving — but one
+  // thread total meant a multi-minute build on one collection kept every
+  // OTHER collection's marker armed with its backlog growing for the whole
+  // queue delay. Two threads cut the worst-case queue wait to one build;
+  // [[backlogPressureGate]] bounds backlog growth regardless of queue
+  // depth. Per-collection single-flight is enforced by the in-flight
+  // marker (a second threshold crossing while one is pending just keeps
+  // absorbing).
+  private val rebuildExec = java.util.concurrent.Executors.newFixedThreadPool(2,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "graft-index-rebuild-" + n.incrementAndGet())
+        t.setDaemon(true); t
+      }
+    })
   private val inflightRebuilds =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[Unit]]()
 
@@ -732,8 +767,40 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     spark.catalog.refreshByPath(target.toString)
   }
 
+  /** Backlog pressure gate, run OUTSIDE the collection lock (the rebuild's
+    * publish phase needs that lock — awaiting under it would deadlock):
+    * when a pending rebuild's backlog has grown to the absorb threshold
+    * itself (the rebuild is queued behind another collection's build, or
+    * simply long-running), the next insert synchronously awaits the
+    * rebuild before committing. This bounds BOTH the backlog replay cost
+    * and the published generation's residual absorb debt at the threshold,
+    * instead of letting queue delay grow them without bound. A FAILED
+    * rebuild is swallowed here — its cleanup already discarded the backlog
+    * and the live index stayed exact throughout, so the insert proceeds.
+    */
+  private def backlogPressureGate(tenant: String, model: String): Unit = {
+    if (!collectionExists(tenant, model)) return
+    def batches(dir: Path): Int =
+      listChildren(dir).count(_.getFileName.toString.startsWith("b"))
+    val props = properties(tenant, model)
+    val overIvf = batches(denseBacklogDir(tenant, model)) >=
+      props.getOrElse("ivf_max_absorbs", "64").toInt
+    val overHnsw = batches(hnswBacklogDir(tenant, model)) >=
+      props.getOrElse("hnsw_max_absorbs", "64").toInt
+    if (overIvf || overHnsw)
+      try awaitRebuilds(tenant, model)
+      catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   def insert(tenant: String, model: String, rows: Seq[EmbeddedVector],
-      partition: Option[String] = None): Long = withCommitScope(tenant, model) {
+      partition: Option[String] = None): Long = {
+    backlogPressureGate(tenant, model)
+    insertLocked(tenant, model, rows, partition)
+  }
+
+  private def insertLocked(tenant: String, model: String,
+      rows: Seq[EmbeddedVector],
+      partition: Option[String]): Long = withCommitScope(tenant, model) {
     require(collectionExists(tenant, model), s"collection missing for $tenant/$model")
     require(rows.nonEmpty && rows.size <= Upsert.MaxBatch, "batch 1-1000 rows")
     val dim = dimension(tenant, model)
@@ -805,7 +872,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   def insertDf(tenant: String, model: String, df: DataFrame,
       partition: Option[String] = None,
-      ordinalCol: Option[String] = None): Long = withCommitScope(tenant, model) {
+      ordinalCol: Option[String] = None): Long = {
+    backlogPressureGate(tenant, model)
+    insertDfLocked(tenant, model, df, partition, ordinalCol)
+  }
+
+  private def insertDfLocked(tenant: String, model: String, df: DataFrame,
+      partition: Option[String],
+      ordinalCol: Option[String]): Long = withCommitScope(tenant, model) {
     require(collectionExists(tenant, model), s"collection missing for $tenant/$model")
     require(!autoId(tenant, model),
       s"distributed ingest into auto_id collection $tenant/$model is not " +
@@ -1774,14 +1848,19 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // phase 2, collection lock: replay the backlog into the staged
       // tables, publish, clear the rebuild state
       withCommitScope(tenant, model) {
-        val nBatches = reconcileDenseBacklog(tenant, model, tmp)
-        publishDense(tenant, model, tmp)
-        if (Files.exists(denseBacklogDir(tenant, model)))
-          deleteRec(denseBacklogDir(tenant, model))
-        Files.deleteIfExists(denseInflightMarker(tenant, model))
-        // replayed rows joined centroids trained without them — residual
-        // absorb debt, same meaning as the incremental counter
-        writeIvfAbsorbCount(tenant, model, nBatches)
+        // a dropCollection that raced the schedule must not have its dirs
+        // resurrected by this publish (drop drains rebuilds, but a schedule
+        // can land between the drain and the delete)
+        if (collectionExists(tenant, model)) {
+          val nBatches = reconcileDenseBacklog(tenant, model, tmp)
+          publishDense(tenant, model, tmp)
+          if (Files.exists(denseBacklogDir(tenant, model)))
+            deleteRec(denseBacklogDir(tenant, model))
+          Files.deleteIfExists(denseInflightMarker(tenant, model))
+          // replayed rows joined centroids trained without them — residual
+          // absorb debt, same meaning as the incremental counter
+          writeIvfAbsorbCount(tenant, model, nBatches)
+        }
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -1812,7 +1891,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     readBacklog(denseBacklogDir(tenant, model)).fold(0) { case (latest0, nBatches) =>
       val latest = latest0.localCheckpoint()
       val metric = properties(tenant, model)("metric_type")
-      val centroids = pread.parquet(tmp.resolve("centroids").toString)
+      val centroids = pread.schema("centroid_id INT, center ARRAY<DOUBLE>")
+        .parquet(tmp.resolve("centroids").toString)
       val payload =
         if (Files.exists(tmp.resolve("sq8"))) "codes ARRAY<INT>"
         else if (Files.exists(tmp.resolve("pq"))) "pqcodes ARRAY<INT>"
@@ -1953,19 +2033,22 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         .select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv")))
       withCommitScope(tenant, model) {
-        // replay churn that landed during the build INTO THE STAGED graph
-        // (the standard absorb, pointed at the tmp root) — the published
-        // generation misses nothing and readers never see a gap
-        val nBatches = readBacklog(hnswBacklogDir(tenant, model)).fold(0) {
-          case (latest, nb) =>
-            absorbHnswAt(tmp, tenant, model, latest.localCheckpoint(), live = false)
-            nb
+        // existence guard: see runDenseRetrain (drop racing the schedule)
+        if (collectionExists(tenant, model)) {
+          // replay churn that landed during the build INTO THE STAGED graph
+          // (the standard absorb, pointed at the tmp root) — the published
+          // generation misses nothing and readers never see a gap
+          val nBatches = readBacklog(hnswBacklogDir(tenant, model)).fold(0) {
+            case (latest, nb) =>
+              absorbHnswAt(tmp, tenant, model, latest.localCheckpoint(), live = false)
+              nb
+          }
+          publishHnsw(tenant, model, tmp)
+          if (Files.exists(hnswBacklogDir(tenant, model)))
+            deleteRec(hnswBacklogDir(tenant, model))
+          Files.deleteIfExists(hnswInflightMarker(tenant, model))
+          writeHnswAbsorbCount(tenant, model, nBatches)
         }
-        publishHnsw(tenant, model, tmp)
-        if (Files.exists(hnswBacklogDir(tenant, model)))
-          deleteRec(hnswBacklogDir(tenant, model))
-        Files.deleteIfExists(hnswInflightMarker(tenant, model))
-        writeHnswAbsorbCount(tenant, model, nBatches)
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -2235,7 +2318,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val p = d.resolve("sq8")
     if (!Files.exists(p)) None
     else {
-      val rows = pread.parquet(p.toString).orderBy("pos").collect()
+      val rows = pread.schema("pos INT, mn DOUBLE, scale DOUBLE")
+        .parquet(p.toString).orderBy("pos").collect()
       Some((rows.map(_.getDouble(1)).toIndexedSeq, rows.map(_.getDouble(2)).toIndexedSeq))
     }
   }
@@ -2248,7 +2332,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val p = d.resolve("pq")
     if (!Files.exists(p)) None
     else {
-      val rows = pread.parquet(p.toString).orderBy("sub", "code").collect()
+      val rows = pread.schema("sub INT, code INT, center ARRAY<DOUBLE>")
+        .parquet(p.toString).orderBy("sub", "code").collect()
       Some(rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
         rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
       })
@@ -2275,7 +2360,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   def loadIndex(tenant: String, model: String): Ivf.Index = {
     val d = indexDir(tenant, model)
-    val centroids = pread.parquet(d.resolve("centroids").toString)
+    // explicit schema like the clustered read below — schema INFERENCE
+    // reads parquet footers at plan time, a path `ignoreMissingFiles` does
+    // NOT cover, so a reader racing a publish's centroids swap crashed on
+    // the vanished file's footer (caught by AsyncRebuildSpec's racing
+    // searcher). With the schema supplied there is no footer job at all.
+    val centroids = pread.schema("centroid_id INT, center ARRAY<DOUBLE>")
+      .parquet(d.resolve("centroids").toString)
     val metric = properties(tenant, model)("metric_type")
     // explicit clustered schema per index type: an empty collection's index
     // has no parquet files to infer from. pread (ignoreMissingFiles), not
@@ -2332,10 +2423,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   /** All stored clients of a tenant: clientId → secret. Feeds the admin
     * fingerprint endpoint ([[graft.api.ServiceShell.AdminService]] —
     * `admin.py:36-67` iterates key_manager.clients; the engine's client
-    * store is the tenant user table). Secrets never leave the facade
-    * unhashed/unmasked.
+    * store is the tenant user table). `private[graft]` on purpose: the
+    * reference keeps secrets inside key_manager and only ever emits
+    * hash/mask — raw secrets must not cross the public catalog API either
+    * (the facade consumes this and emits fingerprints only).
     */
-  def listUsers(tenant: String): Map[String, String] =
+  private[graft] def listUsers(tenant: String): Map[String, String] =
     configAll(tenant).collect {
       case (k, v) if k.startsWith("user.") => k.stripPrefix("user.") -> v
     }

@@ -220,6 +220,77 @@ class AsyncRebuildSpec extends SparkSpec {
       s"published graph must hold all 42 schedule-time nodes, got $nodes")
   }
 
+  test("dropCollection drains an in-flight rebuild; the dropped dir stays gone") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_drop_rebuild").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
+      extraProps = Map("ivf_max_absorbs" -> "1")))
+    cat.insert("t", "m", (0 until 60).map(i =>
+      EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), avec(i))))
+    cat.persistIndex("t", "m")
+    val gate = new CountDownLatch(1)
+    RebuildHooks.holdGate = Some(gate)
+    try {
+      cat.insert("t", "m", (0 until 5).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      cat.insert("t", "m", (5 until 10).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      // drop while the rebuild is parked: it must DRAIN (block) rather than
+      // delete under a build whose publish would resurrect index dirs
+      val dropper = new Thread(() => cat.dropCollection("t", "m"), "dropper")
+      dropper.start()
+      dropper.join(1500)
+      assert(dropper.isAlive, "drop must drain the in-flight rebuild first")
+      gate.countDown()
+      dropper.join(120000)
+      assert(!dropper.isAlive, "drop must complete once the rebuild drains")
+    } finally {
+      gate.countDown()
+      RebuildHooks.holdGate = None
+    }
+    assert(!Files.exists(cat.tableDir("t", "m")),
+      "no ghost index/graph dirs may survive a drop that raced a rebuild")
+  }
+
+  test("backlog pressure gate: an over-threshold backlog makes the next insert await") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_backpressure").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
+      extraProps = Map("ivf_max_absorbs" -> "2")))
+    cat.insert("t", "m", (0 until 60).map(i =>
+      EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), avec(i))))
+    cat.persistIndex("t", "m")
+    val backlog = Paths.get(cat.tableDir("t", "m").toString,
+      "index", "_retrain_backlog")
+    def backlogBatches: Int =
+      if (!Files.exists(backlog)) 0
+      else Files.list(backlog).iterator().asScala
+        .count(_.getFileName.toString.startsWith("b"))
+    val gate = new CountDownLatch(1)
+    RebuildHooks.holdGate = Some(gate)
+    try {
+      (0 until 3).foreach(j => cat.insert("t", "m", (0 until 4).map(i =>
+        EmbeddedVector(s"b${j}_$i", s"bdoc $j $i", "m", Map(), bvec(j * 4 + i)))))
+      // rebuild parked; two more batches land in the backlog = the threshold
+      (3 until 5).foreach(j => cat.insert("t", "m", (0 until 4).map(i =>
+        EmbeddedVector(s"b${j}_$i", s"bdoc $j $i", "m", Map(), bvec(j * 4 + i)))))
+      assert(backlogBatches == 2, s"expected 2 backlogged batches, got $backlogBatches")
+      // the NEXT insert is over the gate: it must await the rebuild (release
+      // the gate from the side so the await can finish)
+      new Thread(() => { Thread.sleep(500); gate.countDown() }, "releaser").start()
+      cat.insert("t", "m", Seq(
+        EmbeddedVector("c0", "cdoc 0", "m", Map(), bvec(40))))
+      assert(backlogBatches == 0,
+        "the gated insert must have awaited the rebuild (backlog consumed)")
+    } finally {
+      gate.countDown()
+      RebuildHooks.holdGate = None
+    }
+    cat.awaitRebuilds("t", "m")
+    val hit = cat.search(SearchRequest("t", "m", bvec(40), limit = 1))
+    assert(hit.success && hit.data.head.content == "cdoc 0")
+  }
+
   test("a lock-free reader searching across the whole retrain publish never crashes") {
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_async_race").toString)
