@@ -41,4 +41,16 @@ private[graft] object CrashHooks {
 private[graft] object RebuildHooks {
   @volatile var holdGate: Option[java.util.concurrent.CountDownLatch] = None
   def maybeHold(): Unit = holdGate.foreach(_.await())
+
+  /** Park a rebuild BETWEEN phase 1 (staged build complete) and phase 2
+    * (publish) — the window the drop/recreate epoch-guard spec needs to
+    * hit deterministically. `publishArrived` signals the rebuild reached
+    * the window; `publishGate` holds it there.
+    */
+  @volatile var publishArrived: Option[java.util.concurrent.CountDownLatch] = None
+  @volatile var publishGate: Option[java.util.concurrent.CountDownLatch] = None
+  def maybeHoldPublish(): Unit = {
+    publishArrived.foreach(_.countDown())
+    publishGate.foreach(_.await())
+  }
 }

@@ -96,7 +96,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       "nlist" -> spec.nlist.toString,
       "metadata_length" -> spec.metadataLength.toString,
       "drop_ratio_build" -> spec.dropRatioBuild.toString,
-      "primary_key_data_type" -> spec.pkType)
+      "primary_key_data_type" -> spec.pkType,
+      // creation identity: an async rebuild captures this at schedule time
+      // and phase 2 requires it to MATCH — a bare existence check cannot
+      // distinguish a same-name recreated collection from the one the
+      // rebuild was scheduled against (r13 advisor, medium)
+      "created_epoch" -> java.util.UUID.randomUUID().toString)
     writeJson(dir.resolve("_schema.json"), props)
   }
 
@@ -108,10 +113,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * running rebuild's publish phase takes that same lock — awaiting under
     * it would deadlock): a queued-but-unstarted rebuild cancels outright,
     * a running one is awaited with its outcome discarded (the directory is
-    * about to go). Phase 2 of the rebuilds additionally guards on
-    * collection existence, so even a schedule racing this drop can never
-    * resurrect index dirs for a dropped — or same-name recreated —
-    * collection.
+    * about to go). Phase 2 of the rebuilds additionally guards on the
+    * collection's CREATION EPOCH (captured at schedule time), so even a
+    * schedule racing this drop can never resurrect index dirs for a
+    * dropped collection — and a same-name recreated collection (a new
+    * epoch) never receives a stale generation either.
     */
   def dropCollection(tenant: String, model: String): Unit = {
     drainRebuilds(tenant, model)
@@ -128,9 +134,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // get() would return immediately WITH THE BUILD STILL RUNNING — the
       // exact resurrect race this drain exists to close. Awaiting is
       // always correct: queued tasks run as the pool frees up.
+      // Only the EXPECTED outcomes are swallowed (the build failing or
+      // being cancelled — the directory is about to go either way). An
+      // interrupted dropper must NOT proceed to delete under a possibly
+      // still-running build: restore the flag and abort the drop (r13
+      // advisor, low). Fatal errors arrive wrapped in ExecutionException;
+      // its cause is irrelevant here for the same about-to-go reason.
       if (f != null)
         try f.get()
-        catch { case _: Throwable => () }
+        catch {
+          case _: java.util.concurrent.ExecutionException => ()
+          case _: java.util.concurrent.CancellationException => ()
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt()
+            throw new IllegalStateException(
+              s"interrupted while draining in-flight $fam rebuild of " +
+                s"$tenant/$model; aborting drop", e)
+        }
     }
 
   /** Multi-step tenant bootstrap with ROLLBACK (reference
@@ -778,19 +798,25 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * rebuild is swallowed here — its cleanup already discarded the backlog
     * and the live index stayed exact throughout, so the insert proceeds.
     */
-  private def backlogPressureGate(tenant: String, model: String): Unit = {
-    if (!collectionExists(tenant, model)) return
-    def batches(dir: Path): Int =
-      listChildren(dir).count(_.getFileName.toString.startsWith("b"))
-    val props = properties(tenant, model)
-    val overIvf = batches(denseBacklogDir(tenant, model)) >=
-      props.getOrElse("ivf_max_absorbs", "64").toInt
-    val overHnsw = batches(hnswBacklogDir(tenant, model)) >=
-      props.getOrElse("hnsw_max_absorbs", "64").toInt
-    if (overIvf || overHnsw)
-      try awaitRebuilds(tenant, model)
-      catch { case scala.util.control.NonFatal(_) => () }
-  }
+  private def backlogPressureGate(tenant: String, model: String): Unit =
+    // the whole gate is best-effort and lock-free (TOCTOU by design): a
+    // concurrent dropCollection between the existence check and the
+    // properties read makes properties() throw on the vanished
+    // _schema.json — fall through to insertLocked, whose `require`
+    // reports the missing collection cleanly (r13 advisor, low)
+    try {
+      if (!collectionExists(tenant, model)) return
+      def batches(dir: Path): Int =
+        listChildren(dir).count(_.getFileName.toString.startsWith("b"))
+      val props = properties(tenant, model)
+      val overIvf = batches(denseBacklogDir(tenant, model)) >=
+        props.getOrElse("ivf_max_absorbs", "64").toInt
+      val overHnsw = batches(hnswBacklogDir(tenant, model)) >=
+        props.getOrElse("hnsw_max_absorbs", "64").toInt
+      if (overIvf || overHnsw)
+        try awaitRebuilds(tenant, model)
+        catch { case scala.util.control.NonFatal(_) => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   def insert(tenant: String, model: String, rows: Seq[EmbeddedVector],
       partition: Option[String] = None): Long = {
@@ -1823,18 +1849,39 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * Caller holds the commit scope (the marker write is ordered against
     * every concurrent mutator).
     */
+  /** The collection's creation identity at schedule time: phase 2 of a
+    * rebuild requires it to STILL MATCH before publishing — collection
+    * existence alone cannot distinguish a same-name recreated collection
+    * (drop + recreate racing the schedule) from the one the rebuild was
+    * scheduled against, and publishing a stale generation into the
+    * recreated collection would silently replace its fresh index.
+    * Legacy collections without the property match on None = None.
+    */
+  private def creationEpoch(tenant: String, model: String): Option[String] =
+    try properties(tenant, model).get("created_epoch")
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Phase-2 publish guard: the collection still exists AND is the same
+    * incarnation the rebuild was scheduled against.
+    */
+  private def sameCollection(tenant: String, model: String,
+      epoch: Option[String]): Boolean =
+    collectionExists(tenant, model) && creationEpoch(tenant, model) == epoch
+
   private def scheduleDenseRetrain(tenant: String, model: String): Unit = {
     writeIvfAbsorbCount(tenant, model, 0)
     // pin the build's input HERE, under the triggering insert's commit
     // scope: everything committed so far is in the snapshot, everything
     // after the marker goes to the backlog — no row can fall between them
     val snap = snapshotRows(tenant, model)
+    val epoch = creationEpoch(tenant, model)
     scheduleRebuild(tenant, model, "ivf", denseInflightMarker(tenant, model)) {
-      runDenseRetrain(tenant, model, snap)
+      runDenseRetrain(tenant, model, snap, epoch)
     }
   }
 
-  private def runDenseRetrain(tenant: String, model: String, snap: Path): Unit = {
+  private def runDenseRetrain(tenant: String, model: String, snap: Path,
+      epoch: Option[String]): Unit = {
     RebuildHooks.maybeHold()
     val d = indexDir(tenant, model)
     val tmp = d.resolve("_tmp_retrain_" + System.nanoTime())
@@ -1845,13 +1892,16 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       buildDenseTo(tenant, model, tmp, loadFromSnapshot(tenant, model, snap)
         .select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv")))
+      RebuildHooks.maybeHoldPublish()
       // phase 2, collection lock: replay the backlog into the staged
       // tables, publish, clear the rebuild state
       withCommitScope(tenant, model) {
         // a dropCollection that raced the schedule must not have its dirs
         // resurrected by this publish (drop drains rebuilds, but a schedule
-        // can land between the drain and the delete)
-        if (collectionExists(tenant, model)) {
+        // can land between the drain and the delete) — and a same-name
+        // RECREATED collection must not receive the stale generation
+        // either, so the guard matches the creation epoch, not existence
+        if (sameCollection(tenant, model, epoch)) {
           val nBatches = reconcileDenseBacklog(tenant, model, tmp)
           publishDense(tenant, model, tmp)
           if (Files.exists(denseBacklogDir(tenant, model)))
@@ -2017,12 +2067,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     writeHnswAbsorbCount(tenant, model, 0)
     // pin the build's input under the commit scope, like scheduleDenseRetrain
     val snap = snapshotRows(tenant, model)
+    val epoch = creationEpoch(tenant, model)
     scheduleRebuild(tenant, model, "hnsw", hnswInflightMarker(tenant, model)) {
-      runHnswRebuild(tenant, model, snap)
+      runHnswRebuild(tenant, model, snap, epoch)
     }
   }
 
-  private def runHnswRebuild(tenant: String, model: String, snap: Path): Unit = {
+  private def runHnswRebuild(tenant: String, model: String, snap: Path,
+      epoch: Option[String]): Unit = {
     RebuildHooks.maybeHold()
     val d = hnswDir(tenant, model)
     val tmp = d.resolve("_tmp_rebuild_" + System.nanoTime())
@@ -2032,9 +2084,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       buildHnswTo(tenant, model, tmp, loadFromSnapshot(tenant, model, snap)
         .select(xxhash64(col("flouds_vector_id")).as("doc_id"),
           col("vector").as("dv")))
+      RebuildHooks.maybeHoldPublish()
       withCommitScope(tenant, model) {
-        // existence guard: see runDenseRetrain (drop racing the schedule)
-        if (collectionExists(tenant, model)) {
+        // epoch guard: see runDenseRetrain (drop/recreate racing the schedule)
+        if (sameCollection(tenant, model, epoch)) {
           // replay churn that landed during the build INTO THE STAGED graph
           // (the standard absorb, pointed at the tmp root) — the published
           // generation misses nothing and readers never see a gap

@@ -291,6 +291,57 @@ class AsyncRebuildSpec extends SparkSpec {
     assert(hit.success && hit.data.head.content == "cdoc 0")
   }
 
+  /** r13 advisor (medium): a rebuild scheduled between dropCollection's
+    * drain and its locked delete survives the drop; if the collection is
+    * recreated under the same name, a bare existence check passes and the
+    * stale rebuild would publish a generation built against the OLD
+    * incarnation into the new collection (destroying its fresh index and
+    * resetting its counters). Phase 2 now matches the creation epoch
+    * captured at schedule time. Simulated at the exact window: the rebuild
+    * is parked BETWEEN phase 1 and phase 2, the table dir is deleted (the
+    * racing drop's locked delete, observationally), and the collection is
+    * recreated with fresh rows + a fresh index before the publish resumes.
+    */
+  test("a same-name recreated collection never receives a stale rebuild's publish") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_epoch_guard").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
+      extraProps = Map("ivf_max_absorbs" -> "1")))
+    cat.insert("t", "m", (0 until 100).map(i =>
+      EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), avec(i))))
+    cat.persistIndex("t", "m")
+    val arrived = new CountDownLatch(1)
+    val gate = new CountDownLatch(1)
+    RebuildHooks.publishArrived = Some(arrived)
+    RebuildHooks.publishGate = Some(gate)
+    try {
+      cat.insert("t", "m", (0 until 10).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      cat.insert("t", "m", (10 until 20).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      assert(arrived.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "rebuild must reach the publish window")
+      // the racing drop's locked delete, then a same-name recreation
+      VectorStoreCatalog.deleteRec(cat.tableDir("t", "m"))
+      cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4))
+      cat.insert("t", "m", (0 until 50).map(i =>
+        EmbeddedVector(s"f$i", s"fresh $i", "m", Map(), avec(i))))
+      cat.persistIndex("t", "m")
+    } finally {
+      gate.countDown()
+      RebuildHooks.publishArrived = None
+      RebuildHooks.publishGate = None
+    }
+    cat.awaitRebuilds("t", "m")
+    // the recreated collection's index is intact: exactly its own 50 rows,
+    // served correctly — the stale generation was never published into it
+    val ids = cat.loadIndex("t", "m").clustered.select("doc_id").distinct().count()
+    assert(ids == 50,
+      s"recreated collection must keep its own 50-row index, got $ids")
+    val hit = cat.search(SearchRequest("t", "m", avec(7), limit = 1))
+    assert(hit.success && hit.data.head.content == "fresh 7")
+  }
+
   test("a lock-free reader searching across the whole retrain publish never crashes") {
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_async_race").toString)
