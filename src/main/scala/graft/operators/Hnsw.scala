@@ -345,9 +345,19 @@ object Hnsw {
     * far-away allowed set is always reachable (never starved by the global
     * top-ef, which is what a post-hoc filter over the unfiltered top-k does).
     */
+  /** `earlyStop = false` runs exactly `maxHops` hops without the per-hop
+    * frontier-emptiness probe — RESULT-IDENTICAL (an empty frontier adds
+    * no neighbours, so extra hops are no-ops), but each probe is a
+    * driver-synchronized job: on a fixed-small-hop walk (the insert
+    * absorb's connect search) the probes were half the fixed latency.
+    * Early stop stays the serving default, where beams often converge
+    * before maxHops and the probe saves whole hop jobs.
+    */
   def search(g: Graph, queries: DataFrame, k: Int, ef: Int = 64,
-      maxHops: Int = 8, allowed: Option[DataFrame] = None): DataFrame =
-    searchImpl(g, queries, k, ef, maxHops, allowed, broadcastQueries = true)
+      maxHops: Int = 8, allowed: Option[DataFrame] = None,
+      earlyStop: Boolean = true): DataFrame =
+    searchImpl(g, queries, k, ef, maxHops, allowed, broadcastQueries = true,
+      earlyStop = earlyStop)
 
   /** Bulk graph search: identical algorithm and results to [[search]]
     * (BulkHnswSpec: row-identical at full and partial beam), but the query
@@ -360,11 +370,36 @@ object Hnsw {
     */
   def searchBulk(g: Graph, queries: DataFrame, k: Int, ef: Int = 64,
       maxHops: Int = 8, allowed: Option[DataFrame] = None): DataFrame =
-    searchImpl(g, queries, k, ef, maxHops, allowed, broadcastQueries = false)
+    searchImpl(g, queries, k, ef, maxHops, allowed, broadcastQueries = false,
+      earlyStop = true)
 
+  /** The hop loop keeps ONE combined state table per hop —
+    * (qid, doc_id, s, af, best, fr), one row per (qid, doc_id) the walk has
+    * ever scored — instead of the four separate checkpointed frames
+    * (best / pool / frontier / visited) of the r5–r13 shape. Each hop is
+    * therefore exactly TWO driver-synchronized jobs (the state checkpoint
+    * and the cheap frontier-emptiness probe on the checkpointed result)
+    * instead of five; on the insert-absorb path (b6i — a fixed per-batch
+    * job chain) this halves the beam search's fixed latency, and the
+    * serving paths (b14) win the same job count.
+    *
+    * Row-identical to the old shape, proof sketch:
+    *  - best: iterated `top_ef(best ∪ new)` equals `top_ef(all scored)` —
+    *    a row evicted at hop t had ef better rows then, all of which remain
+    *    scored forever, so it can never re-enter; and a row in the global
+    *    top-ef was never evictable. The per-hop window rank over all
+    *    scored rows computes exactly that, with the same (s, doc_id) tie
+    *    order as [[TopK.perKey]].
+    *  - pool: the old per-hop ef-cap only ever discarded rows with ef
+    *    better ALLOWED rows already present — rows that can never make the
+    *    final top-k (k ≤ ef) — so ranking all allowed scored rows at the
+    *    end is equivalent.
+    *  - visited/frontier: the state's row set IS the visited set; the
+    *    frontier flag marks rows that just entered the beam.
+    */
   private def searchImpl(g: Graph, queries: DataFrame, k: Int, ef: Int,
       maxHops: Int, allowed: Option[DataFrame],
-      broadcastQueries: Boolean): DataFrame = {
+      broadcastQueries: Boolean, earlyStop: Boolean): DataFrame = {
     val desc = Knn.higherIsBetter(g.metric)
     val qPrep0 = queries.select(col("qid"), col("qv"),
       VecExprs.norm2(col("qv")).as("nq2"))
@@ -380,12 +415,21 @@ object Hnsw {
       .withColumn("s", Knn.rawScore(g.metric))
       .select("qid", "doc_id", "s")
 
-    // Materialize the allowed id set ONCE — the semi-join runs per hop, and
+    // Materialize the allowed id set ONCE — the flag join runs per hop, and
     // in the facade `allowed` is a parquet scan + hash over the targeted
-    // partition dirs that must not be re-read maxHops times.
-    val allowedIds = allowed.map(_.select("doc_id").localCheckpoint())
-    def keepAllowed(df: DataFrame): DataFrame =
-      allowedIds.fold(df)(a => df.join(a, Seq("doc_id"), "left_semi"))
+    // partition dirs that must not be re-read maxHops times. Deduped so a
+    // caller's non-distinct id table cannot duplicate scored rows.
+    val allowedIds = allowed.map(_.select("doc_id").distinct().localCheckpoint())
+    // af = allowed-flag: whether this scored row may enter the result pool
+    def withAllowedFlag(scored: DataFrame): DataFrame = allowedIds match {
+      case None => scored.withColumn("af", lit(false))
+      case Some(a) =>
+        scored.join(a.withColumn("_afHit", lit(true)), Seq("doc_id"), "left")
+          .withColumn("af", coalesce(col("_afHit"), lit(false))).drop("_afHit")
+    }
+
+    val wBest = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy((if (desc) col("s").desc else col("s").asc) :: col("doc_id").asc :: Nil: _*)
 
     // Seed: the entry medoids, plus (when filtering) a deterministic slice
     // of the allowed nodes to anchor the beam near the allowed region.
@@ -395,40 +439,49 @@ object Hnsw {
       entrySeed.unionByName(queries.select("qid").crossJoin(
         g.nodes.join(a, Seq("doc_id"), "left_semi").orderBy("doc_id").limit(ef)))
     }
-    val seeds = score(seedCand.dropDuplicates("qid", "doc_id")).localCheckpoint()
-    var best = TopK.perKey(seeds, "qid", "s", "doc_id", ef, desc)
-      .select("qid", "doc_id", "s").localCheckpoint()
-    var pool: Option[DataFrame] =
-      allowedIds.map(_ => keepAllowed(seeds).localCheckpoint())
-    var frontier = best.select("qid", "doc_id")
-    // visited covers ALL scored seeds, not just the top-ef beam: an evicted
-    // seed is already in the pool, and re-scoring it on a later hop would
-    // put the same (qid, doc_id) into the pool twice — the final top-k
-    // would then list one document in two ranks.
-    var visited = seeds.select("qid", "doc_id")
+    var state = withAllowedFlag(score(seedCand.dropDuplicates("qid", "doc_id")))
+      .withColumn("_rn", row_number().over(wBest))
+      .withColumn("best", col("_rn") <= ef)
+      .withColumn("fr", col("_rn") <= ef)
+      .select("qid", "doc_id", "s", "af", "best", "fr")
+      .localCheckpoint()
+    // Request-path joins BROADCAST the beam side into the graph scans: the
+    // checkpointed state has no catalyst stats, so without the hint every
+    // hop planned the frontier→edges / nbrs→nodes / anti-state joins as
+    // sort-merge — shuffling the WHOLE edges table per hop. With the hint
+    // each hop is one map-side pass over the (cached or parquet) graph
+    // tables plus two small shuffles (distinct, window). The beam side is
+    // bounded by |queries|·ef on this path (requests are ≤1000 vectors);
+    // the bulk path (unbounded query tables) keeps shuffle joins.
+    val bc: DataFrame => DataFrame =
+      df => if (broadcastQueries) broadcast(df) else df
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
-      val nbrs = frontier
+    var frontierEmpty = earlyStop && state.filter(col("fr")).isEmpty
+    while (hop < maxHops && !frontierEmpty) {
+      val frontier = state.filter(col("fr")).select("qid", "doc_id")
+      val nbrs = bc(frontier)
         .join(g.edges, frontier("doc_id") === g.edges("src"))
         .select(col("qid"), col("dst").as("doc_id")).distinct()
-        .join(visited, Seq("qid", "doc_id"), "left_anti")
-      val scoredN = score(nbrs.join(g.nodes, "doc_id"))
-      val newBest = TopK.perKey(best.unionByName(scoredN), "qid", "s", "doc_id",
-          ef, desc)
-        .select("qid", "doc_id", "s").localCheckpoint()
-      // the pool keeps every allowed candidate the walk ever scored, even
-      // ones the (unfiltered) beam evicts — capped at ef per query to bound
-      // its size across hops
-      pool = pool.map(p => TopK.perKey(p.unionByName(keepAllowed(scoredN)),
-          "qid", "s", "doc_id", ef, desc)
-        .select("qid", "doc_id", "s").localCheckpoint())
-      frontier = newBest.join(best, Seq("qid", "doc_id"), "left_anti")
-        .select("qid", "doc_id").localCheckpoint()
-      visited = visited.unionByName(nbrs).localCheckpoint()
-      best = newBest
+        .join(bc(state.select("qid", "doc_id")), Seq("qid", "doc_id"), "left_anti")
+      val scoredN = withAllowedFlag(score(bc(nbrs).join(g.nodes, "doc_id")))
+        .withColumn("wasBest", lit(false))
+      val all = state
+        .select(col("qid"), col("doc_id"), col("s"), col("af"),
+          col("best").as("wasBest"))
+        .unionByName(scoredN.select("qid", "doc_id", "s", "af", "wasBest"))
+      state = all
+        .withColumn("_rn", row_number().over(wBest))
+        .withColumn("best", col("_rn") <= ef)
+        .withColumn("fr", col("_rn") <= ef && !col("wasBest"))
+        .select("qid", "doc_id", "s", "af", "best", "fr")
+        .localCheckpoint()
+      frontierEmpty = earlyStop && state.filter(col("fr")).isEmpty
       hop += 1
     }
-    TopK.perKey(pool.getOrElse(best), "qid", "s", "doc_id", k, desc)
+    val candidates =
+      if (allowedIds.isDefined) state.filter(col("af")) else state.filter(col("best"))
+    TopK.perKey(candidates.select("qid", "doc_id", "s"), "qid", "s", "doc_id",
+        k, desc)
       .select(col("qid"), col("rank"), col("doc_id"), col("s").as("score"))
   }
 }

@@ -250,15 +250,21 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * touched-bucket set without a collect job. Parity is spec-pinned
     * (CatalogSpec "driver-side bucket twin").
     */
-  private[graft] def bucketOfKey(key: Any, n: Int): Long = {
+  private[graft] def bucketOfKey(key: Any, n: Int): Long =
+    ((hashKey(key) % n) + n) % n
+
+  /** Driver-side twin of `xxhash64(col)` (seed 42) — the doc_id every
+    * derived table keys on. Request-path callers hold the keys, so doc_ids
+    * (and from them bucket sets) come for free instead of costing jobs.
+    */
+  private[graft] def hashKey(key: Any): Long = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    val h = key match {
+    key match {
       case s: String => XxHash64Function.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType, 42L)
       case l: Long   => XxHash64Function.hash(l, LongType, 42L)
       case other     => throw new IllegalArgumentException(s"key type ${other.getClass}")
     }
-    ((h % n) + n) % n
   }
 
   /** S4: load = read (+ optional cache, the Milvus load_collection analogue). */
@@ -283,7 +289,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val base =
       if (VectorStoreCatalog.listChildren(d).nonEmpty)
         pread.schema(rawSchema(tenant, model)).parquet(d.toString)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      else S.createDataFrame(S.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         rawSchema(tenant, model))
     val pending = liveDeltas(tenant, model)
     if (pending.isEmpty) base
@@ -388,7 +394,37 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * inert there. On a cluster the table format's snapshot isolation
     * replaces this.
     */
-  private def pread = spark.read.option("ignoreMissingFiles", "true")
+  private def pread = S.read.option("ignoreMissingFiles", "true")
+
+  /** Session for BOUNDED request-path micro-commits (same SparkContext and
+    * storage, separate SQL conf): AQE re-plans every shuffle stage as its
+    * own job and the session-wide shuffle width is sized for table scans —
+    * on a ≤1000-row insert's fixed job chain both are pure scheduling
+    * latency (measured: a 100-row HNSW insert spent 105 jobs at ~60 ms
+    * each, most of them AQE stage-jobs and broadcast builds over ≤1100-row
+    * inputs). Plans are semantically identical; ONLY driver-bounded
+    * request-path work may use this session — scans, index builds and
+    * insertDf-scale commits keep the main session's AQE and width.
+    */
+  private lazy val microSpark: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
+  /** Per-thread session override: [[commitKeyed]] binds the micro-commit
+    * session for a SMALL batch so every frame the commit constructs on the
+    * insert thread (merge slice, index reads, cell rewrites) plans without
+    * AQE at micro width. Null = the main session. Futures do not inherit
+    * it — frames are constructed on the insert thread; worker threads only
+    * execute pre-built plans (each frame carries its session).
+    */
+  private val sessionOverride = new ThreadLocal[SparkSession]()
+  private def S: SparkSession = {
+    val o = sessionOverride.get()
+    if (o != null) o else spark
+  }
 
   // ---- asynchronous drift/churn rebuilds ----
   //
@@ -853,25 +889,27 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // a reserved consecutive id block replaces the caller's keys; fresh ids
     // can never collide, so auto_id inserts are append-only by construction.
     val nB = nBuckets(tenant, model)
-    val (keyed: DataFrame, touched: Seq[Long]) =
+    val (keyed: DataFrame, docIds: Seq[Long]) =
       if (auto) {
         val start = reserveAutoIds(tenant, model, rows.size)
         (rows.zipWithIndex.map { case (r, i) =>
           (start + i, r.chunk, r.model, r.vector, r.metadata, r.dynamicFields)
         }.toDF("flouds_vector_id", "chunk", "model", "vector", "metadata", "extra"),
-          rows.indices.map(i => bucketOfKey(start + i.toLong, nB)).distinct)
+          rows.indices.map(i => hashKey(start + i.toLong)))
       } else (rows.toDF()
         .select(col("key").as("flouds_vector_id"), col("chunk"), col("model"),
           col("vector"), col("metadata"), col("dynamicFields").as("extra")),
-        rows.map(r => bucketOfKey(r.key, nB)).distinct)
-    // the keys are driver-resident on this path — the touched-bucket set
-    // (and the broadcast-gate byte estimate) come for free instead of
-    // costing the commit extra jobs
+        rows.map(r => hashKey(r.key)))
+    // the keys are driver-resident on this path — the doc_id set, the
+    // touched-bucket set and the broadcast-gate byte estimate come for
+    // free instead of costing the commit extra jobs
+    val touched = docIds.map(id => java.lang.Math.floorMod(id, nB.toLong)).distinct
     val estBytes = rows.iterator.map(r =>
       2L * r.chunk.length + 8L * r.vector.size +
         metaJson(r.metadata).length + 64L).sum
     commitKeyed(tenant, model, keyed, partition, rows.size.toLong,
-      knownTouched = Some(touched), estBytes = Some(estBytes))
+      knownTouched = Some(touched), estBytes = Some(estBytes),
+      knownDocIds = Some(docIds.distinct))
   }
 
   /** §2.8 large-stream ingest: the same validated, bucket-restricted,
@@ -986,19 +1024,46 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * driver actions and the budget must be attributable job by job.
     */
   @volatile var profileStages: Boolean = false
+  /** Optional job counter (tools/ProfileInsert wires a SparkListener) so
+    * stage lines can attribute the commit's job budget stage by stage.
+    */
+  @volatile var jobProbe: () => Int = () => -1
   private def stage[T](name: String)(f: => T): T =
     if (!profileStages) f
     else {
       val t0 = System.nanoTime()
+      val j0 = jobProbe()
       try f
       finally System.err.println(
-        f"[stage] $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        f"[stage] $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+          (if (j0 >= 0) f"  ${jobProbe() - j0}%3d jobs" else ""))
     }
 
   private def commitKeyed(tenant: String, model: String, keyed: DataFrame,
       partition: Option[String], batchSize: Long,
       knownTouched: Option[Seq[Long]] = None,
-      estBytes: Option[Long] = None): Long = {
+      estBytes: Option[Long] = None,
+      knownDocIds: Option[Seq[Long]] = None): Long = {
+    val nB = nBuckets(tenant, model)
+    // both gates: bounded ROWS and bounded BYTES (an unknown estimate —
+    // no caller measurement — trusts the row gate alone only up to the
+    // request-path contract size, where rows really do bound bytes)
+    val small = batchSize <= SmallBatchRows &&
+      estBytes.fold(batchSize <= Upsert.MaxBatch)(_ <= SmallBatchBytes)
+    // a SMALL commit binds the micro-commit session for every frame this
+    // thread constructs below (merge slice, index reads, cell rewrites) —
+    // the whole fixed job chain plans without AQE at micro width
+    val outerOverride = sessionOverride.get()
+    sessionOverride.set(if (small) microSpark else spark)
+    try commitKeyedImpl(tenant, model, keyed, partition, batchSize,
+      knownTouched, knownDocIds, small)
+    finally sessionOverride.set(outerOverride)
+  }
+
+  private def commitKeyedImpl(tenant: String, model: String, keyed: DataFrame,
+      partition: Option[String], batchSize: Long,
+      knownTouched: Option[Seq[Long]], knownDocIds: Option[Seq[Long]],
+      small: Boolean): Long = {
     val nB = nBuckets(tenant, model)
     // ONE eager materialization of the prepared batch. Two reasons: the
     // commit protocol walks the batch many times (bucket set, sparse delta,
@@ -1006,7 +1071,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // walk; and the sparse commit runs its tmp writes as concurrent jobs —
     // a shared LIVE local-relation projection (interpreted to_json) is not
     // thread-safe across those jobs, an RDD-backed batch is.
-    val batch = stage("batch checkpoint")(keyed
+    val batch0 = stage("batch checkpoint")(keyed
       // a NULL metadata map stores "{}" (the request path always stores a
       // JSON object — json.dumps(meta or {}) — and the metaRequired /
       // meta-filter pipeline treats NULL differently from "{}")
@@ -1015,11 +1080,36 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       .withColumn("part", lit(partition.getOrElse("_default")))
       .withColumn("_bucket", bucketExpr(col("flouds_vector_id"), nB))
       .localCheckpoint())
+    // rebase the RDD-backed batch onto the bound session so every derived
+    // frame inherits it (zero recompute — the checkpoint already ran)
+    val batch =
+      if (S eq spark) batch0 else S.createDataFrame(batch0.rdd, batch0.schema)
 
     val touched = knownTouched.map(_.toIndexedSeq).getOrElse(
       stage("touched collect")(
         batch.select("_bucket").distinct().collect()
           .map(_.getLong(0)).toIndexedSeq))
+
+    // HNSW absorb phase 1 (beam search + prune + tmp writes — pure reads of
+    // the graph dirs, which nothing mutates while this insert holds the
+    // collection lock) is kicked off FIRST: it depends only on the
+    // checkpointed batch, so it overlaps the sparse prepare AND the
+    // data/sparse commits; only the bucket swaps are gated on the data
+    // commit's success below. The empty-graph first build instead runs
+    // synchronously after the data commit (it reads the data table).
+    val batchVecs = batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
+      col("vector").as("dv"))
+    val haveHnsw = hnswExists(tenant, model)
+    val hnswEmptyGraph = haveHnsw && {
+      stage("hnsw migrate")(migrateHnswLayout(tenant, model))
+      stage("hnsw empty check")(hnswGraphEmpty(tenant, model))
+    }
+    val hnswPrepFut =
+      if (haveHnsw && !hnswEmptyGraph)
+        Some(scala.concurrent.Future(prepareHnswAbsorb(
+          hnswDir(tenant, model), tenant, model, batchVecs, knownDocIds))(
+          scala.concurrent.ExecutionContext.global))
+      else None
 
     // H1/D4: incremental sparse-index stats + batch-only sparse encoding.
     // PREPARE only — the updated termdf/global come back as materialized
@@ -1033,17 +1123,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // plans as sort-merge — for a 500-row request that is ~6 needless
     // shuffle stages of fixed latency on the serving insert path. Unbounded
     // insertDf batches keep the distributed shuffle plans.
-    // both gates: bounded ROWS and bounded BYTES (an unknown estimate —
-    // no caller measurement — trusts the row gate alone only up to the
-    // request-path contract size, where rows really do bound bytes)
-    val small = batchSize <= SmallBatchRows &&
-      estBytes.fold(batchSize <= Upsert.MaxBatch)(_ <= SmallBatchBytes)
     def bb(df: DataFrame) = if (small) broadcast(df) else df
 
     val batchDocs = batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
       col("chunk").as("text"))
     val pendingSparse = stage("sparse prepare")(
-      SparseIndex.prepareUpsert(spark, sparseDir(tenant, model).toString,
+      SparseIndex.prepareUpsert(S, sparseDir(tenant, model).toString,
         batchDocs, nB, knownTouched = Some(touched), broadcastBatch = small,
         beforeRenames = () => armIntent(tenant, model)))
     val addModel = pendingSparse.add
@@ -1089,6 +1174,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // upsert, so replaying the same batch converges every table.
     val sparseCommit = scala.concurrent.Future(pendingSparse.commit())(
       scala.concurrent.ExecutionContext.global)
+
     val dataCommit =
       if (deltaMode) {
         // merge-on-read commit: ONE appended delta file, no base-table read.
@@ -1200,13 +1286,22 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val sparseRes = scala.util.Try(stage("sparse commit await")(
       scala.concurrent.Await.result(sparseCommit,
         scala.concurrent.duration.Duration.Inf)))
+    val hnswPrepRes = hnswPrepFut.map(f => scala.util.Try(
+      stage("hnsw prep await")(scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))))
     ivfRes.get; dataRes.get; sparseRes.get
 
-    // An HNSW graph absorbs the batch by CONNECT (see [[absorbIntoHnsw]]).
-    if (hnswExists(tenant, model))
-      stage("hnsw absorb")(absorbIntoHnsw(tenant, model,
-        batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
-          col("vector").as("dv"))))
+    // An HNSW graph absorbs the batch by CONNECT: the staged buckets from
+    // the concurrent prepare swap in only now, AFTER the data commit is
+    // visible (a failed bucket merge must not advance the graph past the
+    // table — a leaked tmp is vacuum debris).
+    hnswPrepRes.foreach(prep =>
+      stage("hnsw absorb commit")(finishHnswAbsorb(tenant, model, prep.get,
+        batchVecs)))
+    if (hnswEmptyGraph)
+      // first build — there is no old generation to serve, so synchronous
+      // (the data commit is already visible: awaited above)
+      stage("hnsw first build")(persistHnsw(tenant, model))
 
     // S3 auto-flush decision. Merge mode: batch >= threshold (0 always,
     // <0 never — milvus_helper.py:121-131). Delta mode: folds once MORE
@@ -2055,6 +2150,30 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     deleteRec(tmp)
     spark.catalog.refreshByPath(d.toString)
     writeHnswAbsorbCount(tenant, model, 0)
+    // emptiness marker: every INSERT used to pay an entries-scan job just to
+    // ask "is the graph empty?" — answer it once per publish (absorbs can't
+    // change emptiness: they require a non-empty graph). Advisory like the
+    // absorb counter; a missing/corrupt marker falls back to the scan.
+    writeJson(d.resolve("_graph_meta.json"), Map("empty" ->
+      pread.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+        .parquet(d.resolve("entries").toString).isEmpty.toString))
+  }
+
+  /** Whether the persisted graph is empty — the marker when present (one
+    * local read), else the entries scan once, back-filling the marker
+    * (caller holds the commit scope on every path that reaches this).
+    */
+  private def hnswGraphEmpty(tenant: String, model: String): Boolean = {
+    val p = hnswDir(tenant, model).resolve("_graph_meta.json")
+    val stored =
+      if (Files.exists(p))
+        scala.util.Try(readJson(p)("empty").toBoolean).toOption
+      else None
+    stored.getOrElse {
+      val e = loadHnsw(tenant, model).entries.isEmpty
+      writeJson(p, Map("empty" -> e.toString))
+      e
+    }
   }
 
   /** Churn-threshold graph rebuild, DETACHED from the triggering insert —
@@ -2093,7 +2212,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           // generation misses nothing and readers never see a gap
           val nBatches = readBacklog(hnswBacklogDir(tenant, model)).fold(0) {
             case (latest, nb) =>
-              absorbHnswAt(tmp, tenant, model, latest.localCheckpoint(), live = false)
+              val prep = prepareHnswAbsorb(tmp, tenant, model,
+                latest.localCheckpoint())
+              commitHnswAbsorb(tenant, model, prep, live = false)
               nb
           }
           publishHnsw(tenant, model, tmp)
@@ -2224,119 +2345,196 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     *    resets the counter.
     * An empty graph rebuilds instead.
     */
-  private def absorbIntoHnsw(tenant: String, model: String,
-      batchVecs: DataFrame): Unit = {
-    migrateHnswLayout(tenant, model)
-    if (loadHnsw(tenant, model).entries.isEmpty) {
-      // first build — there is no old generation to serve, so synchronous
-      // (the data commit is already visible: the call site awaits it)
-      persistHnsw(tenant, model); return
-    }
+  /** Staged output of [[prepareHnswAbsorb]]: the written tmp tables plus
+    * the touched bucket sets the commit phase swaps in.
+    */
+  private final case class HnswAbsorbPrep(d: Path, nodesTmp: Path,
+      edgesTmp: Path, entriesTmp: Path,
+      nodeBuckets: IndexedSeq[Long], edgeBuckets: IndexedSeq[Long])
+
+  /** The commit tail of an HNSW absorb on the insert path: swap the staged
+    * buckets in ([[commitHnswAbsorb]]), then the threshold bookkeeping —
+    * backlog append while a rebuild is in flight, or scheduling one at the
+    * absorb threshold. Runs on the insert thread AFTER the data commit is
+    * visible (the graph must never advance past the table).
+    */
+  private def finishHnswAbsorb(tenant: String, model: String,
+      prep: HnswAbsorbPrep, batchVecs: DataFrame): Unit = {
     val maxAbsorbs = properties(tenant, model)
       .getOrElse("hnsw_max_absorbs", "64").toInt
     val rebuildPending = rebuildInflight(tenant, model, "hnsw",
       hnswInflightMarker(tenant, model), hnswBacklogDir(tenant, model))
     val atThreshold = !rebuildPending &&
       hnswAbsorbCount(tenant, model) >= maxAbsorbs
-    // the absorb ALWAYS runs — the live graph stays exact (and keeps
+    // the absorb ALWAYS lands — the live graph stays exact (and keeps
     // serving) whether or not a full rebuild is pending or being scheduled
-    absorbHnswAt(hnswDir(tenant, model), tenant, model, batchVecs, live = true)
+    commitHnswAbsorb(tenant, model, prep, live = true)
     if (rebuildPending)
       appendBacklog(hnswBacklogDir(tenant, model), batchVecs)
     else if (atThreshold) scheduleHnswRebuild(tenant, model)
   }
 
-  /** The absorb core, pointed at any graph root `d` — the LIVE dir on the
-    * insert path, a STAGED tmp generation when the async rebuild replays
-    * its backlog pre-publish (`live = false`: no intent marker, no crash
-    * hooks, no absorb-counter bump — private dirs need none of the
-    * commit protocol).
+  /** Phase 1 of an HNSW absorb, pointed at any graph root `d` — the LIVE
+    * dir on the insert path, a STAGED tmp generation when the async rebuild
+    * replays its backlog pre-publish. PURE READS + private tmp writes (no
+    * live dir is touched), so the insert path runs it CONCURRENTLY with the
+    * data/sparse commits — the beam search's driver-synchronized job chain
+    * was the single largest fixed cost of an HNSW insert (b6i), and none of
+    * it depends on the data commit.
     */
-  private def absorbHnswAt(d: Path, tenant: String, model: String,
-      batchVecs: DataFrame, live: Boolean): Unit = {
-    def nodesRaw = pread.schema("doc_id LONG, dv ARRAY<DOUBLE>, _bucket LONG")
-      .parquet(d.resolve("nodes").toString)
-    def edgesRaw = pread.schema("src LONG, dst LONG, _bucket LONG")
-      .parquet(d.resolve("edges").toString)
-    val g = Hnsw.Graph(
-      nodesRaw.drop("_bucket"), edgesRaw.drop("_bucket"),
-      pread.schema("doc_id LONG, dv ARRAY<DOUBLE>")
-        .parquet(d.resolve("entries").toString),
-      properties(tenant, model)("metric_type"))
-    val batchIds = batchVecs.select("doc_id")
-    val queries = batchVecs.select(col("doc_id").as("qid"), col("dv").as("qv"))
-    // materialized BEFORE any directory swap — the beam search reads the
-    // current graph dirs
-    val nbrs = Hnsw.search(g, queries, k = 8, ef = 32)
-      .select(col("qid").as("src"), col("doc_id").as("dst"))
-      .filter(col("src") =!= col("dst")).localCheckpoint()
-    val nB = nBuckets(tenant, model).toLong
-    val newEdges = nbrs.unionByName(
-        nbrs.select(col("dst").as("src"), col("src").as("dst")))
-      .withColumn("_bucket", pmod(col("src"), lit(nB)))
+  private def prepareHnswAbsorb(d: Path, tenant: String, model: String,
+      batchVecs0: DataFrame,
+      knownDocIds: Option[Seq[Long]] = None): HnswAbsorbPrep = {
+    // request-path absorbs (driver-known ids ⇒ bounded batch) run on the
+    // micro-commit session; unbounded insertDf batches and the rebuild's
+    // backlog replay keep the main session's AQE + width
+    val sess = if (knownDocIds.isDefined) microSpark else spark
+    import sess.implicits._
+    def rd = sess.read.option("ignoreMissingFiles", "true")
+    val batchVecs =
+      if (knownDocIds.isDefined)
+        sess.createDataFrame(batchVecs0.rdd, batchVecs0.schema)
+      else batchVecs0
+    // the beam search re-reads nodes/edges EVERY hop (and the prune /
+    // rewrite plans read them again) — one cached scan replaces maxHops+
+    // parquet reads of the same files; unpersisted before return, so the
+    // cache lives only for this absorb
+    val nodesRaw = rd.schema("doc_id LONG, dv ARRAY<DOUBLE>, _bucket LONG")
+      .parquet(d.resolve("nodes").toString).persist()
+    val edgesRaw = rd.schema("src LONG, dst LONG, _bucket LONG")
+      .parquet(d.resolve("edges").toString).persist()
+    try {
+      val g = Hnsw.Graph(
+        nodesRaw.drop("_bucket"), edgesRaw.drop("_bucket"),
+        rd.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+          .parquet(d.resolve("entries").toString),
+        properties(tenant, model)("metric_type"))
+      // request-path batches carry their doc_ids from the driver: the batch
+      // id relation is then a SIZED local relation (downstream joins
+      // auto-broadcast instead of guessing stats on a checkpointed frame)
+      // — the distributed id/bucket jobs exist only for unbounded insertDf
+      // batches and the rebuild's backlog replay
+      val batchIds = knownDocIds.fold(batchVecs.select("doc_id"))(ids =>
+        ids.toDF("doc_id"))
+      val queries = batchVecs.select(col("doc_id").as("qid"), col("dv").as("qv"))
+      val nB = nBuckets(tenant, model).toLong
+      // materialized BEFORE any directory swap — the beam search reads the
+      // current graph dirs. maxHops = 3, not the serving default 8: the
+      // absorb needs M good neighbours to CONNECT the new node (edge
+      // quality), not an exhaustive search — hub edges star every node to
+      // its medoid within 2 hops, so 3 hops reach every cell neighbourhood;
+      // HnswSpec's reduced-beam absorb test pins search quality after churn.
+      // On the request path the ≤ m·|batch| (src, dst) pairs are COLLECTED
+      // into a local relation — one job, and the symmetric edge set + the
+      // touched edge-bucket set derive driver-side with zero further jobs.
+      def beam() = Hnsw.search(g, queries, k = 8, ef = 32, maxHops = 3,
+          earlyStop = false)
+        .select(col("qid").as("src"), col("doc_id").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val nbrs = stage("hnsw beam search")(
+        if (knownDocIds.isDefined)
+          sess.createDataset(beam().as[(Long, Long)].collect().toSeq)
+            .toDF("src", "dst")
+        else beam().localCheckpoint())
+      val newEdges = nbrs.unionByName(
+          nbrs.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("_bucket", pmod(col("src"), lit(nB)))
 
-    // BUCKET-RESTRICTED rewrite, O(batch), never O(graph): node buckets =
-    // the batch ids' buckets (a replaced key hashes to the same bucket as
-    // its old row); edge buckets = the src buckets of the new symmetric
-    // edges (≤ 2·m·batch endpoints). Untouched bucket dirs keep their files.
-    val nodeBuckets = batchVecs.select(pmod(col("doc_id"), lit(nB)).as("b"))
-      .distinct().collect().map(_.getLong(0)).toIndexedSeq
-    val nodesOut = nodesRaw
-      .filter(col("_bucket").isin(nodeBuckets: _*))
-      .join(batchIds, Seq("doc_id"), "left_anti")
-      .unionByName(batchVecs.select("doc_id", "dv")
-        .withColumn("_bucket", pmod(col("doc_id"), lit(nB))))
-    val edgeBuckets = newEdges.select("_bucket").distinct().collect()
-      .map(_.getLong(0)).toIndexedSeq
-    // Kept existing edges: drop replaced keys' stale out-links (their whole
-    // adjacency was just re-derived by the beam search; a batch id's old
-    // edges live in exactly the touched buckets, pmod(src) = _bucket).
-    val keptExisting = edgesRaw
-      .filter(col("_bucket").isin(edgeBuckets: _*))
-      .join(batchIds.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
-    // Degree re-prune (the HNSW neighbour-shrink) over the touched buckets
-    // only. The vector lookup is bucket-restricted: pruneAdjacency hands
-    // back exactly the overfull nodes' edge endpoints, we read just their
-    // node buckets and overlay the batch — O(overfull·deg), never O(graph).
-    val maxDeg = properties(tenant, model).getOrElse("hnsw_max_degree", "16").toInt
-    val vecsFor: DataFrame => DataFrame = ids => {
-      val bs = ids.select(pmod(col("doc_id"), lit(nB)).as("b")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
-      nodesRaw.filter(col("_bucket").isin(bs: _*))
-        .select("doc_id", "dv")
+      // BUCKET-RESTRICTED rewrite, O(batch), never O(graph): node buckets =
+      // the batch ids' buckets (a replaced key hashes to the same bucket as
+      // its old row); edge buckets = the src buckets of the new symmetric
+      // edges (≤ 2·m·batch endpoints). Untouched bucket dirs keep their files.
+      val nodeBuckets = knownDocIds.fold(
+        batchVecs.select(pmod(col("doc_id"), lit(nB)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toIndexedSeq)(ids =>
+        ids.map(java.lang.Math.floorMod(_, nB)).distinct.toIndexedSeq)
+      val nodesOut = nodesRaw
+        .filter(col("_bucket").isin(nodeBuckets: _*))
         .join(batchIds, Seq("doc_id"), "left_anti")
-        .unionByName(batchVecs.select("doc_id", "dv"))
-    }
-    val edgesOut = Hnsw.pruneAdjacency(
-        keptExisting.drop("_bucket").unionByName(newEdges.drop("_bucket")).distinct(),
-        g.entries.select("doc_id"), maxDeg, g.metric, vecsFor)
-      .withColumn("_bucket", pmod(col("src"), lit(nB)))
-    // An upserted key that is a cell's entry medoid must seed future walks
-    // with its NEW vector — refresh the (tiny) entries table from the batch.
-    val entriesOut = g.entries
-      .join(batchVecs.select(col("doc_id"), col("dv").as("new_dv")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("new_dv"), col("dv")).as("dv"))
+        .unionByName(batchVecs.select("doc_id", "dv")
+          .withColumn("_bucket", pmod(col("doc_id"), lit(nB))))
+      val edgeBuckets =
+        if (knownDocIds.isDefined)
+          nbrs.as[(Long, Long)].collect().iterator
+            .flatMap { case (s2, d2) => Iterator(s2, d2) }
+            .map(java.lang.Math.floorMod(_, nB)).toSeq.distinct.toIndexedSeq
+        else newEdges.select("_bucket").distinct().collect()
+          .map(_.getLong(0)).toIndexedSeq
+      // Kept existing edges: drop replaced keys' stale out-links (their whole
+      // adjacency was just re-derived by the beam search; a batch id's old
+      // edges live in exactly the touched buckets, pmod(src) = _bucket).
+      val keptExisting = edgesRaw
+        .filter(col("_bucket").isin(edgeBuckets: _*))
+        .join(batchIds.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
+      // Degree re-prune (the HNSW neighbour-shrink) over the touched buckets
+      // only. The vector lookup is bucket-restricted: pruneAdjacency hands
+      // back exactly the overfull nodes' edge endpoints, we read just their
+      // node buckets and overlay the batch — O(overfull·deg), never O(graph).
+      val maxDeg = properties(tenant, model).getOrElse("hnsw_max_degree", "16").toInt
+      val vecsFor: DataFrame => DataFrame = ids => {
+        val bs = ids.select(pmod(col("doc_id"), lit(nB)).as("b")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        nodesRaw.filter(col("_bucket").isin(bs: _*))
+          .select("doc_id", "dv")
+          .join(batchIds, Seq("doc_id"), "left_anti")
+          .unionByName(batchVecs.select("doc_id", "dv"))
+      }
+      val edgesOut = Hnsw.pruneAdjacency(
+          keptExisting.drop("_bucket").unionByName(newEdges.drop("_bucket")).distinct(),
+          g.entries.select("doc_id"), maxDeg, g.metric, vecsFor)
+        .withColumn("_bucket", pmod(col("src"), lit(nB)))
+      // An upserted key that is a cell's entry medoid must seed future walks
+      // with its NEW vector — refresh the (tiny) entries table from the batch.
+      val entriesOut = g.entries
+        .join(batchVecs.select(col("doc_id"), col("dv").as("new_dv")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("new_dv"), col("dv")).as("dv"))
 
-    // tmp-write materializes (reading the current dirs) before any swap
-    val nodesTmp = d.resolve("_tmp_nodes_" + System.nanoTime())
-    val edgesTmp = d.resolve("_tmp_edges_" + System.nanoTime())
-    val entriesTmp = d.resolve("_tmp_entries_" + System.nanoTime())
-    nodesOut.repartition(col("_bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(nodesTmp.toString)
-    edgesOut.repartition(col("_bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(edgesTmp.toString)
-    entriesOut.write.mode(SaveMode.Overwrite).parquet(entriesTmp.toString)
+      // tmp-write materializes (reading the current dirs) before any swap;
+      // the three tables share no directories and no uncomputed inputs, so
+      // their write jobs run concurrently (the edges write alone was ~2× the
+      // nodes write — overlap collapses the sum to the max)
+      val nodesTmp = d.resolve("_tmp_nodes_" + System.nanoTime())
+      val edgesTmp = d.resolve("_tmp_edges_" + System.nanoTime())
+      val entriesTmp = d.resolve("_tmp_entries_" + System.nanoTime())
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val writes = Seq(
+        scala.concurrent.Future(stage("hnsw nodes write")(
+          nodesOut.repartition(col("_bucket")).write.mode(SaveMode.Overwrite)
+            .partitionBy("_bucket").parquet(nodesTmp.toString))),
+        scala.concurrent.Future(stage("hnsw edges write")(
+          edgesOut.repartition(col("_bucket")).write.mode(SaveMode.Overwrite)
+            .partitionBy("_bucket").parquet(edgesTmp.toString))),
+        scala.concurrent.Future(stage("hnsw entries write")(
+          entriesOut.write.mode(SaveMode.Overwrite).parquet(entriesTmp.toString))))
+      // settle ALL writes before propagating any failure (no job may still
+      // be writing a tmp this frame's caller might vacuum)
+      val results = writes.map(w => scala.util.Try(
+        scala.concurrent.Await.result(w, scala.concurrent.duration.Duration.Inf)))
+      results.foreach(_.get)
+      HnswAbsorbPrep(d, nodesTmp, edgesTmp, entriesTmp, nodeBuckets, edgeBuckets)
+    } finally { nodesRaw.unpersist(false); edgesRaw.unpersist(false) }
+  }
+
+  /** Phase 2 of an HNSW absorb: swap the staged bucket directories into the
+    * graph root. `live = false` on the async rebuild's backlog replay (a
+    * private staged generation needs no intent marker, crash hooks or
+    * absorb-counter bump).
+    */
+  private def commitHnswAbsorb(tenant: String, model: String,
+      prep: HnswAbsorbPrep, live: Boolean): Unit = {
+    val d = prep.d
     if (live) armIntent(tenant, model)
-    nodeBuckets.foreach { b =>
-      swapDir(nodesTmp.resolve(s"_bucket=$b"),
+    prep.nodeBuckets.foreach { b =>
+      swapDir(prep.nodesTmp.resolve(s"_bucket=$b"),
         d.resolve("nodes").resolve(s"_bucket=$b"))
       if (live) CrashHooks.maybe("hnsw.midNodeSwap")
     }
-    edgeBuckets.foreach(b => swapDir(edgesTmp.resolve(s"_bucket=$b"),
+    prep.edgeBuckets.foreach(b => swapDir(prep.edgesTmp.resolve(s"_bucket=$b"),
       d.resolve("edges").resolve(s"_bucket=$b")))
-    deleteRec(nodesTmp); deleteRec(edgesTmp)
-    swapDir(entriesTmp, d.resolve("entries"))
+    deleteRec(prep.nodesTmp); deleteRec(prep.edgesTmp)
+    swapDir(prep.entriesTmp, d.resolve("entries"))
     spark.catalog.refreshByPath(d.toString)
     // after the swaps: a crash before this line undercounts by one absorb —
     // advisory, the rebuild just comes one absorb later

@@ -19,9 +19,41 @@ object ProfileInsert {
     spark.sparkContext.setLogLevel("WARN")
     def vec(seed: Int): Seq[Double] =
       (0 until 64).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
-    val indexed = args.headOption.contains("indexed")
+    val mode = args.headOption.getOrElse("plain") // plain | indexed | hnsw
     val cat = new VectorStoreCatalog(spark,
       java.nio.file.Files.createTempDirectory("graft_prof").toString)
+    if (mode == "hnsw") {
+      // the b6i fixture shape: 1000-row HNSW collection, 100-row churn
+      // batches (50 replacements + 50 fresh), absorb threshold never crossed
+      cat.generateSchema(SchemaSpec("t", "m", dimension = 64,
+        indexType = "HNSW", extraProps = Map("hnsw_max_absorbs" -> "100000")))
+      cat.insert("t", "m", (0 until 1000).map(i =>
+        EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "m", Map(), vec(i))))
+      cat.persistIndex("t", "m")
+      def churn(gen: Int) = (0 until 100).map { i =>
+        val key = if (i < 50) s"seed${gen % 900 + i}" else s"k${gen}_$i"
+        EmbeddedVector(key, s"doc $gen $i", "m", Map("g" -> gen.toString),
+          vec(gen * 1000 + i))
+      }
+      cat.insert("t", "m", churn(1)) // warm
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+      cat.jobProbe = () => jobs.get()
+      for (g <- 2 to 4) {
+        jobs.set(0)
+        cat.profileStages = true
+        val t0 = System.nanoTime()
+        cat.insert("t", "m", churn(g))
+        cat.profileStages = false
+        println(f"[profile] hnsw insert(100) took ${(System.nanoTime() - t0) / 1e9}%.2f s, ${jobs.get()} spark jobs")
+      }
+      spark.stop(); return
+    }
+    val indexed = mode == "indexed"
     cat.generateSchema(SchemaSpec("t", "m", dimension = 64))
     cat.insert("t", "m", (0 until 1000).map(i =>
       EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "m", Map(), vec(i))))
