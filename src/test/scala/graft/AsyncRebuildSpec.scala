@@ -142,27 +142,46 @@ class AsyncRebuildSpec extends SparkSpec {
     assert(counter == 1, s"replayed backlog batches are residual debt, got $counter")
   }
 
-  /** r13 (advisor, high): phase 1 used to read the LIVE data table with
-    * `ignoreMissingFiles` — files listed then unlinked by concurrent
-    * bucket swaps / delta folds were silently skipped, so bystander rows
-    * (present at schedule time, absent from the backlog) vanished from the
-    * published generation. The build input is now a hard-link snapshot
-    * pinned under the collection lock at schedule time. Simulated at its
-    * adversarial worst: EVERY live data file is deleted while the build is
-    * parked at the gate — the published generation must still contain
-    * every row that existed at schedule time.
+  /** r13 (advisor, high) / r14 (verdict task 2): phase 1 used to read the
+    * LIVE data table with `ignoreMissingFiles` — files listed then unlinked
+    * by concurrent bucket swaps / delta folds were silently skipped, so
+    * bystander rows (present at schedule time, absent from the backlog)
+    * vanished from the published generation. The build input is now a
+    * FILE-MANIFEST pin taken under the collection lock at schedule time,
+    * with deferred deletes: a commit that retires a pinned bucket
+    * generation keeps its aside alive (zero copies) and the pinned reader
+    * resolves through the relocation. Simulated at the adversarial worst:
+    * while the build is parked, ENGINE churn rewrites EVERY bucket (so
+    * every pinned generation is retired to an aside), then every
+    * still-live data file is raw-deleted — only the pin's retained
+    * generations keep the schedule-time rows readable.
     */
   import scala.jdk.CollectionConverters._
 
-  private def deleteParquetUnder(root: java.nio.file.Path): Unit = {
+  /** Raw-delete live parquet under `root`, sparing `_aside_*` trees — those
+    * are the pin's retained generations (deleting them would simulate a
+    * storage FAULT, which the loud-abort contract covers, not churn).
+    */
+  private def deleteLiveParquetUnder(root: java.nio.file.Path): Unit = {
     val s = Files.walk(root)
     try s.iterator().asScala.toList
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_aside_"))
       .foreach(Files.delete(_))
     finally s.close()
   }
 
-  test("IVF: the rebuild input is pinned — vanished live files cannot drop bystander rows") {
+  /** One fresh key per `_bucket` (driver-side hash twin), so an insert of
+    * these rewrites EVERY bucket directory.
+    */
+  private def allBucketKeys(cat: VectorStoreCatalog, prefix: String,
+      nBuckets: Int): Seq[String] =
+    (0L until nBuckets.toLong).map { b =>
+      Iterator.from(0).map(i => s"$prefix$i")
+        .find(k => cat.bucketOfKey(k, nBuckets) == b).get
+    }
+
+  test("IVF: the rebuild input is pinned — full-bucket churn + vanished live files cannot drop bystander rows") {
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_snap_ivf").toString)
     cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
@@ -178,25 +197,35 @@ class AsyncRebuildSpec extends SparkSpec {
       cat.insert("t", "m", (10 until 20).map(i =>
         EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
       val td = cat.tableDir("t", "m")
-      assert(Files.list(td).iterator().asScala.exists(
-        _.getFileName.toString.startsWith("_tmp_snap_")),
-        "schedule must pin a snapshot of the row storage")
-      // worst-case churn: every live data file unlinked before the build reads
-      deleteParquetUnder(td.resolve("data"))
+      val snapRoot = Files.list(td).iterator().asScala
+        .find(_.getFileName.toString.startsWith("_tmp_snap_"))
+      assert(snapRoot.isDefined, "schedule must pin a snapshot of the row storage")
+      assert(Files.exists(snapRoot.get.resolve("manifest.json")),
+        "the pin records a file manifest, not copied bytes")
+      // churn EVERY bucket through the engine (each pinned generation is
+      // retired to its aside), then unlink every still-live data file
+      val keys = allBucketKeys(cat, "z", 16)
+      cat.insert("t", "m", keys.zipWithIndex.map { case (k, i) =>
+        EmbeddedVector(k, s"zdoc $i", "m", Map(), bvec(100 + i)) })
+      deleteLiveParquetUnder(td.resolve("data"))
     } finally {
       gate.countDown()
       RebuildHooks.holdGate = None
     }
     cat.awaitRebuilds("t", "m")
     val ids = cat.loadIndex("t", "m").clustered.select("doc_id").distinct().count()
-    assert(ids == 120,
-      s"published generation must hold all 120 schedule-time rows, got $ids")
-    assert(!Files.list(cat.tableDir("t", "m")).iterator().asScala.exists(
-      _.getFileName.toString.startsWith("_tmp_snap_")),
-      "the snapshot is dropped after the rebuild")
+    assert(ids == 136,
+      s"published generation must hold all 120 schedule-time rows + 16 backlog rows, got $ids")
+    val leftovers = Files.walk(cat.tableDir("t", "m")).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("_tmp_snap_") || n.startsWith("_retained_") ||
+        n.startsWith("_aside_"))
+      .toList
+    assert(leftovers.isEmpty,
+      s"pin storage must be released after the rebuild, found $leftovers")
   }
 
-  test("HNSW: the rebuild input is pinned — vanished live files cannot drop bystander nodes") {
+  test("HNSW: the rebuild input is pinned — full-bucket churn + vanished live files cannot drop bystander nodes") {
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_snap_hnsw").toString)
     cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW",
@@ -209,15 +238,18 @@ class AsyncRebuildSpec extends SparkSpec {
     try {
       cat.insert("t", "m", Seq(EmbeddedVector("n0", "new 0", "m", Map(), avec(50))))
       cat.insert("t", "m", Seq(EmbeddedVector("n1", "new 1", "m", Map(), avec(51))))
-      deleteParquetUnder(cat.tableDir("t", "m").resolve("data"))
+      val keys = allBucketKeys(cat, "z", 16)
+      cat.insert("t", "m", keys.zipWithIndex.map { case (k, i) =>
+        EmbeddedVector(k, s"zdoc $i", "m", Map(), avec(60 + i)) })
+      deleteLiveParquetUnder(cat.tableDir("t", "m").resolve("data"))
     } finally {
       gate.countDown()
       RebuildHooks.holdGate = None
     }
     cat.awaitRebuilds("t", "m")
     val nodes = cat.loadHnsw("t", "m").nodes.select("doc_id").distinct().count()
-    assert(nodes == 42,
-      s"published graph must hold all 42 schedule-time nodes, got $nodes")
+    assert(nodes == 58,
+      s"published graph must hold all 42 schedule-time nodes + 16 backlog nodes, got $nodes")
   }
 
   test("dropCollection drains an in-flight rebuild; the dropped dir stays gone") {

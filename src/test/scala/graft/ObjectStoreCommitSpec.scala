@@ -518,4 +518,71 @@ class ObjectStoreCommitSpec extends SparkSpec {
       }
     }
   }
+
+  /** r14 (verdict task 2): the rebuild's input pin must hold under
+    * object-store semantics too — the r13 hard-link snapshot bypassed the
+    * [[FsOps]] seam and would have byte-copied the whole table here. The
+    * manifest pin's retention (kept asides for retired bucket generations,
+    * `_retained_*` slots for folded pinned deltas) runs entirely through
+    * the seam: this scenario churns BOTH — delta-mode inserts fold pending
+    * (pinned) delta commits and rewrite (pinned) bucket dirs while the
+    * build is parked — and the published generation must still hold every
+    * schedule-time row plus the backlog.
+    */
+  test("rebuild pin under object-store semantics: bucket + delta-fold churn during the build") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    withFs(new ObjectStoreSimFs()) {
+      val cat = new VectorStoreCatalog(spark,
+        Files.createTempDirectory("oss_pin").toString)
+      cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
+        extraProps = Map("ivf_max_absorbs" -> "3", "ingest_mode" -> "delta",
+          "max_delta_files" -> "2")))
+      // seed in three delta commits — the auto-fold leaves bucket dirs AND
+      // a pending-delta mix behind, both of which the pin must list
+      for (g <- 0 until 3)
+        cat.insert("t", "m", (0 until 20).map(i =>
+          EmbeddedVector(s"a${g}_$i", s"adoc $g $i", "m", Map(),
+            vec(g * 20 + i))))
+      cat.persistIndex("t", "m")
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      graft.sources.RebuildHooks.holdGate = Some(gate)
+      try {
+        // three absorbs reach the threshold; the fourth schedules (pin
+        // taken under ITS commit scope, with its delta still pending)
+        for (g <- 0 until 4)
+          cat.insert("t", "m", (0 until 5).map(i =>
+            EmbeddedVector(s"b${g}_$i", s"bdoc $g $i", "m", Map(),
+              vec(500 + g * 5 + i))))
+        // churn while parked: two more delta commits push pending past
+        // max_delta_files — the fold rewrites pinned bucket dirs (retired
+        // to kept asides) and retires the pinned pending deltas
+        // c seeds 860..867 ≡ 84..91 (mod 97) — the vec lattice has period
+        // 97 in seed space, and residues 84..91 collide with no a/b seed,
+        // so the exact-match spot check below cannot tie across keys
+        for (g <- 0 until 2)
+          cat.insert("t", "m", (0 until 4).map(i =>
+            EmbeddedVector(s"c${g}_$i", s"cdoc $g $i", "m", Map(),
+              vec(860 + g * 4 + i))))
+      } finally {
+        gate.countDown()
+        graft.sources.RebuildHooks.holdGate = None
+      }
+      cat.awaitRebuilds("t", "m")
+      val ids = cat.loadIndex("t", "m").clustered
+        .select("doc_id").distinct().count()
+      assert(ids == 88,
+        s"published generation must hold 60 seed + 20 absorbed + 8 backlog rows, got $ids")
+      // pin storage fully released
+      import scala.jdk.CollectionConverters._
+      val leftovers = Files.walk(cat.tableDir("t", "m")).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("_tmp_snap_") || n.startsWith("_retained_"))
+        .toList
+      assert(leftovers.isEmpty, s"pin storage must be released, found $leftovers")
+      // and the merged view itself is exact
+      val hit = cat.search(SearchRequest("t", "m", vec(863), limit = 1))
+      assert(hit.success && hit.data.head.content == "cdoc 0 3")
+    }
+  }
 }
