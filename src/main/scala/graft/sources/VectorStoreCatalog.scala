@@ -913,9 +913,20 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         val asideDebris = n.startsWith("_aside_") &&
           !(VectorStoreCatalog.fs.isPublished(p) &&
             !VectorStoreCatalog.asideCanonical(p).exists(VectorStoreCatalog.fs.isPublished))
+        // a `gen_*` index generation is debris when the pointer references
+        // neither as current nor prev — a crashed phase-1 leftover or a
+        // grandparent whose flip-time delete crashed (in-flight builds are
+        // liveTmps-guarded above; a gen dir with NO pointer at all is a
+        // crashed first build)
+        val staleGen = n.startsWith("gen_") && Files.isDirectory(p) && {
+          val live: Set[String] = genState(p.getParent)
+            .map { case (c, pr) => Set(c) ++ pr }.getOrElse(Set.empty)
+          !live.contains(n)
+        }
         // `_retained_*`: a delta dir kept alive for a rebuild pin — debris
         // only once its pin is gone (live ones are liveTmps-guarded above)
         (n.contains("_tmp_") || asideDebris || n.startsWith("_retained_") ||
+          staleGen ||
           n.contains("._tmp") || n.contains("._cp") || n.contains("._pubtmp") ||
           n == "_temporary" || tornDelta) &&
           Files.getLastModifiedTime(p).toMillis <= cutoff
@@ -951,7 +962,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         case None => assigned
       }
     }
-    val target = indexDir(tenant, model).resolve("clustered")
+    val target = denseRoot(tenant, model).resolve("clustered")
     val tmp = target.resolveSibling("clustered_tmp_" + System.nanoTime())
     out.repartition(col("centroid_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(tmp.toString)
@@ -1142,12 +1153,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     require(v.getAs[Long]("bad_meta") == 0,
       s"${v.getAs[Long]("bad_meta")} rows exceed metadata_length ${maxMeta.getOrElse(-1)}")
     val n = v.getAs[Long]("n")
-    if (n == 0) return 0L
-
-    val keyed = deduped.select(col("key").as("flouds_vector_id"), col("chunk"),
-      lit(model).as("model"), col("vector"), col("metadata"), col("extra"))
-    commitKeyed(tenant, model, keyed, partition, n,
-      estBytes = Some(v.getAs[Long]("est_bytes")))
+    // no early `return` inside a withCommitScope body (see persistIndex)
+    if (n == 0) 0L
+    else {
+      val keyed = deduped.select(col("key").as("flouds_vector_id"), col("chunk"),
+        lit(model).as("model"), col("vector"), col("metadata"), col("extra"))
+      commitKeyed(tenant, model, keyed, partition, n,
+        estBytes = Some(v.getAs[Long]("est_bytes")))
+    }
   }
 
   /** The shared commit tail of [[insert]] / [[insertDf]]: bucket-restricted
@@ -1243,7 +1256,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val hnswPrepFut =
       if (haveHnsw && !hnswEmptyGraph)
         Some(scala.concurrent.Future(prepareHnswAbsorb(
-          hnswDir(tenant, model), tenant, model, batchVecs, knownDocIds))(
+          hnswRoot(tenant, model), tenant, model, batchVecs, knownDocIds))(
           scala.concurrent.ExecutionContext.global))
       else None
 
@@ -1379,7 +1392,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         .filter(col("centroid_id").isin(cells: _*))
         .join(bb(batchIds), Seq("doc_id"), "left_anti")
       val outIdx = kept.unionByName(toAppend.select(kept.columns.map(col).toSeq: _*))
-      val target = indexDir(tenant, model).resolve("clustered")
+      val target = denseRoot(tenant, model).resolve("clustered")
       val tmp = target.resolveSibling("clustered_tmp_" + System.nanoTime())
       outIdx.repartition(col("centroid_id"))
         .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(tmp.toString)
@@ -1512,24 +1525,27 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     vacuum(tenant, model)
     foldDeltas(tenant, model)
     val d = dataDir(tenant, model)
-    if (!Files.exists(d)) return
-    // fragmentation is judged PER (part, bucket) DIRECTORY — a bucket whose
-    // keys span many part= dirs legitimately has one file per dir, and
-    // summing across partitions would classify it fragmented forever (the
-    // compaction would then rewrite it on every auto-flush without ever
-    // converging). (Local listing; on a cluster this is the table-format's
-    // file statistics.)
-    val fragmented = (for {
-      partDir <- listDirs(d)
-      bDir <- listDirs(partDir)
-      name = bDir.getFileName.toString if name.startsWith("_bucket=")
-      n = VectorStoreCatalog.listChildren(bDir)
-        .count(_.getFileName.toString.endsWith(".parquet"))
-      if n > FlushMaxFilesPerBucket
-    } yield name.stripPrefix("_bucket=").toLong).distinct
-    if (fragmented.nonEmpty) {
-      val slice = loadRaw(tenant, model).filter(col("_bucket").isin(fragmented: _*))
-      replaceBuckets(tenant, model, slice, fragmented)
+    // no early `return` inside a withCommitScope body (see persistIndex)
+    if (Files.exists(d)) {
+      // fragmentation is judged PER (part, bucket) DIRECTORY — a bucket
+      // whose keys span many part= dirs legitimately has one file per dir,
+      // and summing across partitions would classify it fragmented forever
+      // (the compaction would then rewrite it on every auto-flush without
+      // ever converging). (Local listing; on a cluster this is the
+      // table-format's file statistics.)
+      val fragmented = (for {
+        partDir <- listDirs(d)
+        bDir <- listDirs(partDir)
+        name = bDir.getFileName.toString if name.startsWith("_bucket=")
+        n = VectorStoreCatalog.listChildren(bDir)
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        if n > FlushMaxFilesPerBucket
+      } yield name.stripPrefix("_bucket=").toLong).distinct
+      if (fragmented.nonEmpty) {
+        val slice = loadRaw(tenant, model)
+          .filter(col("_bucket").isin(fragmented: _*))
+        replaceBuckets(tenant, model, slice, fragmented)
+      }
     }
   }
 
@@ -1739,7 +1755,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
     val haveHnsw  = hnswExists(req.tenant, req.model)
     val haveIndex = !haveHnsw && indexExists(req.tenant, req.model)
-    lazy val idx = loadIndex(req.tenant, req.model)
+    // ONE generation resolution per request: every dense-index read below
+    // (centroids, clustered, quantizer params) derives from this root, so
+    // a publish flipping the pointer mid-request cannot mix generations
+    lazy val denseRootR = denseRoot(req.tenant, req.model)
+    lazy val idx = loadIndexAt(denseRootR, req.tenant, req.model)
     lazy val hnsw = loadHnsw(req.tenant, req.model)
 
     // Shared tail of every indexed path: per-query (qid, doc_id) winners →
@@ -1773,7 +1793,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     def denseSearch(): DataFrame =
       if (haveHnsw) pipelineOverWinners(hnswWinners(hnswSearchK(req)))
       else if (haveIndex)
-        pipelineOverWinners(indexedCandidates(req, idx, queries, partOpt, band)
+        pipelineOverWinners(indexedCandidates(req, idx, denseRootR, queries, partOpt, band)
           .select("qid", "doc_id"))
       else Knn.search(partCorpus, queries, params)
 
@@ -1802,7 +1822,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           Knn.scoredPairs(hnswWinners(hnswSearchK(req))
             .join(hnsw.nodes, "doc_id"), queries, req.metricType)
             .select("qid", "doc_id", "rawScore")
-        else if (haveIndex) indexedScored(req, idx, queries, partOpt)
+        else if (haveIndex) indexedScored(req, idx, denseRootR, queries, partOpt)
         else Knn.scored(partCorpus.select("doc_id", "dv"), queries, req.metricType)
       val fused = Hybrid.searchScored(denseScored, m,
         vectors.indices.map(_.toLong -> req.textFilter.get), params,
@@ -1830,7 +1850,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * scores ONLY its own cells' docs — batch results equal N independent
     * requests. Returns (qid, doc_id, rawScore) under the REQUEST metric.
     */
-  private def indexedScored(req: SearchRequest, idx: Ivf.Index,
+  private def indexedScored(req: SearchRequest, idx: Ivf.Index, droot: Path,
       queries: DataFrame, partDocIds: Option[DataFrame]): DataFrame = {
     val routed = Ivf.route(queries, idx.centroids, idx.metric, req.nprobe)
     val cells = routed.select("centroid_id").distinct().collect().map(_.getInt(0))
@@ -1839,9 +1859,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // dot LUT + constant norm LUT, Ivf.adcScores) instead of decoding a
     // dim-length vector per row and dotting it — same decoded semantics,
     // dim/mSub-fold less per-pair work on the serving hot path.
-    pqCodebooks(req.tenant, req.model) match {
+    pqCodebooksAt(droot) match {
       case Some(cbs) =>
-        val rawClustered = clusteredRaw(req.tenant, req.model)
+        val rawClustered = clusteredRawAt(droot)
           .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
           .select("centroid_id", "doc_id", "pqcodes")
         val pruned = partDocIds.fold(rawClustered)(p =>
@@ -1871,15 +1891,15 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * Package-private so plan specs can assert the pruned scan shape.
     */
   private[graft] def indexedCandidates(req: SearchRequest, idx: Ivf.Index,
-      queries: DataFrame, partDocIds: Option[DataFrame],
+      droot: Path, queries: DataFrame, partDocIds: Option[DataFrame],
       band: Option[(Double, Double)]): DataFrame = {
-    var scored = indexedScored(req, idx, queries, partDocIds)
+    var scored = indexedScored(req, idx, droot, queries, partDocIds)
     band.foreach { case (lo, hi) =>
       scored = scored.filter(col("rawScore") >= lo && col("rawScore") <= hi)
     }
     val fetchK = denseFetchK(req)
-    val quantized = sq8Params(req.tenant, req.model).isDefined ||
-      pqCodebooks(req.tenant, req.model).isDefined
+    val quantized = sq8ParamsAt(droot).isDefined ||
+      pqCodebooksAt(droot).isDefined
     val kIdx = if (quantized) fetchK * 4 + 32 else fetchK
     TopK.perKey(scored, "qid", "rawScore", "doc_id", kIdx,
       desc = Knn.higherIsBetter(req.metricType))
@@ -1938,8 +1958,71 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private def sparseDir(tenant: String, model: String): Path =
     indexDir(tenant, model).resolve("bm25")
 
+  // ---- generation pointer (reader-atomic index publish) ----
+  //
+  // A full dense/graph (re)build used to publish by PER-TABLE renames
+  // (clustered, then quantizer params, then centroids) — atomic each, but a
+  // lock-free reader racing the sequence could pair one generation's
+  // centroids with the other's clustered table for that one request (the
+  // r12/r13 "mixed-generation window"). Now every generation is built in
+  // its own directory (`gen_<n>/` under the index root), and the publish
+  // is ONE atomic pointer PUT (`_gen.json`, written via the tmp+rename
+  // writeJson — the single-object-PUT primitive both storage models
+  // share). Readers resolve the root once per request, so a request sees
+  // exactly one complete generation. Retention keeps the OUTGOING
+  // generation on disk until the NEXT publish (an in-flight reader that
+  // resolved the pointer microseconds before a flip finishes on intact
+  // files); the grandparent is deleted at flip time and vacuum sweeps any
+  // unreferenced `gen_*` (crashed phase-1 leftovers). This is Iceberg's
+  // snapshot-pointer commit, carried at index granularity.
+
+  private def genPointer(base: Path): Path = base.resolve("_gen.json")
+
+  /** (current, prev) generation names; None = legacy in-place layout. */
+  private def genState(base: Path): Option[(String, Option[String])] =
+    if (!Files.exists(genPointer(base))) None
+    else scala.util.Try {
+      val m = readJson(genPointer(base))
+      (m("current"), m.get("prev").filter(_.nonEmpty))
+    }.toOption
+
+  /** The CURRENT dense generation root — resolve ONCE per request/commit
+    * and derive every read from it.
+    */
+  private[graft] def denseRoot(tenant: String, model: String): Path = {
+    val b = indexDir(tenant, model)
+    genState(b).map { case (c, _) => b.resolve(c) }.getOrElse(b)
+  }
+
+  /** The CURRENT graph generation root (see [[denseRoot]]). */
+  private def hnswRoot(tenant: String, model: String): Path = {
+    val b = hnswDir(tenant, model)
+    genState(b).map { case (c, _) => b.resolve(c) }.getOrElse(b)
+  }
+
+  /** Flip the pointer to the staged generation `gen` (already complete
+    * under `base/gen_<n>`), retaining the outgoing generation for
+    * in-flight readers and deleting the grandparent — plus, on the FIRST
+    * flip of a legacy in-place layout, the legacy table dirs. Caller holds
+    * the commit scope.
+    */
+  private def flipGeneration(base: Path, gen: Path,
+      legacyDirs: Seq[String]): Unit = {
+    val newGen = gen.getFileName.toString
+    val old = genState(base)
+    CrashHooks.maybe("gen.beforeFlip")
+    writeJson(genPointer(base),
+      Map("current" -> newGen) ++ old.map { case (c, _) => "prev" -> c })
+    CrashHooks.maybe("gen.afterFlip")
+    old match {
+      case Some((_, Some(pp))) => deleteRec(base.resolve(pp))
+      case None => legacyDirs.foreach(n => deleteRec(base.resolve(n)))
+      case _ => ()
+    }
+  }
+
   def indexExists(tenant: String, model: String): Boolean =
-    Files.exists(indexDir(tenant, model).resolve("centroids"))
+    Files.exists(denseRoot(tenant, model).resolve("centroids"))
 
   def sparseIndexExists(tenant: String, model: String): Boolean =
     SparseIndex.exists(sparseDir(tenant, model).toString)
@@ -1948,8 +2031,15 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   def sparseDirOf(tenant: String, model: String): String =
     sparseDir(tenant, model).toString
 
-  /** Location of the persisted HNSW graph tables (for tooling/specs). */
+  /** Location of the persisted HNSW graph tables — the CURRENT generation
+    * root (for tooling/specs). Lifecycle markers (absorb counter, rebuild
+    * marker/backlog) live at [[hnswBaseDirOf]], pointer-independent.
+    */
   def hnswDirOf(tenant: String, model: String): String =
+    hnswRoot(tenant, model).toString
+
+  /** The generation-independent graph base dir (pointer + markers). */
+  def hnswBaseDirOf(tenant: String, model: String): String =
     hnswDir(tenant, model).toString
 
   /** Persist the IVF index tables (centroids + corpus clustered by
@@ -1969,14 +2059,15 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // persists the flat (empty) layout for them, and the next explicit
     // build after data arrives quantizes. HNSW builds fine empty (an empty
     // graph) and absorbs later inserts by rebuild-then-connect.
+    // NO early `return` here: a `return` inside withCommitScope's by-name
+    // body unwinds as NonLocalReturnControl THROUGH the scope's success
+    // path, skipping the commit-intent clear — every HNSW persistIndex
+    // left the marker armed and the next access paid a full (and silent)
+    // torn-commit heal, rebuilding the sparse index and the graph it had
+    // just built (latent in r12/r13; surfaced by the generation pointer).
     val declaredType = properties(tenant, model).getOrElse("index_type", "IVF_FLAT")
-    if (declaredType == "HNSW") {
-      persistHnsw(tenant, model)
-      rebuildSparseIndex(tenant, model)
-      spark.catalog.refreshByPath(d.toString)
-      return
-    }
-    retrainDense(tenant, model)
+    if (declaredType == "HNSW") persistHnsw(tenant, model)
+    else retrainDense(tenant, model)
     rebuildSparseIndex(tenant, model)
     spark.catalog.refreshByPath(d.toString)
   }
@@ -1994,9 +2085,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * centroid dependency and [[insert]] maintains it concurrently).
     */
   private def retrainDense(tenant: String, model: String): Unit = {
-    val tmp = indexDir(tenant, model).resolve("_tmp_retrain_" + System.nanoTime())
-    buildDenseTo(tenant, model, tmp, vecCorpus(tenant, model))
-    publishDense(tenant, model, tmp)
+    val tmp = indexDir(tenant, model).resolve("gen_" + System.nanoTime())
+    liveTmps.add(tmp.toString) // vacuum must not sweep an in-flight build
+    try {
+      buildDenseTo(tenant, model, tmp, vecCorpus(tenant, model))
+      publishDense(tenant, model, tmp)
+    } finally liveTmps.remove(tmp.toString)
   }
 
   /** Phase 1 of a dense (re)train: KMeans + quantize + write, all under a
@@ -2045,28 +2139,21 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       .parquet(tmp.resolve("centroids").toString)
   }
 
-  /** Phase 2: publish a staged dense generation — per-table atomic swapDir
-    * renames (clustered, then quantizer params, then centroids). The
-    * reader-visible window is the GAP BETWEEN RENAMES (microseconds): a
-    * lock-free probe racing the publish can pair one generation's centroids
-    * with the other's clustered/params, scoring that one request against a
-    * mixed generation — no crash (cell ids stay in [0, nlist)), the same
-    * transient class the lock-free bucket-swap contract documents; on a
-    * cluster the table format's transaction makes the publish atomic.
-    * Quantizer params of the outgoing generation are REMOVED when the new
-    * one has none (index_type change): stale params must not decode fresh
-    * raw vectors. Caller holds the commit scope.
+  /** Phase 2: publish a staged dense generation — ONE atomic pointer PUT
+    * ([[flipGeneration]]): the staged dir (already complete at its final
+    * `gen_<n>` name — no rename, no copy, on either storage model) becomes
+    * current for every subsequent reader. No mixed-generation window: a
+    * request resolves the root once and reads centroids/clustered/params
+    * from the same generation. An index_type change is free — each
+    * generation carries its own quantizer params or none. Crash windows:
+    * before the PUT the staged dir is unreferenced (vacuum sweeps stale
+    * `gen_*`); after it, leftover cleanup is idempotent — no intent marker
+    * needed. Caller holds the commit scope.
     */
   private def publishDense(tenant: String, model: String, tmp: Path): Unit = {
     val d = indexDir(tenant, model)
     Files.createDirectories(d)
-    armIntent(tenant, model)
-    swapDir(tmp.resolve("clustered"), d.resolve("clustered"))
-    for (q <- Seq("sq8", "pq"))
-      if (Files.exists(tmp.resolve(q))) swapDir(tmp.resolve(q), d.resolve(q))
-      else if (Files.exists(d.resolve(q))) deleteRec(d.resolve(q))
-    swapDir(tmp.resolve("centroids"), d.resolve("centroids"))
-    deleteRec(tmp)
+    flipGeneration(d, tmp, legacyDirs = Seq("clustered", "sq8", "pq", "centroids"))
     writeIvfAbsorbCount(tenant, model, 0)
     spark.catalog.refreshByPath(d.toString)
   }
@@ -2117,7 +2204,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       epoch: Option[String]): Unit = {
     RebuildHooks.maybeHold()
     val d = indexDir(tenant, model)
-    val tmp = d.resolve("_tmp_retrain_" + System.nanoTime())
+    val tmp = d.resolve("gen_" + System.nanoTime())
     liveTmps.add(tmp.toString)
     try {
       // phase 1, NO lock: build from the schedule-time pin (anything that
@@ -2152,9 +2239,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       case scala.util.control.NonFatal(e) =>
         // the LIVE index is complete and exact (incremental absorbs
         // continued throughout) — discard the staged state and let the
-        // absorb counter re-trigger a fresh attempt
+        // absorb counter re-trigger a fresh attempt. Guard: a failure
+        // BETWEEN the pointer flip and the end of its cleanup must not
+        // delete the staged dir — it is the CURRENT generation then.
         lockFor(tenant, model).synchronized {
-          if (Files.exists(tmp)) deleteRec(tmp)
+          val cur = genState(indexDir(tenant, model)).map(_._1)
+          if (Files.exists(tmp) && !cur.contains(tmp.getFileName.toString))
+            deleteRec(tmp)
           if (Files.exists(denseBacklogDir(tenant, model)))
             deleteRec(denseBacklogDir(tenant, model))
           Files.deleteIfExists(denseInflightMarker(tenant, model))
@@ -2227,7 +2318,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     indexDir(tenant, model).resolve("hnsw")
 
   def hnswExists(tenant: String, model: String): Boolean =
-    Files.exists(hnswDir(tenant, model).resolve("entries"))
+    Files.exists(hnswRoot(tenant, model).resolve("entries"))
 
   /** Build + persist the graph tables ([[Hnsw.build]]) for the corpus. */
   /** The graph tables are BUCKETED like the data table — nodes by
@@ -2239,9 +2330,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * half-written generation.
     */
   private def persistHnsw(tenant: String, model: String): Unit = {
-    val tmp = hnswDir(tenant, model).resolve("_tmp_rebuild_" + System.nanoTime())
-    buildHnswTo(tenant, model, tmp, vecCorpus(tenant, model))
-    publishHnsw(tenant, model, tmp)
+    val tmp = hnswDir(tenant, model).resolve("gen_" + System.nanoTime())
+    liveTmps.add(tmp.toString)
+    try {
+      buildHnswTo(tenant, model, tmp, vecCorpus(tenant, model))
+      publishHnsw(tenant, model, tmp)
+    } finally liveTmps.remove(tmp.toString)
   }
 
   /** Phase 1 of a graph (re)build: [[Hnsw.build]] over `corpus` (the live
@@ -2272,40 +2366,35 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     g.entries.write.mode(SaveMode.Overwrite).parquet(tmp.resolve("entries").toString)
   }
 
-  /** Phase 2: publish a staged graph generation — per-table renames (nodes,
-    * edges, entries). The reader-visible window is the gap between renames:
-    * a racing beam search can pair one generation's entries with the
-    * other's nodes/edges for that one request — joins drop unmatched ids
-    * (no crash; keys are never deleted, so seeds stay valid), a transient
-    * recall dip of the same class as the bucket-swap contract. Caller holds
-    * the commit scope. A full build clears all edge debt (stale reverse
-    * links included), so the absorb counter resets.
+  /** Phase 2: publish a staged graph generation — ONE atomic pointer PUT
+    * ([[flipGeneration]]), same contract as [[publishDense]]: a racing beam
+    * search resolves the root once and walks exactly one complete
+    * generation's nodes/edges/entries. A full build clears all edge debt
+    * (stale reverse links included), so the absorb counter resets. Caller
+    * holds the commit scope.
     */
   private def publishHnsw(tenant: String, model: String, tmp: Path): Unit = {
     val d = hnswDir(tenant, model)
     Files.createDirectories(d)
-    armIntent(tenant, model)
-    swapDir(tmp.resolve("nodes"), d.resolve("nodes"))
-    swapDir(tmp.resolve("edges"), d.resolve("edges"))
-    swapDir(tmp.resolve("entries"), d.resolve("entries"))
-    deleteRec(tmp)
+    // emptiness marker, generation-scoped, written BEFORE the flip: every
+    // INSERT used to pay an entries-scan job just to ask "is the graph
+    // empty?" — answer it once per publish (absorbs can't change
+    // emptiness: they require a non-empty graph). Advisory like the absorb
+    // counter; a missing/corrupt marker falls back to the scan.
+    writeJson(tmp.resolve("_graph_meta.json"), Map("empty" ->
+      pread.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+        .parquet(tmp.resolve("entries").toString).isEmpty.toString))
+    flipGeneration(d, tmp, legacyDirs = Seq("nodes", "edges", "entries"))
     spark.catalog.refreshByPath(d.toString)
     writeHnswAbsorbCount(tenant, model, 0)
-    // emptiness marker: every INSERT used to pay an entries-scan job just to
-    // ask "is the graph empty?" — answer it once per publish (absorbs can't
-    // change emptiness: they require a non-empty graph). Advisory like the
-    // absorb counter; a missing/corrupt marker falls back to the scan.
-    writeJson(d.resolve("_graph_meta.json"), Map("empty" ->
-      pread.schema("doc_id LONG, dv ARRAY<DOUBLE>")
-        .parquet(d.resolve("entries").toString).isEmpty.toString))
   }
 
-  /** Whether the persisted graph is empty — the marker when present (one
-    * local read), else the entries scan once, back-filling the marker
-    * (caller holds the commit scope on every path that reaches this).
+  /** Whether the persisted graph is empty — the generation's marker when
+    * present (one local read), else the entries scan once, back-filling the
+    * marker (caller holds the commit scope on every path that reaches this).
     */
   private def hnswGraphEmpty(tenant: String, model: String): Boolean = {
-    val p = hnswDir(tenant, model).resolve("_graph_meta.json")
+    val p = hnswRoot(tenant, model).resolve("_graph_meta.json")
     val stored =
       if (Files.exists(p))
         scala.util.Try(readJson(p)("empty").toBoolean).toOption
@@ -2337,7 +2426,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       epoch: Option[String]): Unit = {
     RebuildHooks.maybeHold()
     val d = hnswDir(tenant, model)
-    val tmp = d.resolve("_tmp_rebuild_" + System.nanoTime())
+    val tmp = d.resolve("gen_" + System.nanoTime())
     liveTmps.add(tmp.toString)
     try {
       // phase 1, NO lock: build from the schedule-time pin (retire races
@@ -2371,7 +2460,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     } catch {
       case scala.util.control.NonFatal(e) =>
         lockFor(tenant, model).synchronized {
-          if (Files.exists(tmp)) deleteRec(tmp)
+          // same flip-window guard as runDenseRetrain
+          val cur = genState(hnswDir(tenant, model)).map(_._1)
+          if (Files.exists(tmp) && !cur.contains(tmp.getFileName.toString))
+            deleteRec(tmp)
           if (Files.exists(hnswBacklogDir(tenant, model)))
             deleteRec(hnswBacklogDir(tenant, model))
           Files.deleteIfExists(hnswInflightMarker(tenant, model))
@@ -2379,14 +2471,6 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         throw e
     } finally { liveTmps.remove(tmp.toString); dropSnapshot(snap) }
   }
-
-  private def hnswNodesRaw(tenant: String, model: String): DataFrame =
-    pread.schema("doc_id LONG, dv ARRAY<DOUBLE>, _bucket LONG")
-      .parquet(hnswDir(tenant, model).resolve("nodes").toString)
-
-  private def hnswEdgesRaw(tenant: String, model: String): DataFrame =
-    pread.schema("src LONG, dst LONG, _bucket LONG")
-      .parquet(hnswDir(tenant, model).resolve("edges").toString)
 
   /** One-time migration for graphs persisted before the bucketed layout:
     * a flat table read with the bucketed schema yields NULL `_bucket`, so
@@ -2400,7 +2484,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * rows/edges are deduped, and the whole table dir is swapped bucketed.
     */
   private def migrateHnswLayout(tenant: String, model: String): Unit = {
-    val d = hnswDir(tenant, model)
+    val d = hnswRoot(tenant, model)
     val nB = nBuckets(tenant, model).toLong
     def parquetFilesUnder(table: Path): Seq[String] = {
       val s = Files.walk(table)
@@ -2433,10 +2517,15 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   }
 
   def loadHnsw(tenant: String, model: String): Hnsw.Graph = {
-    val d = hnswDir(tenant, model)
+    // resolve the generation root ONCE: nodes/edges/entries of one request
+    // must come from the same generation (the pointer publish is atomic,
+    // but three separate resolutions could straddle a flip)
+    val d = hnswRoot(tenant, model)
     Hnsw.Graph(
-      hnswNodesRaw(tenant, model).drop("_bucket"),
-      hnswEdgesRaw(tenant, model).drop("_bucket"),
+      pread.schema("doc_id LONG, dv ARRAY<DOUBLE>, _bucket LONG")
+        .parquet(d.resolve("nodes").toString).drop("_bucket"),
+      pread.schema("src LONG, dst LONG, _bucket LONG")
+        .parquet(d.resolve("edges").toString).drop("_bucket"),
       pread.schema("doc_id LONG, dv ARRAY<DOUBLE>")
         .parquet(d.resolve("entries").toString),
       properties(tenant, model)("metric_type"))
@@ -2706,7 +2795,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
   /** SQ8 per-dim params when the persisted index is IVF_SQ8. */
   private def sq8Params(tenant: String, model: String): Option[(Seq[Double], Seq[Double])] =
-    sq8ParamsAt(indexDir(tenant, model))
+    sq8ParamsAt(denseRoot(tenant, model))
 
   /** SQ8 params of any index root (live dir, or a staged tmp generation). */
   private def sq8ParamsAt(d: Path): Option[(Seq[Double], Seq[Double])] = {
@@ -2721,7 +2810,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
   /** PQ codebooks when the persisted index is IVF_PQ. */
   private def pqCodebooks(tenant: String, model: String): Option[Seq[Seq[Seq[Double]]]] =
-    pqCodebooksAt(indexDir(tenant, model))
+    pqCodebooksAt(denseRoot(tenant, model))
 
   private def pqCodebooksAt(d: Path): Option[Seq[Seq[Seq[Double]]]] = {
     val p = d.resolve("pq")
@@ -2738,8 +2827,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   /** The clustered table in its STORED shape (raw codes for SQ8/PQ, raw
     * vectors for flat) — what insert's cell rewrite reads and writes back.
     */
-  private def clusteredRaw(tenant: String, model: String): DataFrame = {
-    val d = indexDir(tenant, model)
+  private def clusteredRaw(tenant: String, model: String): DataFrame =
+    clusteredRawAt(denseRoot(tenant, model))
+
+  private def clusteredRawAt(d: Path): DataFrame = {
     val payload =
       if (Files.exists(d.resolve("sq8"))) "codes ARRAY<INT>"
       else if (Files.exists(d.resolve("pq"))) "pqcodes ARRAY<INT>"
@@ -2753,8 +2844,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * semi-join, insert absorption) sees the same (centroid_id, doc_id, dv)
     * shape regardless of index_type.
     */
-  def loadIndex(tenant: String, model: String): Ivf.Index = {
-    val d = indexDir(tenant, model)
+  def loadIndex(tenant: String, model: String): Ivf.Index =
+    loadIndexAt(denseRoot(tenant, model), tenant, model)
+
+  /** [[loadIndex]] against an explicit generation root — resolve the root
+    * ONCE per request and feed every read from it (centroids, clustered,
+    * quantizer params must all come from the same generation).
+    */
+  private def loadIndexAt(d: Path, tenant: String, model: String): Ivf.Index = {
     // explicit schema like the clustered read below — schema INFERENCE
     // reads parquet footers at plan time, a path `ignoreMissingFiles` does
     // NOT cover, so a reader racing a publish's centroids swap crashed on
@@ -2771,11 +2868,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     def clustered(payload: String) = pread
       .schema(s"doc_id LONG, $payload, centroid_id INT")
       .parquet(d.resolve("clustered").toString)
-    sq8Params(tenant, model) match {
+    sq8ParamsAt(d) match {
       case Some((mins, scales)) =>
         Ivf.decodeSq8(Ivf.Sq8(centroids, clustered("codes ARRAY<INT>"),
           mins, scales, metric))
-      case None => pqCodebooks(tenant, model) match {
+      case None => pqCodebooksAt(d) match {
         case Some(cbs) =>
           Ivf.decodePq(Ivf.Pq(centroids, clustered("pqcodes ARRAY<INT>"), cbs, metric))
         case None =>

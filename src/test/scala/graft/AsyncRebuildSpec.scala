@@ -132,7 +132,7 @@ class AsyncRebuildSpec extends SparkSpec {
     assert(fresh.success && fresh.data.head.content == "new 2")
     val repl = cat.search(SearchRequest("t", "m", vec(60), limit = 3))
     assert(repl.success && repl.data.head.content == "chunk 7 v2")
-    val d = Paths.get(cat.hnswDirOf("t", "m"))
+    val d = Paths.get(cat.hnswBaseDirOf("t", "m"))
     assert(!Files.exists(d.resolve("_rebuild_inflight.json")))
     assert(!Files.exists(d.resolve("_rebuild_backlog")))
     // one replayed batch of residual debt
@@ -390,15 +390,22 @@ class AsyncRebuildSpec extends SparkSpec {
       while (!stop)
         try {
           val r = cat.search(SearchRequest("t", "m", avec(3), limit = 1))
-          // during a publish the reader may score against a mixed
-          // generation or catch a rename window — the documented
-          // transients are mixed scores and UNDERCOUNTS (including to
-          // zero, surfaced as the reference's "No vectors found"
-          // response). It must return a well-formed response, never
-          // throw, and never fail with any OTHER message.
+          // r14 (generation pointer): an index publish is ONE atomic
+          // pointer PUT and a request resolves the root once, so a reader
+          // racing the publish sees exactly one COMPLETE generation — and
+          // both generations are exact for key a3, so every successful
+          // response must return the true nearest hit ("adoc 3"), never a
+          // mixed-generation score. (Pre-pointer this spec only asserted
+          // "never crashes".) The DATA table's lock-free bucket-swap
+          // windows can still surface a transient undercount as the
+          // reference's "No vectors found" response.
           assert(r.success ||
             r.message == "No vectors found for the given query.", r.message)
-          if (r.success) served += 1
+          if (r.success) {
+            assert(r.data.head.content == "adoc 3",
+              s"mixed-generation read: got '${r.data.head.content}'")
+            served += 1
+          }
         } catch { case t: Throwable => failures.add(t); stop = true }
     }, "racing-searcher")
     reader.start()

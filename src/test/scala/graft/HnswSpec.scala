@@ -361,7 +361,7 @@ class HnswSpec extends SparkSpec {
       EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
     cat.persistIndex("t", "m")
     def counter(): Int = {
-      val p = java.nio.file.Paths.get(cat.hnswDirOf("t", "m"), "_absorbs.json")
+      val p = java.nio.file.Paths.get(cat.hnswBaseDirOf("t", "m"), "_absorbs.json")
       if (!Files.exists(p)) 0
       else """"count"\s*:\s*"(\d+)"""".r.findFirstMatchIn(Files.readString(p))
         .map(_.group(1).toInt).getOrElse(0)

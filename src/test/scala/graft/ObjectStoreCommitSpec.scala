@@ -585,4 +585,50 @@ class ObjectStoreCommitSpec extends SparkSpec {
       assert(hit.success && hit.data.head.content == "cdoc 0 3")
     }
   }
+
+  /** r14 (verdict task 3): an index publish is ONE atomic pointer PUT —
+    * there are no longer per-table renames to crash between. The remaining
+    * windows are around the flip itself: crash BEFORE it leaves the old
+    * generation current and the staged one as vacuum-sweepable `gen_*`
+    * debris; crash AFTER it (mid-cleanup) leaves the NEW generation
+    * current with old generations as debris. Both under copy-then-delete
+    * object-store semantics, both must keep readers exact and converge on
+    * the next explicit build.
+    */
+  test("generation publish: crash before/after the pointer flip leaves readers on one complete generation") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    withFs(new ObjectStoreSimFs()) {
+      val cat = new VectorStoreCatalog(spark,
+        Files.createTempDirectory("oss_genflip").toString)
+      cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4))
+      cat.insert("t", "m", (0 until 50).map(i =>
+        EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), vec(i))))
+      cat.persistIndex("t", "m") // legacy -> gen flip (clean)
+      def served(): Unit = {
+        val r = cat.search(SearchRequest("t", "m", vec(7), limit = 1))
+        assert(r.success && r.data.head.content == "adoc 7", s"got $r")
+      }
+      served()
+      for (point <- Seq("gen.beforeFlip", "gen.afterFlip")) {
+        CrashHooks.arm(point)
+        try intercept[CrashHooks.InjectedCrash] { cat.persistIndex("t", "m") }
+        finally CrashHooks.disarm()
+        // whichever side of the flip crashed, reads resolve ONE complete
+        // generation and stay exact
+        served()
+        // convergence: the next build publishes cleanly and vacuum clears
+        // every unreferenced generation
+        cat.persistIndex("t", "m")
+        served()
+        cat.vacuum("t", "m")
+        import scala.jdk.CollectionConverters._
+        val base = cat.tableDir("t", "m").resolve("index")
+        val gens = Files.list(base).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("gen_")).toList
+        assert(gens.size <= 2,
+          s"$point: vacuum must clear unreferenced generations, found $gens")
+      }
+    }
+  }
 }

@@ -119,7 +119,8 @@ class PlanShapeSpec extends SparkSpec {
     // candidate generation scans ONLY the probed cells of the INDEX table
     import spark.implicits._
     val queries = Seq((0L, vec(5))).toDF("qid", "qv")
-    val cand = cat.indexedCandidates(req, cat.loadIndex("t", "m"), queries, None, None)
+    val cand = cat.indexedCandidates(req, cat.loadIndex("t", "m"),
+      cat.denseRoot("t", "m"), queries, None, None)
     val pc = plan(cand)
     val cpf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(pc).map(_.group(1))
     assert(cpf.exists(_.contains("centroid_id")),

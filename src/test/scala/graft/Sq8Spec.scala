@@ -89,10 +89,11 @@ class Sq8Spec extends SparkSpec {
       EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
     cat.persistIndex("t", "m")
 
-    val tableDir = base.resolve(cat.dbName("t")).resolve(cat.tableName("t", "m"))
-    val stored = spark.read.parquet(tableDir.resolve("index/clustered").toString)
+    // index tables live under the CURRENT generation root (r14 pointer)
+    val idxRoot = cat.denseRoot("t", "m")
+    val stored = spark.read.parquet(idxRoot.resolve("clustered").toString)
     assert(stored.columns.contains("pqcodes") && !stored.columns.contains("dv"))
-    assert(java.nio.file.Files.exists(tableDir.resolve("index/pq")))
+    assert(java.nio.file.Files.exists(idxRoot.resolve("pq")))
 
     // search routes through the decoded PQ index; full probe still finds all
     val hit = cat.search(SearchRequest("t", "m", vec(17), limit = 5, nprobe = 4))
@@ -117,9 +118,10 @@ class Sq8Spec extends SparkSpec {
     cat.persistIndex("t", "m")
     assert(cat.properties("t", "m")("index_type") == "IVF_SQ8")
 
-    // the stored clustered table holds codes, not raw vectors
-    val tableDir = base.resolve(cat.dbName("t")).resolve(cat.tableName("t", "m"))
-    val stored = spark.read.parquet(tableDir.resolve("index/clustered").toString)
+    // the stored clustered table (under the current generation root) holds
+    // codes, not raw vectors
+    val stored = spark.read.parquet(
+      cat.denseRoot("t", "m").resolve("clustered").toString)
     assert(stored.columns.contains("codes") && !stored.columns.contains("dv"))
 
     // search routes through the decoded index and still self-matches
