@@ -24,6 +24,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC") // NTZ ts read as UTC instants
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // FAIR + classpath fairscheduler.xml: background index rebuilds run
+      // in the low-weight graftRebuild pool so serving keeps ~4/5 of slots
+      .config("spark.scheduler.mode", "FAIR")
       // the cleaner only drops dead checkpoint/broadcast/shuffle blocks
       // after a DRIVER GC proves the refs dead; with a large heap that GC
       // can be minutes away while the block manager fills with zombies —
@@ -472,7 +475,9 @@ object Bench {
         val corpus  = docsCorpus.select(col("doc_id"), col("qv"))
         val queries = docsCorpus.filter(col("doc_id") < 64)
           .select(col("doc_id").as("qid"), col("qv"))
-        AnnLsh.search(corpus, queries, k = 10)
+        // footer-metadata corpus count — no count() job on the serving path
+        AnnLsh.search(corpus, queries, k = 10,
+          corpusCount = Some(Tables.parquetRowCount(spark, s"$sfDir/embeddings.parquet")))
       }),
       "b10_ann_embed" -> (() => {
         val corpus  = docsCorpus.select(col("doc_id"), col("qv").as("dv"))

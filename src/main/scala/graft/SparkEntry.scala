@@ -563,9 +563,13 @@ object SparkEntry {
     // ---- LSH-bucketed ANN over embeddings (deterministic hyperplanes) ----
     "q_ann_lsh" -> ((s, dir) => {
       val c = Tables.docsCorpus(s, dir)
+      // corpusCount from parquet footer metadata (docsCorpus is 1:1 with
+      // embeddings — the same COUNT(*) the oracle's plane-scaling uses), so
+      // serving pays no count() job before the search itself
       AnnLsh.search(c.select(col("doc_id"), col("qv")),
         c.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("qv")),
-        k = 10)
+        k = 10,
+        corpusCount = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
     }),
 
     // ---- events: tumbling-window agg + JSON props ----

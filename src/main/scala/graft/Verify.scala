@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same scheduler shape as Bench: rebuilds yield to foreground jobs
+      .config("spark.scheduler.mode", "FAIR")
       // 54 sequential queries build catalog fixtures that localCheckpoint;
       // without periodic driver GC their dead blocks accumulate across the
       // whole run (see Bench/SCALE.md "long-lived driver hygiene")

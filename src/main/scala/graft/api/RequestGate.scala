@@ -1,5 +1,20 @@
 package graft.api
 
+/** Back-pressure answer from the catalog's backlog pressure gate when the
+  * collection runs `backlog_pressure_mode = reject`: a pending index
+  * rebuild's backlog hit the absorb threshold, and the collection prefers
+  * the caller retry (the 429/retry_after shape, like [[RequestGate]]'s
+  * denials) over a silent multi-minute await inside insert. The live
+  * index is exact throughout — retry after [[retryAfterSec]] (a heuristic
+  * floor: rebuilds are multi-second Spark job chains, never instant).
+  */
+final class BacklogPressureException(
+    val tenant: String, val model: String, val family: String,
+    val retryAfterSec: Int = 5)
+  extends RuntimeException(
+    s"index rebuild backlog at threshold for $tenant/$model ($family): " +
+    s"insert deferred, retry in ~${retryAfterSec}s or await the rebuild")
+
 /** Service-shell parity: request rate limiting + failed-auth offender
   * lockout — the two reference middlewares every request passes through
   * (`/root/reference/app/middleware/rate_limit.py:23-88`,

@@ -108,4 +108,31 @@ object Tables {
     */
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1000, 0))
+
+  /** Exact row count of a parquet table from its FOOTER metadata — a
+    * driver-side O(#files) metadata read, zero Spark jobs. This is the
+    * "table stats" source the serving paths use to size knobs that need a
+    * corpus cardinality (e.g. [[graft.operators.AnnLsh.autoPlanes]]): a
+    * `df.count()` there costs a full scheduled job per request, while the
+    * footers carry the identical number for free. Accepts a single file or
+    * a directory of part files (skips `_`/`.` sidecars, recurses into
+    * partition dirs). At cluster scale the same number comes from the table
+    * format's snapshot manifest — this helper is the file-layout analogue.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def rows(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) 0L
+      else if (st.isDirectory) fs.listStatus(st.getPath).map(rows).sum
+      else {
+        val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try in.getRecordCount finally in.close()
+      }
+    }
+    rows(fs.getFileStatus(root))
+  }
 }

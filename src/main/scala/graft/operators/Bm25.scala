@@ -202,12 +202,23 @@ object Bm25 {
     * (qid BIGINT, text STRING) — query analysis runs distributed, so a
     * million-query batch never passes through the driver. Semantics are
     * identical (same tokenizer, set semantics per query).
+    *
+    * `knownTerms`: when the caller DOES know the query vocabulary on the
+    * driver (the facade's request path — one `text_filter` string shared by
+    * every query in the batch), passing it keeps the stored-dictionary
+    * partition prune (reads ≤ |terms| hash-bucket dirs instead of joining
+    * the full vocabulary) while the per-qid term pairs still ride the plan.
+    * It is a pruning HINT only — scoring still keys on the qTerms frame —
+    * but must cover every query term, or missing terms lose their postings
+    * to the pruned dictionary join; leave it None when the texts are data.
     */
   def searchTopKDf(m: Model, queries: DataFrame, k: Int,
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None,
+      knownTerms: Option[Seq[String]] = None): DataFrame = {
     val qTerms = queries.select(col("qid"),
       explode(array_distinct(Text.tokens(col("text")))).as("term"))
-    TopK.perKey(scoredCandidates(m, qTerms, candidates), "qid", "score", "doc_id", k)
+    TopK.perKey(scoredCandidates(m, qTerms, candidates, driverTerms = knownTerms),
+      "qid", "score", "doc_id", k)
       .select("qid", "rank", "doc_id", "score")
   }
 

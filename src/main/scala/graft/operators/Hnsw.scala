@@ -264,9 +264,16 @@ object Hnsw {
               seed + i))
         }), scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()
+    // entries carry their shard id so serving can ROUTE a query to its
+    // nearest shards ([[search]]'s routeShards) instead of seeding all S —
+    // at hundreds of shards all-shard seeding grows the per-query beam
+    // linearly in S. Absent (the unsharded build, pre-existing persisted
+    // graphs) the column reads as null and routing degrades to all-seed.
     Graph(corpus,
       shards.map(_.edges).reduce(_.unionByName(_)),
-      shards.map(_.entries).reduce(_.unionByName(_)),
+      shards.zipWithIndex.map { case (sg, i) =>
+        sg.entries.withColumn("shard", lit(i.toLong))
+      }.reduce(_.unionByName(_)),
       metric)
   }
 
@@ -353,11 +360,22 @@ object Hnsw {
     * Early stop stays the serving default, where beams often converge
     * before maxHops and the probe saves whole hop jobs.
     */
+  /** `routeShards = R` (sharded graphs only): seed each query's beam from
+    * the entries of its R nearest SHARDS (shard distance = its best entry-
+    * medoid score for that query) instead of every shard's entries — the
+    * scale path for S in the hundreds, where all-shard seeding grows each
+    * query's beam linearly in S. The default (Int.MaxValue) and any R ≥ S
+    * are EXACTLY the all-shard walk (q_hnsw_sharded stays bit-exact);
+    * smaller R trades recall for a beam bounded by R·nlist seeds
+    * (HnswSpec pins the recall floor vs all-shard seeding). Entries
+    * without a shard id (unsharded graphs, pre-routing persisted graphs)
+    * always seed.
+    */
   def search(g: Graph, queries: DataFrame, k: Int, ef: Int = 64,
       maxHops: Int = 8, allowed: Option[DataFrame] = None,
-      earlyStop: Boolean = true): DataFrame =
+      earlyStop: Boolean = true, routeShards: Int = Int.MaxValue): DataFrame =
     searchImpl(g, queries, k, ef, maxHops, allowed, broadcastQueries = true,
-      earlyStop = earlyStop)
+      earlyStop = earlyStop, routeShards = routeShards)
 
   /** Bulk graph search: identical algorithm and results to [[search]]
     * (BulkHnswSpec: row-identical at full and partial beam), but the query
@@ -369,9 +387,10 @@ object Hnsw {
     * not re-scanned every hop.
     */
   def searchBulk(g: Graph, queries: DataFrame, k: Int, ef: Int = 64,
-      maxHops: Int = 8, allowed: Option[DataFrame] = None): DataFrame =
+      maxHops: Int = 8, allowed: Option[DataFrame] = None,
+      routeShards: Int = Int.MaxValue): DataFrame =
     searchImpl(g, queries, k, ef, maxHops, allowed, broadcastQueries = false,
-      earlyStop = true)
+      earlyStop = true, routeShards = routeShards)
 
   /** The hop loop keeps ONE combined state table per hop —
     * (qid, doc_id, s, af, best, fr), one row per (qid, doc_id) the walk has
@@ -399,7 +418,8 @@ object Hnsw {
     */
   private def searchImpl(g: Graph, queries: DataFrame, k: Int, ef: Int,
       maxHops: Int, allowed: Option[DataFrame],
-      broadcastQueries: Boolean, earlyStop: Boolean): DataFrame = {
+      broadcastQueries: Boolean, earlyStop: Boolean,
+      routeShards: Int = Int.MaxValue): DataFrame = {
     val desc = Knn.higherIsBetter(g.metric)
     val qPrep0 = queries.select(col("qid"), col("qv"),
       VecExprs.norm2(col("qv")).as("nq2"))
@@ -433,8 +453,37 @@ object Hnsw {
 
     // Seed: the entry medoids, plus (when filtering) a deterministic slice
     // of the allowed nodes to anchor the beam near the allowed region.
-    val entrySeed = queries.select("qid")
+    val entrySeedAll = queries.select("qid")
       .crossJoin(g.entries.select(col("doc_id"), col("dv")))
+    // Shard routing: per qid, rank shards by their best entry score and
+    // keep ONLY the top-R shards' entries as seeds. The router's cost is
+    // one scoring pass over the (qid × entries) pairs — the pairs the seed
+    // scores anyway — plus a tiny per-(qid, shard) aggregate; entries are
+    // ≤ S·nlist rows and broadcast. Shard-less entries (null shard) always
+    // seed: they are structural, not routable. R ≥ S filters nothing, so
+    // the default path is untouched (and skipped entirely for speed).
+    val entrySeed =
+      if (routeShards == Int.MaxValue || !g.entries.columns.contains("shard"))
+        entrySeedAll
+      else {
+        val shardOf = broadcast(g.entries.select(col("doc_id"), col("shard")))
+        val tagged = entrySeedAll.join(shardOf, "doc_id")
+        val bestAgg = if (desc) max(col("s")) else min(col("s"))
+        val wShard = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy((if (desc) col("bs").desc else col("bs").asc) ::
+            col("shard").asc :: Nil: _*)
+        val keepShards = score(entrySeedAll).join(shardOf, "doc_id")
+          .filter(col("shard").isNotNull)
+          .groupBy("qid", "shard").agg(bestAgg.as("bs"))
+          .withColumn("_srn", row_number().over(wShard))
+          .filter(col("_srn") <= routeShards)
+          .select("qid", "shard")
+        tagged.filter(col("shard").isNull)
+          .select("qid", "doc_id", "dv")
+          .unionByName(tagged
+            .join(keepShards, Seq("qid", "shard"), "left_semi")
+            .select("qid", "doc_id", "dv"))
+      }
     val seedCand = allowedIds.fold(entrySeed) { a =>
       entrySeed.unionByName(queries.select("qid").crossJoin(
         g.nodes.join(a, Seq("doc_id"), "left_semi").orderBy("doc_id").limit(ef)))

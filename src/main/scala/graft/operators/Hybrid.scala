@@ -56,6 +56,22 @@ object Hybrid {
     fuse(denseScored,
       Bm25.searchTopK(bm25, queryTexts, math.min(p.limit, 50), sparseCandidates), p)
 
+  /** [[searchScored]] with the query TEXTS as a DataFrame (qid, text) — the
+    * end-to-end Df-native form the facade's batch path uses: the sparse
+    * leg's query side stays in the plan ([[Bm25.searchTopKDf]], distributed
+    * tokenization) instead of routing per-qid pairs through a driver Seq.
+    * `knownTerms` forwards the facade's driver-known request vocabulary so
+    * the stored-dictionary partition prune survives the Df form (see
+    * [[Bm25.searchTopKDf]]).
+    */
+  def searchScoredDf(denseScored: DataFrame, bm25: Bm25.Model,
+      queryTexts: DataFrame, p: SearchParams,
+      sparseCandidates: Option[DataFrame] = None,
+      knownTerms: Option[Seq[String]] = None): DataFrame =
+    fuse(denseScored,
+      Bm25.searchTopKDf(bm25, queryTexts, math.min(p.limit, 50),
+        sparseCandidates, knownTerms), p)
+
   /** The shared fusion tail: top-legK both legs, full-outer RRF join,
     * dense-only threshold, final rank. `sparseTopK` is (qid, rank, doc_id,
     * score) from whichever sparse entry (driver Seq or distributed DF)

@@ -777,7 +777,24 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       marker: Path)(body: => Unit): Unit = {
     writeJson(marker, Map("since" -> java.time.Instant.now().toString))
     val key = rebuildKey(tenant, model, fam)
-    val task = new java.util.concurrent.FutureTask[Unit](() => body)
+    // The rebuild's Spark jobs run in the low-weight `graftRebuild` fair-
+    // scheduler pool (resources/fairscheduler.xml: weight 1 vs serving's
+    // 4) so a multi-minute build yields task slots to concurrent searches
+    // and inserts instead of time-slicing them 1:1. The pool-name local
+    // property is per-thread; set it INSIDE the task body — the executor's
+    // threads are created lazily and would otherwise inherit whatever
+    // local properties the first submitting request thread carried
+    // (InheritableThreadLocal clone at thread creation). Under FIFO
+    // scheduler mode (tests) the property is ignored. Cleared after the
+    // body so the sweep between tasks never runs with a stale pool — and
+    // null-out rather than restore, since these threads serve only
+    // rebuilds.
+    val task = new java.util.concurrent.FutureTask[Unit](() => {
+      val sc = spark.sparkContext
+      sc.setLocalProperty("spark.scheduler.pool", "graftRebuild")
+      try body
+      finally sc.setLocalProperty("spark.scheduler.pool", null)
+    })
     inflightRebuilds.put(key, task)
     rebuildExec.execute(() => try task.run() finally inflightRebuilds.remove(key, task))
   }
@@ -980,26 +997,50 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * instead of letting queue delay grow them without bound. A FAILED
     * rebuild is swallowed here — its cleanup already discarded the backlog
     * and the live index stayed exact throughout, so the insert proceeds.
+    *
+    * Flow-control mode (`backlog_pressure_mode = reject`): the silent
+    * await turns a 1000-row insert into a potentially multi-minute stall —
+    * fine for batch loaders, wrong for a request path that should answer
+    * with back-pressure. Under `reject` the gate throws
+    * [[graft.api.BacklogPressureException]] INSTEAD of blocking (the
+    * RequestGate shape: the service surface maps it to 429/retry_after;
+    * the client retries after the rebuild drains). Correctness is
+    * unchanged either way — the gate only bounds backlog growth; the live
+    * index stays exact throughout.
     */
-  private def backlogPressureGate(tenant: String, model: String): Unit =
-    // the whole gate is best-effort and lock-free (TOCTOU by design): a
-    // concurrent dropCollection between the existence check and the
+  private def backlogPressureGate(tenant: String, model: String): Unit = {
+    // the decision probe is best-effort and lock-free (TOCTOU by design):
+    // a concurrent dropCollection between the existence check and the
     // properties read makes properties() throw on the vanished
     // _schema.json — fall through to insertLocked, whose `require`
     // reports the missing collection cleanly (r13 advisor, low)
-    try {
-      if (!collectionExists(tenant, model)) return
-      def batches(dir: Path): Int =
-        listChildren(dir).count(_.getFileName.toString.startsWith("b"))
-      val props = properties(tenant, model)
-      val overIvf = batches(denseBacklogDir(tenant, model)) >=
-        props.getOrElse("ivf_max_absorbs", "64").toInt
-      val overHnsw = batches(hnswBacklogDir(tenant, model)) >=
-        props.getOrElse("hnsw_max_absorbs", "64").toInt
-      if (overIvf || overHnsw)
-        try awaitRebuilds(tenant, model)
-        catch { case scala.util.control.NonFatal(_) => () }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    val overFam: Option[String] =
+      try {
+        if (!collectionExists(tenant, model)) None
+        else {
+          def batches(dir: Path): Int =
+            listChildren(dir).count(_.getFileName.toString.startsWith("b"))
+          val props = properties(tenant, model)
+          val overIvf = batches(denseBacklogDir(tenant, model)) >=
+            props.getOrElse("ivf_max_absorbs", "64").toInt
+          val overHnsw = batches(hnswBacklogDir(tenant, model)) >=
+            props.getOrElse("hnsw_max_absorbs", "64").toInt
+          if (overIvf) Some("ivf") else if (overHnsw) Some("hnsw") else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    overFam.foreach { fam =>
+      val reject =
+        try properties(tenant, model)
+          .getOrElse("backlog_pressure_mode", "await") == "reject"
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (reject)
+        // the deliberate non-NonFatal escape: this is the flow-control
+        // answer, not a gate failure
+        throw new graft.api.BacklogPressureException(tenant, model, fam)
+      try awaitRebuilds(tenant, model)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   def insert(tenant: String, model: String, rows: Seq[EmbeddedVector],
       partition: Option[String] = None): Long = {
@@ -1786,7 +1827,13 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // given (the reference forwards HNSW search params per request).
     def hnswWinners(k: Int): DataFrame =
       Hnsw.search(hnsw, queries, k = k, ef = effectiveEf(req, k),
-          allowed = partOpt)
+          allowed = partOpt,
+          // `hnsw_route_shards`: cap how many shards seed each query's beam
+          // on an auto-sharded graph (nearest-R by entry-medoid score) —
+          // the serving knob for S in the hundreds. Unset = all shards,
+          // the bit-exact default; ignored by unsharded graphs
+          routeShards = properties(req.tenant, req.model)
+            .get("hnsw_route_shards").map(_.toInt).getOrElse(Int.MaxValue))
         .select("qid", "doc_id")
 
     // Index-bounded dense search; without any index: the full-scan Knn plan.
@@ -1824,9 +1871,16 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
             .select("qid", "doc_id", "rawScore")
         else if (haveIndex) indexedScored(req, idx, denseRootR, queries, partOpt)
         else Knn.scored(partCorpus.select("doc_id", "dv"), queries, req.metricType)
-      val fused = Hybrid.searchScored(denseScored, m,
-        vectors.indices.map(_.toLong -> req.textFilter.get), params,
-        sparseCandidates = partOpt)
+      // Df-native sparse leg: the per-qid query texts ride the queries
+      // frame (one shared text_filter per request), so the leg's query
+      // side is plan-resident end-to-end (no driver Seq of pairs) — and
+      // the request vocabulary, driver-known from the text_filter string,
+      // still drives the stored-dictionary partition prune via knownTerms.
+      val reqTerms = req.textFilter.get.toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+      val fused = Hybrid.searchScoredDf(denseScored, m,
+        queries.select(col("qid"), lit(req.textFilter.get).as("text")), params,
+        sparseCandidates = partOpt, knownTerms = Some(reqTerms))
       // ≤ limit·|queries| fused winners: materialize once (avoids re-running
       // both legs when the result is consumed), then attach chunk/meta by
       // bucket-pruned point lookups — never a full base scan, and never
@@ -2526,7 +2580,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         .parquet(d.resolve("nodes").toString).drop("_bucket"),
       pread.schema("src LONG, dst LONG, _bucket LONG")
         .parquet(d.resolve("edges").toString).drop("_bucket"),
-      pread.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+      // `shard` routes sharded-graph queries to their nearest shards'
+      // entries (Hnsw.search routeShards); graphs persisted before the
+      // column existed (or by the unsharded build) read it as null —
+      // routing then degrades to all-entry seeding, never an error
+      pread.schema("doc_id LONG, dv ARRAY<DOUBLE>, shard LONG")
         .parquet(d.resolve("entries").toString),
       properties(tenant, model)("metric_type"))
   }
@@ -2639,7 +2697,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     try {
       val g = Hnsw.Graph(
         nodesRaw.drop("_bucket"), edgesRaw.drop("_bucket"),
-        rd.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+        rd.schema("doc_id LONG, dv ARRAY<DOUBLE>, shard LONG")
           .parquet(d.resolve("entries").toString),
         properties(tenant, model)("metric_type"))
       // request-path batches carry their doc_ids from the driver: the batch
@@ -2717,11 +2775,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           g.entries.select("doc_id"), maxDeg, g.metric, vecsFor)
         .withColumn("_bucket", pmod(col("src"), lit(nB)))
       // An upserted key that is a cell's entry medoid must seed future walks
-      // with its NEW vector — refresh the (tiny) entries table from the batch.
+      // with its NEW vector — refresh the (tiny) entries table from the
+      // batch. The shard id rides through unchanged (an absorb never moves
+      // an entry between shards).
       val entriesOut = g.entries
         .join(batchVecs.select(col("doc_id"), col("dv").as("new_dv")),
           Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("new_dv"), col("dv")).as("dv"))
+        .select(col("doc_id"), coalesce(col("new_dv"), col("dv")).as("dv"),
+          col("shard"))
 
       // tmp-write materializes (reading the current dirs) before any swap;
       // the three tables share no directories and no uncomputed inputs, so

@@ -243,7 +243,8 @@ object ScaleBench {
           val c = Tables.docsCorpus(spark, sfDir)
           AnnLsh.search(c.select(col("doc_id"), col("qv")),
             c.filter(col("doc_id") < 64).select(col("doc_id").as("qid"), col("qv")),
-            k = 10)
+            k = 10,
+            corpusCount = Some(Tables.parquetRowCount(spark, s"$sfDir/embeddings.parquet")))
         }),
         "b14_hnsw_search" -> (() => {
           val queries = Tables.docsCorpus(spark, sfDir).filter(col("doc_id") < 8)

@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.ShardedBuildBench <factor> <mode> [outDir]
   *   factor — corpus replication of sf0.1's ~2k docs (200 → ~400k docs)
-  *   mode   — "sharded" | "unsharded" | "both"
+  *   mode   — "sharded" | "unsharded" | "both" | "serve"
   * Replication is ScaleBench's scheme (perturbed keys, vectors kept), and
   * the replica parquet is reused across runs. Run with
   * SPARK_DRIVER_MEM=96g at factor ≥ 100 (the 100×-harness note).
+  *
+  * "sharded" also PERSISTS the graph tables under outDir/hnsw so "serve"
+  * can measure the serving side without rebuilding: 8-query search wall +
+  * recall@10 vs brute-force exact, at all-shard seeding and at
+  * routeShards ∈ {3, 2} — the flat-in-S routing claim's measured points.
   */
 object ShardedBuildBench {
   def main(args: Array[String]): Unit = {
@@ -51,16 +56,44 @@ object ShardedBuildBench {
     val n = corpus.count()
     System.err.println(s"[sharded-bench] corpus $n docs (factor $factor)")
 
-    def time(tag: String)(g: => Hnsw.Graph): Unit = {
+    def time(tag: String)(g: => Hnsw.Graph): Hnsw.Graph = {
       val t0 = System.nanoTime()
-      val edges = g.edges.count()
+      val built = g
+      val edges = built.edges.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"""{"bench":"$tag","docs":$n,"sec":$dt%.1f,"edges":$edges}""")
+      built
     }
-    if (mode == "sharded" || mode == "both")
-      time("hnsw_build_sharded")(Hnsw.buildSharded(corpus, m = 8))
+    if (mode == "sharded" || mode == "both") {
+      val g = time("hnsw_build_sharded")(Hnsw.buildSharded(corpus, m = 8))
+      // persist for the serve mode (nodes are the corpus — not rewritten)
+      g.edges.write.mode("overwrite").parquet(s"$out/hnsw/edges")
+      g.entries.write.mode("overwrite").parquet(s"$out/hnsw/entries")
+    }
     if (mode == "unsharded" || mode == "both")
       time("hnsw_build_unsharded")(Hnsw.build(corpus, m = 8))
+
+    if (mode == "serve") {
+      val g = Hnsw.Graph(corpus,
+        spark.read.parquet(s"$out/hnsw/edges"),
+        spark.read.parquet(s"$out/hnsw/entries"), "COSINE")
+      val s = g.entries.select("shard").distinct().count()
+      val queries = corpus.filter(col("doc_id") % lit(factor) === 0)
+        .filter(col("doc_id") < lit(8L * factor))
+        .select(col("doc_id").as("qid"), col("dv").as("qv"))
+        .localCheckpoint()
+      val exact = graft.operators.Knn.search(corpus, queries,
+        graft.operators.SearchParams(limit = 10, outputFields = Nil)).localCheckpoint()
+      for (r <- Seq(Int.MaxValue, 3, 2)) {
+        val t0 = System.nanoTime()
+        val res = Hnsw.search(g, queries, k = 10, ef = 64, routeShards = r)
+          .localCheckpoint()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val recall = graft.operators.Ivf.recallVsExact(res, exact)
+        val rTag = if (r == Int.MaxValue) "all" else r.toString
+        println(f"""{"bench":"hnsw_serve_routed","docs":$n,"shards":$s,"routeShards":"$rTag","sec":$dt%.2f,"recall":$recall%.3f}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -323,6 +323,44 @@ class AsyncRebuildSpec extends SparkSpec {
     assert(hit.success && hit.data.head.content == "cdoc 0")
   }
 
+  test("backlog_pressure_mode = reject answers with flow control instead of blocking") {
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_backpressure429").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
+      extraProps = Map("ivf_max_absorbs" -> "2",
+        "backlog_pressure_mode" -> "reject")))
+    cat.insert("t", "m", (0 until 60).map(i =>
+      EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), avec(i))))
+    cat.persistIndex("t", "m")
+    val gate = new CountDownLatch(1)
+    RebuildHooks.holdGate = Some(gate)
+    try {
+      (0 until 3).foreach(j => cat.insert("t", "m", (0 until 4).map(i =>
+        EmbeddedVector(s"b${j}_$i", s"bdoc $j $i", "m", Map(), bvec(j * 4 + i)))))
+      (3 until 5).foreach(j => cat.insert("t", "m", (0 until 4).map(i =>
+        EmbeddedVector(s"b${j}_$i", s"bdoc $j $i", "m", Map(), bvec(j * 4 + i)))))
+      // over the gate: the insert must NOT block on the parked rebuild —
+      // it answers back-pressure immediately (429/retry_after shape)
+      val t0 = System.nanoTime()
+      val e = intercept[graft.api.BacklogPressureException] {
+        cat.insert("t", "m", Seq(
+          EmbeddedVector("c0", "cdoc 0", "m", Map(), bvec(40))))
+      }
+      assert((System.nanoTime() - t0) / 1e9 < 5.0,
+        "reject mode must answer immediately, not await the rebuild")
+      assert(e.family == "ivf" && e.retryAfterSec > 0)
+    } finally {
+      gate.countDown()
+      RebuildHooks.holdGate = None
+    }
+    // after the rebuild drains, the same insert goes through
+    cat.awaitRebuilds("t", "m")
+    cat.insert("t", "m", Seq(
+      EmbeddedVector("c0", "cdoc 0", "m", Map(), bvec(40))))
+    val hit = cat.search(SearchRequest("t", "m", bvec(40), limit = 1))
+    assert(hit.success && hit.data.head.content == "cdoc 0")
+  }
+
   /** r13 advisor (medium): a rebuild scheduled between dropCollection's
     * drain and its locked delete survives the drop; if the collection is
     * recreated under the same name, a bare existence check passes and the

@@ -53,6 +53,42 @@ class HnswSpec extends SparkSpec {
     assert(one.entries.count() == Hnsw.build(corpus, m = 8).entries.count())
   }
 
+  test("shard routing: R >= S is bit-exact vs all-shard; top-R keeps recall") {
+    val corpus = Tables.docsCorpus(spark, Sf)
+      .select(col("doc_id"), col("qv").as("dv"))
+    val queries = Tables.docsCorpus(spark, Sf).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("qid"), col("qv"))
+    val n = corpus.count()
+    val s = 4
+    val sharded = Hnsw.buildSharded(corpus, m = 8,
+      shardTarget = math.ceil(n.toDouble / s).toInt)
+    assert(sharded.entries.columns.contains("shard"),
+      "sharded entries must carry their shard id")
+    assert(sharded.entries.select("shard").distinct().count() == s)
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    // R >= S routes nothing away — identical rows to the default all-seed
+    val all = Hnsw.search(sharded, queries, k = 10, ef = 64)
+    assert(dump(Hnsw.search(sharded, queries, k = 10, ef = 64, routeShards = s))
+      == dump(all), "routeShards = S must be bit-exact vs all-shard seeding")
+    assert(dump(Hnsw.search(sharded, queries, k = 10, ef = 64,
+      routeShards = Int.MaxValue)) == dump(all))
+    // top-R routing: the hash-sharded corpus splits every query's true
+    // top-k ~uniformly across shards, so R of S shards bounds attainable
+    // recall near R/S — assert the router lands in that regime rather
+    // than collapsing (R=2 of 4 ⇒ ~half the all-shard recall, floor 0.4)
+    val exact = Knn.search(corpus, queries, SearchParams(limit = 10, outputFields = Nil))
+    val allR = Ivf.recallVsExact(all, exact)
+    val routedR = Ivf.recallVsExact(
+      Hnsw.search(sharded, queries, k = 10, ef = 64, routeShards = 2), exact)
+    assert(routedR >= 0.4 * allR,
+      s"top-2-of-4 routed recall $routedR collapsed vs all-shard $allR")
+    // bulk path routes identically
+    assert(dump(Hnsw.searchBulk(sharded, queries, k = 10, ef = 64, routeShards = 2))
+      == dump(Hnsw.search(sharded, queries, k = 10, ef = 64, routeShards = 2)),
+      "bulk routing diverged from request-path routing")
+  }
+
   test("searchBulk is row-identical to search at full and partial beam") {
     val corpus = Tables.docsCorpus(spark, Sf).limit(300)
       .select(col("doc_id"), col("qv").as("dv"))
@@ -193,6 +229,26 @@ class HnswSpec extends SparkSpec {
     val moved = cat.search(SearchRequest("t", "m", vec(60), limit = 3))
     assert(moved.success && moved.data.head.content == "moved")
     assert(nEntries > 3, s"3 shards must union >3 entry medoids, got $nEntries")
+
+    // persisted entries carry their shard id (the routing key survives the
+    // publish AND the absorb above — absorbs must not strip the column)
+    val entries = cat.loadHnsw("t", "m").entries
+    assert(entries.columns.contains("shard"), "persisted entries lost shard")
+    assert(entries.filter(col("shard").isNull).count() == 0,
+      "absorb dropped shard ids from the entries table")
+
+    // `hnsw_route_shards` >= S serves identically to the unrouted default
+    val cat2 = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_hnsw_route").toString)
+    cat2.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW",
+      extraProps = Map("hnsw_shard_target" -> "30",
+        "hnsw_route_shards" -> "3", "hnsw_max_absorbs" -> "1000")))
+    cat2.insert("t", "m", (0 until 90).map(i =>
+      EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
+    cat2.persistIndex("t", "m")
+    val routedHit = cat2.search(SearchRequest("t", "m", vec(17), limit = 5))
+    assert(routedHit.success && routedHit.data.head.content == "chunk 17",
+      "routed facade search lost the exact self-match")
   }
 
   test("facade HNSW lifecycle: build, search, insert-absorb, empty-then-insert") {

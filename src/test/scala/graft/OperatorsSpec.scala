@@ -236,6 +236,14 @@ class AnnLshSpec extends SparkSpec {
       corpusCount = Some(5000L))
     assert(hinted.exceptAll(auto).isEmpty && auto.exceptAll(hinted).isEmpty)
   }
+
+  test("parquetRowCount: footer metadata equals a full count() at every table") {
+    Seq("embeddings", "documents", "orders").foreach { t =>
+      val p = s"$Sf/$t.parquet"
+      assert(graft.core.Tables.parquetRowCount(spark, p) == spark.read.parquet(p).count(),
+        s"footer row count must be exact for $t")
+    }
+  }
 }
 
 class UpsertSpec extends SparkSpec {

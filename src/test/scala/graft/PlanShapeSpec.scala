@@ -347,4 +347,74 @@ class PlanShapeSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
+
+  test("bulk hybrid sparse leg is plan-resident: query texts come from a scan") {
+    // q_hybrid_bulk's shape: queries (qid, qv, text) derive from parquet —
+    // the Df-native sparse leg must tokenize INSIDE the plan (a scan under
+    // the qTerms explode), never collapse the query side to a driver-built
+    // LocalTableScan (that is the Seq path's shape, capped at request size)
+    val docs = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    val queries = Tables.docsCorpus(spark, Sf).filter(col("doc_id") < 2)
+      .select(col("doc_id").as("qid"), lit("spark join window").as("text"))
+    val sparse = Bm25.searchTopKDf(Bm25.fit(docs), queries, 10)
+    val p = plan(sparse)
+    assert(!p.contains("LocalTableScan"),
+      s"bulk sparse leg materialized its query side on the driver:\n$p")
+    assert(p.contains("Scan parquet") || p.contains("FileScan"),
+      "bulk sparse leg lost its file-scan query source")
+  }
+
+  test("facade hybrid keeps the _tbucket dictionary prune on the Df-native leg") {
+    // the facade's sparse leg now rides Hybrid.searchScoredDf → Bm25
+    // .searchTopKDf with knownTerms from the request's text_filter — the
+    // stored-dictionary partition prune (≤ |terms| _tbucket dirs) must
+    // survive the Df form. The facade localCheckpoints the fused result
+    // (its final plan is a checkpoint scan), so the plan-shape assert
+    // runs on the same searchScoredDf composition the facade builds; the
+    // facade END RESULT is asserted for parity right after.
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_hybdf").toString)
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8))
+    cat.insert("t", "m", (0 until 60).map(i =>
+      EmbeddedVector(s"k$i", s"alpha beta doc$i word${i % 9}", "m", Map(), vec(i))))
+    cat.ensureSparseIndex("t", "m")
+    val m = graft.sources.SparseIndex.read(spark,
+      cat.sparseDirOf("t", "m"))
+    import spark.implicits._
+    val queries = Seq((0L, vec(5)), (1L, vec(7))).toDF("qid", "qv")
+    val corpus = cat.load("t", "m").select(
+      xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv"))
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fused = Hybrid.searchScoredDf(
+        Knn.scored(corpus, queries, "COSINE"), m,
+        queries.select(col("qid"), lit("alpha word3").as("text")),
+        SearchParams(limit = 10), knownTerms = Some(Seq("alpha", "word3")))
+      val scans = fused.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("termdf")) => s
+      }
+      assert(scans.nonEmpty, "no termdf scan in the Df-native hybrid plan")
+      scans.foreach { s =>
+        assert(s.partitionFilters.exists(_.references.exists(_.name == "_tbucket")),
+          s"Df-native sparse leg lost the dictionary prune: ${s.metadata}")
+        assert(s.selectedPartitions.partitionCount <= 2,
+          s"dictionary read touched ${s.selectedPartitions.partitionCount} dirs for 2 terms")
+      }
+      assert(fused.count() > 0, "fixture must fuse at least one hit")
+      // the facade end-to-end returns the same fused winners for qid 0
+      val req = graft.api.SearchRequest("t", "m", vec(5), limit = 10,
+        hybridSearch = true, textFilter = Some("alpha word3"))
+      val viaFacade = cat.searchDfBatch(req, Seq(vec(5), vec(7)))
+        .filter(col("qid") === 0L).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val direct = fused.filter(col("qid") === 0L).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(viaFacade == direct,
+        s"facade hybrid winners diverged from the direct Df-native plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 }
