@@ -371,11 +371,23 @@ object Hnsw {
     * without a shard id (unsharded graphs, pre-routing persisted graphs)
     * always seed.
     */
+  /** `cacheGraph = true` persists nodes+edges for the duration of the hop
+    * loop: every hop joins the frontier against BOTH tables, so an
+    * uncached walk re-reads the full graph maxHops times. OPT-IN, off by
+    * default: measured NEUTRAL locally even at the 1M-doc point (the OS
+    * page cache absorbs the re-scans) and a 10–15% cost on small graphs
+    * (the persist materialization pass) — SCALE.md "Request-scoped graph
+    * caching". Turn it on where the re-reads are real I/O: executors
+    * pulling the graph from an object store per hop. The cache is
+    * request-scoped (unpersisted before return; the returned top-k frame
+    * depends only on the checkpointed walk state).
+    */
   def search(g: Graph, queries: DataFrame, k: Int, ef: Int = 64,
       maxHops: Int = 8, allowed: Option[DataFrame] = None,
-      earlyStop: Boolean = true, routeShards: Int = Int.MaxValue): DataFrame =
+      earlyStop: Boolean = true, routeShards: Int = Int.MaxValue,
+      cacheGraph: Boolean = false): DataFrame =
     searchImpl(g, queries, k, ef, maxHops, allowed, broadcastQueries = true,
-      earlyStop = earlyStop, routeShards = routeShards)
+      earlyStop = earlyStop, routeShards = routeShards, cacheGraph = cacheGraph)
 
   /** Bulk graph search: identical algorithm and results to [[search]]
     * (BulkHnswSpec: row-identical at full and partial beam), but the query
@@ -388,9 +400,9 @@ object Hnsw {
     */
   def searchBulk(g: Graph, queries: DataFrame, k: Int, ef: Int = 64,
       maxHops: Int = 8, allowed: Option[DataFrame] = None,
-      routeShards: Int = Int.MaxValue): DataFrame =
+      routeShards: Int = Int.MaxValue, cacheGraph: Boolean = false): DataFrame =
     searchImpl(g, queries, k, ef, maxHops, allowed, broadcastQueries = false,
-      earlyStop = true, routeShards = routeShards)
+      earlyStop = true, routeShards = routeShards, cacheGraph = cacheGraph)
 
   /** The hop loop keeps ONE combined state table per hop —
     * (qid, doc_id, s, af, best, fr), one row per (qid, doc_id) the walk has
@@ -419,8 +431,18 @@ object Hnsw {
   private def searchImpl(g: Graph, queries: DataFrame, k: Int, ef: Int,
       maxHops: Int, allowed: Option[DataFrame],
       broadcastQueries: Boolean, earlyStop: Boolean,
-      routeShards: Int = Int.MaxValue): DataFrame = {
+      routeShards: Int = Int.MaxValue,
+      cacheGraph: Boolean = false): DataFrame = {
     val desc = Knn.higherIsBetter(g.metric)
+    // Request-scoped graph cache (opt-in; see search()'s scaladoc for the
+    // measured local neutrality): the hop loop reads nodes AND edges once
+    // per hop (neighbour expansion + vector attach), so an uncached walk
+    // pays maxHops full-table reads — a real cost only when those reads
+    // are network I/O. Unpersisted in the finally below; the returned
+    // frame reads only the checkpointed walk state.
+    val nodesT = if (cacheGraph) g.nodes.persist() else g.nodes
+    val edgesT = if (cacheGraph) g.edges.persist() else g.edges
+    try {
     val qPrep0 = queries.select(col("qid"), col("qv"),
       VecExprs.norm2(col("qv")).as("nq2"))
     val qPrep = if (broadcastQueries) qPrep0 else qPrep0.localCheckpoint()
@@ -486,7 +508,7 @@ object Hnsw {
       }
     val seedCand = allowedIds.fold(entrySeed) { a =>
       entrySeed.unionByName(queries.select("qid").crossJoin(
-        g.nodes.join(a, Seq("doc_id"), "left_semi").orderBy("doc_id").limit(ef)))
+        nodesT.join(a, Seq("doc_id"), "left_semi").orderBy("doc_id").limit(ef)))
     }
     var state = withAllowedFlag(score(seedCand.dropDuplicates("qid", "doc_id")))
       .withColumn("_rn", row_number().over(wBest))
@@ -509,10 +531,10 @@ object Hnsw {
     while (hop < maxHops && !frontierEmpty) {
       val frontier = state.filter(col("fr")).select("qid", "doc_id")
       val nbrs = bc(frontier)
-        .join(g.edges, frontier("doc_id") === g.edges("src"))
+        .join(edgesT, frontier("doc_id") === edgesT("src"))
         .select(col("qid"), col("dst").as("doc_id")).distinct()
         .join(bc(state.select("qid", "doc_id")), Seq("qid", "doc_id"), "left_anti")
-      val scoredN = withAllowedFlag(score(bc(nbrs).join(g.nodes, "doc_id")))
+      val scoredN = withAllowedFlag(score(bc(nbrs).join(nodesT, "doc_id")))
         .withColumn("wasBest", lit(false))
       val all = state
         .select(col("qid"), col("doc_id"), col("s"), col("af"),
@@ -532,5 +554,11 @@ object Hnsw {
     TopK.perKey(candidates.select("qid", "doc_id", "s"), "qid", "s", "doc_id",
         k, desc)
       .select(col("qid"), col("rank"), col("doc_id"), col("s").as("score"))
+    } finally if (cacheGraph) {
+      // the hop loop materialized every read (localCheckpoint per hop), so
+      // the cache has served its purpose; the returned frame reads only
+      // the checkpointed state
+      nodesT.unpersist(false); edgesT.unpersist(false)
+    }
   }
 }

@@ -2718,8 +2718,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // On the request path the ≤ m·|batch| (src, dst) pairs are COLLECTED
       // into a local relation — one job, and the symmetric edge set + the
       // touched edge-bucket set derive driver-side with zero further jobs.
+      // cacheGraph = false: nodesRaw/edgesRaw are ALREADY persisted for
+      // this whole absorb (the prune/rewrite plans reuse them) — a second
+      // request-scoped cache would just copy the same data
       def beam() = Hnsw.search(g, queries, k = 8, ef = 32, maxHops = 3,
-          earlyStop = false)
+          earlyStop = false, cacheGraph = false)
         .select(col("qid").as("src"), col("doc_id").as("dst"))
         .filter(col("src") =!= col("dst"))
       val nbrs = stage("hnsw beam search")(
