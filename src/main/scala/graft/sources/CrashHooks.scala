@@ -40,7 +40,20 @@ private[graft] object CrashHooks {
   */
 private[graft] object RebuildHooks {
   @volatile var holdGate: Option[java.util.concurrent.CountDownLatch] = None
-  def maybeHold(): Unit = holdGate.foreach(_.await())
+
+  /** Last scheduler pool name observed ON a rebuild thread — the spec's
+    * window into [[VectorStoreCatalog.scheduleRebuild]]'s fair-pool
+    * routing (a thread-local property is unreadable from the test thread).
+    * One getLocalProperty per scheduled rebuild.
+    */
+  @volatile var observedPool: Option[String] = None
+
+  def maybeHold(): Unit = {
+    observedPool = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(s => Option(s.sparkContext.getLocalProperty("spark.scheduler.pool")))
+    holdGate.foreach(_.await())
+  }
 
   /** Park a rebuild BETWEEN phase 1 (staged build complete) and phase 2
     * (publish) — the window the drop/recreate epoch-guard spec needs to

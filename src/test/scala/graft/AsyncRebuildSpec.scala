@@ -93,6 +93,12 @@ class AsyncRebuildSpec extends SparkSpec {
     val idxDir = Paths.get(cat.tableDir("t", "m").toString, "index")
     assert(!Files.exists(idxDir.resolve("_retrain_inflight.json")))
     assert(!Files.exists(idxDir.resolve("_retrain_backlog")))
+
+    // the detached build ran in the low-weight fair-scheduler pool (the
+    // hook captured the rebuild THREAD's pool property; under the test
+    // session's FIFO mode the property is set but inert)
+    assert(RebuildHooks.observedPool.contains("graftRebuild"),
+      s"rebuild ran outside the graftRebuild pool: ${RebuildHooks.observedPool}")
   }
 
   test("HNSW: detached rebuild absorbs the backlog into the staged graph before publish") {
