@@ -38,6 +38,22 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
+  /** Driver-side mirror of [[tokens]] — byte-identical output, guaranteed.
+    * Every driver-known vocabulary that feeds a plan-side pruning hint
+    * (Bm25 `knownTerms` — a pruned dictionary join silently DROPS postings
+    * of any term the hint missed) must tokenize through this, never an
+    * inline `toLowerCase.split(...)`: `String.toLowerCase()` is
+    * locale-sensitive (a Turkish default locale maps 'I' → 'ı', which the
+    * plan-side `lower()` — locale-independent UTF8String lowercasing —
+    * never produces), so an inline copy can drift from the plan tokenizer
+    * without any code change. Locale.ROOT matches Spark's behavior on the
+    * ascii range the regex keeps. TokenizerParitySpec pins the agreement
+    * over the fixture corpus.
+    */
+  def driverTokens(text: String): Seq[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
   /** Deterministic integer code for a token, built only from ascii/length so
     * DuckDB can replicate it byte-for-byte. Collisions are fine — both engines
     * use the same function. Padded with "--" so 1–2 char tokens are total.

@@ -189,7 +189,7 @@ object Bm25 {
     import spark.implicits._
     val pairs = queries
       .flatMap { case (qid, text) =>
-        text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.map(qid -> _)
+        Text.driverTokens(text).distinct.map(qid -> _)
       }
     val qTerms = pairs.toDF("qid", "term")
     TopK.perKey(scoredCandidates(m, qTerms, candidates,

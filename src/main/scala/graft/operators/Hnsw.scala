@@ -35,7 +35,24 @@ object Hnsw {
     * entries: (doc_id, dv) — the per-cell medoids.
     */
   final case class Graph(nodes: DataFrame, edges: DataFrame, entries: DataFrame,
-      metric: String)
+      metric: String) {
+    /** Distinct shard count of the medoid table (None = unsharded or
+      * legacy null-shard graph). One tiny agg over `entries` (≤ S·nlist
+      * rows), memoized per loaded Graph, and consulted ONLY when a finite
+      * `routeShards` is set — the default all-seed path never pays the
+      * job. Lets an over-provisioned knob (R ≥ S, e.g. `hnsw_route_shards`
+      * outliving a re-shard that shrank the graph) cost nothing instead of
+      * paying the router's per-query scoring pass + window to filter
+      * nothing.
+      */
+    lazy val shardCount: Option[Long] =
+      if (!entries.columns.contains("shard")) None
+      else {
+        val c = entries.filter(col("shard").isNotNull)
+          .agg(countDistinct(col("shard"))).head().getLong(0)
+        if (c == 0L) None else Some(c)
+      }
+  }
 
   /** The bridge skew guard: drop over-cap (table, bucket) groups before the
     * self-join — keyed count + semi-join, the [[Dedup.lshCandidatePairs]]
@@ -256,10 +273,14 @@ object Hnsw {
       math.max(1, math.min(s, buildParallelism)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // PoolPinned: a sharded build runs both as foreground DDL and inside
+    // the weight-1 rebuild pool — the submitting thread's scheduler pool
+    // must ride onto the fan-out workers, not their creation-time snapshot
+    val sc = corpus.sparkSession.sparkContext
     val shards =
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence((0 until s).map { i =>
-          scala.concurrent.Future(
+          graft.core.PoolPinned.future(sc)(
             build(corpus.filter(pmod(col("doc_id"), lit(s)) === i), m, metric,
               seed + i))
         }), scala.concurrent.duration.Duration.Inf)
@@ -438,10 +459,17 @@ object Hnsw {
     // measured local neutrality): the hop loop reads nodes AND edges once
     // per hop (neighbour expansion + vector attach), so an uncached walk
     // pays maxHops full-table reads — a real cost only when those reads
-    // are network I/O. Unpersisted in the finally below; the returned
-    // frame reads only the checkpointed walk state.
-    val nodesT = if (cacheGraph) g.nodes.persist() else g.nodes
-    val edgesT = if (cacheGraph) g.edges.persist() else g.edges
+    // are network I/O. Only frames THIS call newly persisted are
+    // unpersisted in the finally below (Spark persistence is not
+    // reference-counted — blindly unpersisting would evict a cache the
+    // CALLER established for its own cross-request reuse); the returned
+    // frame reads only the checkpointed walk state either way.
+    val cacheNodes = cacheGraph &&
+      g.nodes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cacheEdges = cacheGraph &&
+      g.edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val nodesT = if (cacheNodes) g.nodes.persist() else g.nodes
+    val edgesT = if (cacheEdges) g.edges.persist() else g.edges
     try {
     val qPrep0 = queries.select(col("qid"), col("qv"),
       VecExprs.norm2(col("qv")).as("nq2"))
@@ -485,7 +513,8 @@ object Hnsw {
     // seed: they are structural, not routable. R ≥ S filters nothing, so
     // the default path is untouched (and skipped entirely for speed).
     val entrySeed =
-      if (routeShards == Int.MaxValue || !g.entries.columns.contains("shard"))
+      if (routeShards == Int.MaxValue || !g.entries.columns.contains("shard") ||
+          g.shardCount.forall(_ <= routeShards))
         entrySeedAll
       else {
         val shardOf = broadcast(g.entries.select(col("doc_id"), col("shard")))
@@ -554,11 +583,12 @@ object Hnsw {
     TopK.perKey(candidates.select("qid", "doc_id", "s"), "qid", "s", "doc_id",
         k, desc)
       .select(col("qid"), col("rank"), col("doc_id"), col("s").as("score"))
-    } finally if (cacheGraph) {
+    } finally {
       // the hop loop materialized every read (localCheckpoint per hop), so
       // the cache has served its purpose; the returned frame reads only
       // the checkpointed state
-      nodesT.unpersist(false); edgesT.unpersist(false)
+      if (cacheNodes) nodesT.unpersist(false)
+      if (cacheEdges) edgesT.unpersist(false)
     }
   }
 }

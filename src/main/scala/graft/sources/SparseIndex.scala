@@ -355,12 +355,13 @@ object SparseIndex {
     // this commit's append, so re-evaluation cannot double-apply anything.
     // Only a fold iteration pins the full dictionary — there the commit
     // swaps the base under the lazy sources (the pre-delta behavior).
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Await
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    import graft.core.PoolPinned
     val (termDeltaM, globalM) = {
-      val fT = Future(batchTermDelta.localCheckpoint())
-      val fG = Future(globalOut.localCheckpoint())
+      val fT = PoolPinned.future(spark.sparkContext)(batchTermDelta.localCheckpoint())
+      val fG = PoolPinned.future(spark.sparkContext)(globalOut.localCheckpoint())
       (Await.result(fT, Duration.Inf), Await.result(fG, Duration.Inf))
     }
     val termDfM =
@@ -396,23 +397,25 @@ object SparseIndex {
       // stale — and replaying could not converge).
       val base = Paths.get(dir)
       CrashHooks.maybe("sparse.beforeJobs")
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Await
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val fTf = Future(writeTmp(
+      import graft.core.PoolPinned
+      val psc = spark.sparkContext
+      val fTf = PoolPinned.future(psc)(writeTmp(
         tfOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
         base, "tf", partitionCol = Some("_bucket")))
-      val fDl = Future(writeTmp(
+      val fDl = PoolPinned.future(psc)(writeTmp(
         dlOut.withColumn("_bucket", bucketOf(col("doc_id"), nBuckets)),
         base, "doclen", partitionCol = Some("_bucket")))
       // steady state: write the batch's SMALL delta; fold iterations write
       // the pinned full dictionary (re-bucketed by term hash — also the
       // migration step for legacy flat dictionaries)
-      val fTd = Future(
+      val fTd = PoolPinned.future(psc)(
         if (foldNow) writeTmp(termDfM.withColumn("_tbucket", termBucketCol),
           base, "termdf", partitionCol = Some("_tbucket"))
         else writeTmp(termDeltaM, base, "termdf_pending", partitionCol = None))
-      val fG  = Future(writeTmp(globalM, base, "global", partitionCol = None))
+      val fG  = PoolPinned.future(psc)(writeTmp(globalM, base, "global", partitionCol = None))
       val tfTmp = Await.result(fTf, Duration.Inf)
       val dlTmp = Await.result(fDl, Duration.Inf)
       val tdTmp = Await.result(fTd, Duration.Inf)

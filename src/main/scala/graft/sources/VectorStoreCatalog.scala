@@ -103,6 +103,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // rebuild was scheduled against (r13 advisor, medium)
       "created_epoch" -> java.util.UUID.randomUUID().toString)
     writeJson(dir.resolve("_schema.json"), props)
+    dropGenCache(spec.tenant, spec.model) // a same-name recreate must re-read
   }
 
   /** Drop a collection: remove its whole directory (schema, data, indexes,
@@ -123,7 +124,17 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     drainRebuilds(tenant, model)
     lockFor(tenant, model).synchronized {
       VectorStoreCatalog.deleteRec(tableDir(tenant, model))
+      dropGenCache(tenant, model)
     }
+  }
+
+  /** Drop cached generation-pointer state for a collection — on drop (and
+    * recreate via [[generateSchema]]) a stale cached pointer would resolve
+    * a deleted generation dir.
+    */
+  private def dropGenCache(tenant: String, model: String): Unit = {
+    val prefix = tableDir(tenant, model).normalize()
+    genCache.keySet().removeIf(_.startsWith(prefix))
   }
 
   private def drainRebuilds(tenant: String, model: String): Unit =
@@ -938,7 +949,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         val staleGen = n.startsWith("gen_") && Files.isDirectory(p) && {
           val live: Set[String] = genState(p.getParent)
             .map { case (c, pr) => Set(c) ++ pr }.getOrElse(Set.empty)
-          !live.contains(n)
+          // a demote-stamped generation inside the retention floor is
+          // being kept for long-tail readers (flipGeneration), not debris;
+          // unstamped unreferenced gens are crashed phase-1 leftovers
+          !live.contains(n) && !genRetained(p)
         }
         // `_retained_*`: a delta dir kept alive for a rebuild pin — debris
         // only once its pin is gone (live ones are liveTmps-guarded above)
@@ -1296,7 +1310,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     }
     val hnswPrepFut =
       if (haveHnsw && !hnswEmptyGraph)
-        Some(scala.concurrent.Future(prepareHnswAbsorb(
+        Some(graft.core.PoolPinned.future(spark.sparkContext)(prepareHnswAbsorb(
           hnswRoot(tenant, model), tenant, model, batchVecs, knownDocIds))(
           scala.concurrent.ExecutionContext.global))
       else None
@@ -1362,8 +1376,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // as the sequential order. Failure of any commit aborts the insert with
     // the OTHERS possibly applied — the commit is an idempotent keyed
     // upsert, so replaying the same batch converges every table.
-    val sparseCommit = scala.concurrent.Future(pendingSparse.commit())(
-      scala.concurrent.ExecutionContext.global)
+    val sparseCommit = graft.core.PoolPinned.future(spark.sparkContext)(
+      pendingSparse.commit())(scala.concurrent.ExecutionContext.global)
 
     val dataCommit =
       if (deltaMode) {
@@ -1371,7 +1385,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         // The sequence is reserved here (driver, under the collection lock)
         // so concurrent-collection commits can't interleave the counter.
         val seq = nextDeltaSeq(tenant, model)
-        scala.concurrent.Future(appendDelta(tenant, model, batchOut, seq,
+        graft.core.PoolPinned.future(spark.sparkContext)(appendDelta(
+          tenant, model, batchOut, seq,
           singleFile = small))(scala.concurrent.ExecutionContext.global)
       } else {
         // Bucket-restricted MERGE: read only the touched buckets, anti-join
@@ -1379,7 +1394,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         val out = slice.join(bb(batch.select("flouds_vector_id")),
             Seq("flouds_vector_id"), "left_anti")
           .unionByName(batchOut.select(slice.columns.map(col).toSeq: _*))
-        scala.concurrent.Future(replaceBuckets(tenant, model, out, touched))(
+        graft.core.PoolPinned.future(spark.sparkContext)(
+          replaceBuckets(tenant, model, out, touched))(
           scala.concurrent.ExecutionContext.global)
       }
 
@@ -1876,8 +1892,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // side is plan-resident end-to-end (no driver Seq of pairs) — and
       // the request vocabulary, driver-known from the text_filter string,
       // still drives the stored-dictionary partition prune via knownTerms.
-      val reqTerms = req.textFilter.get.toLowerCase
-        .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+      // Text.driverTokens, NOT an inline toLowerCase.split: knownTerms is
+      // a pruning hint over the stored dictionary — a term the hint misses
+      // (e.g. locale-divergent lowercasing) silently loses its postings
+      val reqTerms = graft.functions.Text.driverTokens(req.textFilter.get)
+        .distinct
       val fused = Hybrid.searchScoredDf(denseScored, m,
         queries.select(col("qid"), lit(req.textFilter.get).as("text")), params,
         sparseCandidates = partOpt, knownTerms = Some(reqTerms))
@@ -2032,8 +2051,30 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
 
   private def genPointer(base: Path): Path = base.resolve("_gen.json")
 
+  /** Per-base cached pointer state. Every request-path root resolution
+    * ([[denseRoot]]/[[hnswRoot]]) consults the pointer; uncached that is a
+    * metadata READ PER REQUEST — invisible on a local fs (~µs, adjudicated
+    * ambient in r15, SCALE.md) but a real latency adder at object-store
+    * GET latencies (10–50 ms) that grows with request rate, not data. The
+    * cache resolves once per (process, collection) and is updated INSIDE
+    * the flip ([[flipGeneration]] writes the new value right after the
+    * pointer PUT, under the commit scope) and dropped on collection
+    * create/drop. A reader that raced the flip and cached the OUTGOING
+    * generation is exactly the in-flight-reader case the retention rule
+    * already covers (the outgoing generation survives until the NEXT
+    * flip — by which point this process's cache has been updated by its
+    * own flip, or the entry dropped). Cross-PROCESS flips are not a thing
+    * here (one writer process per collection, same assumption as the
+    * collection lock itself); a restarted process re-reads.
+    */
+  private val genCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, Option[(String, Option[String])]]()
+
   /** (current, prev) generation names; None = legacy in-place layout. */
   private def genState(base: Path): Option[(String, Option[String])] =
+    genCache.computeIfAbsent(base.normalize(), b => readGenState(b))
+
+  private def readGenState(base: Path): Option[(String, Option[String])] =
     if (!Files.exists(genPointer(base))) None
     else scala.util.Try {
       val m = readJson(genPointer(base))
@@ -2054,22 +2095,72 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     genState(b).map { case (c, _) => b.resolve(c) }.getOrElse(b)
   }
 
+  /** Retention floor for demoted generations (`spark.graft.gen.retention.ms`,
+    * default 0 = delete the grandparent at flip time). The two-generation
+    * rule already covers a reader that resolved the pointer and straddles
+    * ONE publish; a reader straddling TWO publishes (implausible today —
+    * rebuilds are minutes, requests are seconds — but the request tail
+    * grows at 100× request rate) reads deleted files unless a floor keeps
+    * demoted generations alive for at least the longest plausible request.
+    * With the floor set, a grandparent younger than it is demote-stamped
+    * instead of deleted, and [[vacuum]] sweeps it once it ages out.
+    */
+  private def genRetentionMs: Long =
+    scala.util.Try(spark.conf.get("spark.graft.gen.retention.ms").toLong)
+      .getOrElse(0L)
+
+  private def demoteStamp(genDir: Path): Path = genDir.resolve("_demoted.json")
+
+  /** True when `genDir` is inside its retention window: demote-stamped and
+    * younger than the floor. Unstamped unreferenced generations are
+    * crashed phase-1 debris and stay immediately sweepable.
+    */
+  private def genRetained(genDir: Path): Boolean = {
+    val s = demoteStamp(genDir)
+    Files.exists(s) && scala.util.Try(readJson(s)("at").toLong).toOption
+      .exists(t => System.currentTimeMillis() - t < genRetentionMs)
+  }
+
   /** Flip the pointer to the staged generation `gen` (already complete
     * under `base/gen_<n>`), retaining the outgoing generation for
     * in-flight readers and deleting the grandparent — plus, on the FIRST
     * flip of a legacy in-place layout, the legacy table dirs. Caller holds
     * the commit scope.
+    *
+    * Grandparent delete honors the retention floor: a grandparent demoted
+    * (= its successor's flip, the moment it stopped being resolvable)
+    * less than [[genRetentionMs]] ago is stamped `_demoted.json` and left
+    * for [[vacuum]] to age out instead of deleted under a long-tail
+    * reader. The stamp is one tiny PUT, paid only when the floor is set.
     */
   private def flipGeneration(base: Path, gen: Path,
       legacyDirs: Seq[String]): Unit = {
     val newGen = gen.getFileName.toString
-    val old = genState(base)
+    val oldMap: Map[String, String] =
+      if (Files.exists(genPointer(base))) readJson(genPointer(base))
+      else Map.empty
+    val old: Option[(String, Option[String])] =
+      oldMap.get("current").map(c => (c, oldMap.get("prev").filter(_.nonEmpty)))
     CrashHooks.maybe("gen.beforeFlip")
     writeJson(genPointer(base),
-      Map("current" -> newGen) ++ old.map { case (c, _) => "prev" -> c })
+      Map("current" -> newGen,
+        "flipped_at" -> System.currentTimeMillis().toString) ++
+        old.map { case (c, _) => "prev" -> c })
+    // cache update INSIDE the commit scope, right after the PUT: readers
+    // resolve the new generation from memory from this point on
+    genCache.put(base.normalize(), Some((newGen, old.map(_._1))))
     CrashHooks.maybe("gen.afterFlip")
     old match {
-      case Some((_, Some(pp))) => deleteRec(base.resolve(pp))
+      case Some((_, Some(pp))) =>
+        val ppDir = base.resolve(pp)
+        // pp's demote time = the flip that made the OUTGOING current
+        // current (recorded in the pointer being replaced); legacy
+        // pointers without the field are ancient — delete
+        val demotedAt = oldMap.get("flipped_at").flatMap(v =>
+          scala.util.Try(v.toLong).toOption).getOrElse(0L)
+        if (System.currentTimeMillis() - demotedAt < genRetentionMs)
+          writeJson(demoteStamp(ppDir), Map("at" -> demotedAt.toString))
+        else deleteRec(ppDir)
       case None => legacyDirs.foreach(n => deleteRec(base.resolve(n)))
       case _ => ()
     }
@@ -2790,20 +2881,24 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // tmp-write materializes (reading the current dirs) before any swap;
       // the three tables share no directories and no uncomputed inputs, so
       // their write jobs run concurrently (the edges write alone was ~2× the
-      // nodes write — overlap collapses the sum to the max)
+      // nodes write — overlap collapses the sum to the max). PoolPinned:
+      // these run both FOREGROUND (request-path absorb) and inside the
+      // weight-1 rebuild pool (backlog replay) — the submission's pool must
+      // ride onto the shared workers, not the worker-creation accident.
       val nodesTmp = d.resolve("_tmp_nodes_" + System.nanoTime())
       val edgesTmp = d.resolve("_tmp_edges_" + System.nanoTime())
       val entriesTmp = d.resolve("_tmp_entries_" + System.nanoTime())
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
+      val sc = spark.sparkContext
       val writes = Seq(
-        scala.concurrent.Future(stage("hnsw nodes write")(
+        graft.core.PoolPinned.future(sc)(stage("hnsw nodes write")(
           nodesOut.repartition(col("_bucket")).write.mode(SaveMode.Overwrite)
             .partitionBy("_bucket").parquet(nodesTmp.toString))),
-        scala.concurrent.Future(stage("hnsw edges write")(
+        graft.core.PoolPinned.future(sc)(stage("hnsw edges write")(
           edgesOut.repartition(col("_bucket")).write.mode(SaveMode.Overwrite)
             .partitionBy("_bucket").parquet(edgesTmp.toString))),
-        scala.concurrent.Future(stage("hnsw entries write")(
+        graft.core.PoolPinned.future(sc)(stage("hnsw entries write")(
           entriesOut.write.mode(SaveMode.Overwrite).parquet(entriesTmp.toString))))
       // settle ALL writes before propagating any failure (no job may still
       // be writing a tmp this frame's caller might vacuum)

@@ -73,6 +73,90 @@ object ShardedBuildBench {
     if (mode == "unsharded" || mode == "both")
       time("hnsw_build_unsharded")(Hnsw.build(corpus, m = 8))
 
+    // r15 task 8: the 1M point served 8 queries at ~3 s/q (hop-loop fixed
+    // cost); the design's own claim is that searchBulk amortizes the hop
+    // loop across the batch. 512-query bulk batch over the persisted graph;
+    // optional 2nd flag "cached" A/Bs the request-scoped graph cache
+    // (pair with a page-cache drop between invocations for the cold path —
+    // r15 task 5).
+    if (mode == "serve-bulk") {
+      val g = Hnsw.Graph(corpus,
+        spark.read.parquet(s"$out/hnsw/edges"),
+        spark.read.parquet(s"$out/hnsw/entries"), "COSINE")
+      val cache = args.contains("cached")
+      val queries = corpus.filter(col("doc_id") % lit(factor) === 0)
+        .filter(col("doc_id") < lit(512L * factor))
+        .select(col("doc_id").as("qid"), col("dv").as("qv"))
+        .localCheckpoint()
+      val nq = queries.count()
+      val t0 = System.nanoTime()
+      val res = Hnsw.searchBulk(g, queries, k = 10, ef = 64,
+        cacheGraph = cache).localCheckpoint()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = res.count()
+      println(f"""{"bench":"hnsw_serve_bulk","docs":$n,"queries":$nq,"cacheGraph":$cache,"sec":$dt%.2f,"ms_per_q":${dt * 1000 / nq}%.1f,"rows":$rows}""")
+    }
+
+    // r15 task 5: one 8-query request-shape search, cacheGraph from the
+    // 2nd flag — the driver script drops the OS page cache before each
+    // invocation so the per-hop graph re-reads are real I/O (the claim the
+    // knob was added for).
+    if (mode == "serve-one") {
+      val g = Hnsw.Graph(corpus,
+        spark.read.parquet(s"$out/hnsw/edges"),
+        spark.read.parquet(s"$out/hnsw/entries"), "COSINE")
+      val cache = args.contains("cached")
+      val queries = corpus.filter(col("doc_id") % lit(factor) === 0)
+        .filter(col("doc_id") < lit(8L * factor))
+        .select(col("doc_id").as("qid"), col("dv").as("qv"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val rows = Hnsw.search(g, queries, k = 10, ef = 64,
+        cacheGraph = cache).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"""{"bench":"hnsw_serve_one","docs":$n,"cacheGraph":$cache,"sec":$dt%.2f,"rows":$rows}""")
+    }
+
+    // r15 task 4: routed-recall on a CLUSTERED corpus. The replicated
+    // fixture's 0.6-at-R=3/S=5 column is the uniform floor (true
+    // neighbours hash-spread across all shards); the router's value claim
+    // is that real corpora cluster. Here the corpus is KMeans-partitioned
+    // into S clusters and doc_ids are REMAPPED so shard ≡ cluster
+    // (buildSharded shards by pmod(doc_id, S)) — per-cluster shard
+    // affinity, the shape a locality-aware loader would produce — then
+    // recall@10 is measured at every R. Queries are corpus vectors, so
+    // each query's true neighbourhood lives in few (usually one) shards.
+    if (mode == "clustered") {
+      val S = 5
+      val byCluster = graft.operators.Ivf.assign(corpus,
+        graft.operators.Ivf.build(corpus, nlist = S, metric = "COSINE").centroids,
+        "COSINE")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("centroid_id").orderBy("doc_id")
+      val remapped = byCluster
+        .withColumn("doc_id",
+          (row_number().over(w).cast("long") - 1L) * S + col("centroid_id"))
+        .select("doc_id", "dv")
+        .localCheckpoint()
+      val g = time("hnsw_build_clustered")(Hnsw.buildSharded(remapped, m = 8,
+        shardTarget = math.max(1, math.ceil(n.toDouble / S).toInt)))
+      val queries = remapped.filter(col("doc_id") % 1999 === 0).limit(64)
+        .select(col("doc_id").as("qid"), col("dv").as("qv"))
+        .localCheckpoint()
+      val exact = graft.operators.Knn.search(remapped, queries,
+        graft.operators.SearchParams(limit = 10, outputFields = Nil))
+        .localCheckpoint()
+      for (r <- (1 to S) :+ Int.MaxValue) {
+        val t0 = System.nanoTime()
+        val res = Hnsw.search(g, queries, k = 10, ef = 64,
+          routeShards = if (r > S) Int.MaxValue else r).localCheckpoint()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val recall = graft.operators.Ivf.recallVsExact(res, exact)
+        val rTag = if (r > S) "all" else r.toString
+        println(f"""{"bench":"hnsw_clustered_routed","docs":$n,"shards":$S,"routeShards":"$rTag","sec":$dt%.2f,"recall":$recall%.3f}""")
+      }
+    }
+
     if (mode == "serve") {
       val g = Hnsw.Graph(corpus,
         spark.read.parquet(s"$out/hnsw/edges"),

@@ -474,4 +474,80 @@ class AsyncRebuildSpec extends SparkSpec {
     val hit = cat.search(SearchRequest("t", "m", bvec(25), limit = 1))
     assert(hit.success && hit.data.head.content == "bdoc 25")
   }
+
+  /** r14 (verdict finding 4 / r15 task 3): pin lifetime on daemon crash.
+    * Pins are instance-scoped BY DESIGN — a crashed rebuild daemon takes
+    * its in-memory pins with it, leaving `_tmp_snap_*` manifest roots,
+    * `_retained_*` delta slots and kept `_aside_*` generations on disk.
+    * This was argued (VectorStoreCatalog snapshot scaladoc: all three are
+    * debris classes vacuum/healAsides already sweep) but never specced.
+    * Asserted here end-to-end: a restarted catalog (fresh instance, no
+    * live pins) sweeps ALL crashed-pin debris, every committed row keeps
+    * serving, a subsequent explicit rebuild runs clean over the swept
+    * state — and if the crashed daemon's parked build ever resumes, the
+    * vanished-pinned-file contract aborts it LOUDLY instead of letting it
+    * publish from a partial snapshot.
+    */
+  test("crashed-pin debris is swept on restart; live table and the next rebuild are unharmed") {
+    val dir = Files.createTempDirectory("graft_pin_crash").toString
+    val cat = new VectorStoreCatalog(spark, dir)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4,
+      extraProps = Map("ivf_max_absorbs" -> "1", "ingest_mode" -> "delta")))
+    cat.insert("t", "m", (0 until 100).map(i =>
+      EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), avec(i))))
+    cat.persistIndex("t", "m")
+    val gate = new CountDownLatch(1)
+    RebuildHooks.holdGate = Some(gate)
+    val td = cat.tableDir("t", "m")
+    def debris(): List[String] = {
+      val s = Files.walk(td)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("_tmp_snap_") || n.startsWith("_retained_") ||
+          n.startsWith("_aside_")).toList
+      finally s.close()
+    }
+    try {
+      // two absorbed batches cross ivf_max_absorbs=1: the second SCHEDULES
+      // the detached retrain, which pins the manifest and parks at the gate
+      cat.insert("t", "m", (0 until 10).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      cat.insert("t", "m", (10 until 20).map(i =>
+        EmbeddedVector(s"b$i", s"bdoc $i", "m", Map(), bvec(i))))
+      // fold the pinned delta commits → `_retained_*` slots; the fold's
+      // bucket rewrites retire pinned bucket generations to kept asides
+      cat.flush("t", "m")
+      val before = debris()
+      assert(before.exists(_.startsWith("_tmp_snap_")),
+        s"schedule must have pinned a snapshot root, got $before")
+      assert(before.exists(_.startsWith("_retained_")),
+        s"the fold must have retained the pinned delta dirs, got $before")
+      // "crash": the daemon and its in-memory pins die; a fresh catalog
+      // over the same directory is the restarted process
+      val cat2 = new VectorStoreCatalog(spark, dir)
+      cat2.vacuum("t", "m")
+      assert(debris().isEmpty,
+        s"restart vacuum must sweep crashed-pin debris, found ${debris()}")
+      // live table unharmed: rows from every committed batch still serve
+      val hitA = cat2.search(SearchRequest("t", "m", avec(7), limit = 1))
+      assert(hitA.success && hitA.data.head.content == "adoc 7", s"got $hitA")
+      val hitB = cat2.search(SearchRequest("t", "m", bvec(15), limit = 1))
+      assert(hitB.success && hitB.data.head.content == "bdoc 15", s"got $hitB")
+      // a fresh explicit rebuild over the swept state runs clean and exact
+      cat2.persistIndex("t", "m")
+      val ids = cat2.loadIndex("t", "m").clustered
+        .select("doc_id").distinct().count()
+      assert(ids == 120, s"rebuilt index must hold all 120 rows, got $ids")
+    } finally {
+      gate.countDown()
+      RebuildHooks.holdGate = None
+    }
+    // the crashed daemon's parked build resumes against the swept debris:
+    // its pinned files are gone, and the loud-abort contract must hold —
+    // a silent publish from a partial snapshot is the failure mode
+    intercept[RuntimeException] { cat.awaitRebuilds("t", "m") }
+    // the abort discarded its staged state without touching the live index
+    val cat3 = new VectorStoreCatalog(spark, dir)
+    val hit3 = cat3.search(SearchRequest("t", "m", avec(7), limit = 1))
+    assert(hit3.success && hit3.data.head.content == "adoc 7", s"got $hit3")
+  }
 }

@@ -631,4 +631,49 @@ class ObjectStoreCommitSpec extends SparkSpec {
       }
     }
   }
+
+  /** r14 (verdict finding 3 / r15 task 6): retention kept exactly
+    * current+prev, so a reader that resolved the pointer and then
+    * straddled TWO publishes read deleted files. With the
+    * `spark.graft.gen.retention.ms` floor set, the grandparent is
+    * demote-stamped at flip time instead of deleted, stays fully readable
+    * for a long-tail reader holding its resolved root, survives vacuum
+    * inside the window, and is swept once it ages out.
+    */
+  test("generation retention floor: a resolved root survives two publishes") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("gen_retention").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4))
+    cat.insert("t", "m", (0 until 40).map(i =>
+      EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), vec(i))))
+    spark.conf.set("spark.graft.gen.retention.ms", "3600000")
+    try {
+      cat.persistIndex("t", "m") // legacy → gen A
+      val rootA = cat.denseRoot("t", "m") // the long-tail reader's resolved root
+      assert(rootA.getFileName.toString.startsWith("gen_"), s"got $rootA")
+      cat.persistIndex("t", "m") // gen B (A = prev, still pointer-referenced)
+      cat.persistIndex("t", "m") // gen C (A = grandparent → stamped, retained)
+      assert(cat.denseRoot("t", "m") != rootA)
+      // the straddling reader's generation is intact and readable
+      assert(Files.exists(rootA.resolve("_demoted.json")),
+        "inside the floor the grandparent must be demote-stamped, not deleted")
+      val n = spark.read
+        .schema("centroid_id INT, doc_id LONG, dv ARRAY<DOUBLE>")
+        .parquet(rootA.resolve("clustered").toString).count()
+      assert(n == 40, s"retained generation must stay readable, got $n rows")
+      // vacuum honors the floor...
+      cat.vacuum("t", "m")
+      assert(Files.exists(rootA.resolve("centroids")),
+        "vacuum must not sweep a generation inside its retention window")
+      // ...and sweeps once the window passes (floor dropped to 0)
+      spark.conf.set("spark.graft.gen.retention.ms", "0")
+      cat.vacuum("t", "m")
+      assert(!Files.exists(rootA), "aged-out demoted generation must be swept")
+      // serving never blinked
+      val hit = cat.search(SearchRequest("t", "m", vec(7), limit = 1))
+      assert(hit.success && hit.data.head.content == "adoc 7")
+    } finally spark.conf.unset("spark.graft.gen.retention.ms")
+  }
 }
