@@ -2812,8 +2812,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // cacheGraph = false: nodesRaw/edgesRaw are ALREADY persisted for
       // this whole absorb (the prune/rewrite plans reuse them) — a second
       // request-scoped cache would just copy the same data
-      def beam() = Hnsw.search(g, queries, k = 8, ef = 32, maxHops = 3,
-          earlyStop = false, cacheGraph = false)
+      val connectHops = properties(tenant, model)
+        .getOrElse("hnsw_connect_hops", "3").toInt
+      def beam() = Hnsw.search(g, queries, k = 8, ef = 32,
+          maxHops = connectHops, earlyStop = false, cacheGraph = false)
         .select(col("qid").as("src"), col("doc_id").as("dst"))
         .filter(col("src") =!= col("dst"))
       val nbrs = stage("hnsw beam search")(

@@ -24,9 +24,12 @@ object ProfileInsert {
       java.nio.file.Files.createTempDirectory("graft_prof").toString)
     if (mode == "hnsw") {
       // the b6i fixture shape: 1000-row HNSW collection, 100-row churn
-      // batches (50 replacements + 50 fresh), absorb threshold never crossed
+      // batches (50 replacements + 50 fresh), absorb threshold never crossed.
+      // 2nd arg = hnsw_connect_hops (A/B the absorb beam depth in-session)
+      val hops = args.drop(1).headOption.getOrElse("3")
       cat.generateSchema(SchemaSpec("t", "m", dimension = 64,
-        indexType = "HNSW", extraProps = Map("hnsw_max_absorbs" -> "100000")))
+        indexType = "HNSW", extraProps = Map("hnsw_max_absorbs" -> "100000",
+          "hnsw_connect_hops" -> hops)))
       cat.insert("t", "m", (0 until 1000).map(i =>
         EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "m", Map(), vec(i))))
       cat.persistIndex("t", "m")
@@ -37,10 +40,15 @@ object ProfileInsert {
       }
       cat.insert("t", "m", churn(1)) // warm
       val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val traceJobs = sys.env.contains("GRAFT_PROFILE_JOBS")
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
+          if (traceJobs) System.err.println(
+            s"[job ${js.jobId}] stages=${js.stageInfos.size} " +
+              String.valueOf(js.properties.getProperty("callSite.short")))
+        }
       })
       cat.jobProbe = () => jobs.get()
       for (g <- 2 to 4) {
