@@ -2866,10 +2866,6 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           .join(batchIds, Seq("doc_id"), "left_anti")
           .unionByName(batchVecs.select("doc_id", "dv"))
       }
-      val edgesOut = Hnsw.pruneAdjacency(
-          keptExisting.drop("_bucket").unionByName(newEdges.drop("_bucket")).distinct(),
-          g.entries.select("doc_id"), maxDeg, g.metric, vecsFor)
-        .withColumn("_bucket", pmod(col("src"), lit(nB)))
       // An upserted key that is a cell's entry medoid must seed future walks
       // with its NEW vector — refresh the (tiny) entries table from the
       // batch. The shard id rides through unchanged (an absorb never moves
@@ -2887,21 +2883,41 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // these run both FOREGROUND (request-path absorb) and inside the
       // weight-1 rebuild pool (backlog replay) — the submission's pool must
       // ride onto the shared workers, not the worker-creation accident.
+      // The nodes/entries writes launch BEFORE the prune plan is built:
+      // pruneAdjacency runs two eager driver-synchronized jobs (overfull
+      // candidates checkpoint + the bucket-restricted vector lookup's
+      // collect) during plan CONSTRUCTION, and neither nodesOut nor
+      // entriesOut depends on it — sequencing them behind the prune was
+      // dead time on the absorb's fixed-latency chain.
       val nodesTmp = d.resolve("_tmp_nodes_" + System.nanoTime())
       val edgesTmp = d.resolve("_tmp_edges_" + System.nanoTime())
       val entriesTmp = d.resolve("_tmp_entries_" + System.nanoTime())
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
       val sc = spark.sparkContext
-      val writes = Seq(
+      val earlyWrites = Seq(
         graft.core.PoolPinned.future(sc)(stage("hnsw nodes write")(
           nodesOut.repartition(col("_bucket")).write.mode(SaveMode.Overwrite)
             .partitionBy("_bucket").parquet(nodesTmp.toString))),
-        graft.core.PoolPinned.future(sc)(stage("hnsw edges write")(
-          edgesOut.repartition(col("_bucket")).write.mode(SaveMode.Overwrite)
-            .partitionBy("_bucket").parquet(edgesTmp.toString))),
         graft.core.PoolPinned.future(sc)(stage("hnsw entries write")(
           entriesOut.write.mode(SaveMode.Overwrite).parquet(entriesTmp.toString))))
+      // prune construction runs eager jobs — if it fails, settle the
+      // in-flight writes BEFORE unwinding (the settle-all contract below:
+      // no job may still be writing a tmp this frame's caller might vacuum)
+      val edgesOut =
+        try Hnsw.pruneAdjacency(
+            keptExisting.drop("_bucket").unionByName(newEdges.drop("_bucket")).distinct(),
+            g.entries.select("doc_id"), maxDeg, g.metric, vecsFor)
+          .withColumn("_bucket", pmod(col("src"), lit(nB)))
+        catch { case t: Throwable =>
+          earlyWrites.foreach(w => scala.util.Try(scala.concurrent.Await
+            .result(w, scala.concurrent.duration.Duration.Inf)))
+          throw t
+        }
+      val writes = earlyWrites :+
+        graft.core.PoolPinned.future(sc)(stage("hnsw edges write")(
+          edgesOut.repartition(col("_bucket")).write.mode(SaveMode.Overwrite)
+            .partitionBy("_bucket").parquet(edgesTmp.toString)))
       // settle ALL writes before propagating any failure (no job may still
       // be writing a tmp this frame's caller might vacuum)
       val results = writes.map(w => scala.util.Try(

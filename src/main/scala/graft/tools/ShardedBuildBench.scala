@@ -138,15 +138,20 @@ object ShardedBuildBench {
           (row_number().over(w).cast("long") - 1L) * S + col("centroid_id"))
         .select("doc_id", "dv")
         .localCheckpoint()
-      val g = time("hnsw_build_clustered")(Hnsw.buildSharded(remapped, m = 8,
+      val g0 = time("hnsw_build_clustered")(Hnsw.buildSharded(remapped, m = 8,
         shardTarget = math.max(1, math.ceil(n.toDouble / S).toInt)))
+      // PIN the union graph before serving: the in-memory build output's
+      // edge lineage reaches back through every shard build — an unpinned
+      // hop loop re-executes it per hop (measured: ~16 min for ONE search)
+      val g = Hnsw.Graph(g0.nodes.localCheckpoint(), g0.edges.localCheckpoint(),
+        g0.entries.localCheckpoint(), g0.metric)
       val queries = remapped.filter(col("doc_id") % 1999 === 0).limit(64)
         .select(col("doc_id").as("qid"), col("dv").as("qv"))
         .localCheckpoint()
       val exact = graft.operators.Knn.search(remapped, queries,
         graft.operators.SearchParams(limit = 10, outputFields = Nil))
         .localCheckpoint()
-      for (r <- (1 to S) :+ Int.MaxValue) {
+      for (r <- Seq(1, 2, 3, Int.MaxValue)) {
         val t0 = System.nanoTime()
         val res = Hnsw.search(g, queries, k = 10, ef = 64,
           routeShards = if (r > S) Int.MaxValue else r).localCheckpoint()
