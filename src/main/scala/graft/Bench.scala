@@ -277,8 +277,14 @@ object Bench {
     val churnBench = Map("hnswchurn" -> "b14d_hnsw_search_churned",
       "hnswfresh" -> "b14e_hnsw_search_rebuilt")
     for (m <- Seq("hnswchurn", "hnswfresh") if need(churnBench(m))) {
+      // hnsw_absorb_window=1: absorb-per-insert, PINNED — this pair is a
+      // controlled experiment on absorb edge debt (12 real absorbs vs one
+      // fresh build of the same corpus), so the r16 growing-segment
+      // default (batched folds + a brute-force pending leg) must not
+      // change what it measures; the default regime has its own row (b6j)
       benchCat.generateSchema(graft.api.SchemaSpec("bench", m, dimension = 64,
-        indexType = "HNSW", extraProps = Map("hnsw_max_absorbs" -> "1000")))
+        indexType = "HNSW", extraProps = Map("hnsw_max_absorbs" -> "1000",
+          "hnsw_absorb_window" -> "1")))
       benchCat.insert("bench", m, (0 until 1000).map(i =>
         graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", m,
           Map("g" -> "0"), benchVec(i))))
@@ -317,14 +323,24 @@ object Bench {
     // same 100-row churn batch (the b14d shape — an HNSW absorb's cost is
     // the per-batch beam search, so batch size sets the row's floor);
     // b6h crosses `hnsw_max_absorbs = 1` every iteration, b6i never
-    // crosses — their DELTA is what the threshold costs the insert.
+    // crosses — their DELTA is what the threshold costs the insert. Both
+    // pin `hnsw_absorb_window = 1` (absorb-per-insert): the pair measures
+    // the ABSORB CYCLE's cost and stays comparable to pre-r16 rounds. The
+    // r16 serving DEFAULT — the growing-segment pending window (append +
+    // brute-force serve, one batched fold per window) — is its own row,
+    // b6j: the per-insert latency a caller actually sees, with the fold
+    // visible as the every-8th-iteration spike in the per-iteration
+    // stderr trace (min-of-N reports the steady state by design).
     val hnswThreshBench = Map("hthresh" -> "b6h_upsert_hnsw_at_threshold",
-      "hplain" -> "b6i_upsert_hnsw_control")
-    for (m <- Seq("hthresh", "hplain") if need(hnswThreshBench(m))) {
+      "hplain" -> "b6i_upsert_hnsw_control",
+      "hpend" -> "b6j_upsert_hnsw_pending")
+    for (m <- Seq("hthresh", "hplain", "hpend") if need(hnswThreshBench(m))) {
       benchCat.generateSchema(graft.api.SchemaSpec("bench", m,
         dimension = 64, indexType = "HNSW",
         extraProps = Map("hnsw_max_absorbs" ->
-          (if (m == "hthresh") "1" else "100000"))))
+          (if (m == "hthresh") "1" else "100000")) ++
+          (if (m == "hpend") Map.empty[String, String]
+           else Map("hnsw_absorb_window" -> "1"))))
       benchCat.insert("bench", m, (0 until 1000).map(i =>
         graft.api.EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", m,
           Map("g" -> "0"), benchVec(i))))
@@ -333,6 +349,7 @@ object Bench {
     }
     var b6hGen = 3000
     var b6iGen = 4000
+    var b6jGen = 5000
 
     // Applied to EVERY timed query at the timing site: counting a query
     // lets Catalyst prune whatever the count does not need (the as-of lost
@@ -626,6 +643,13 @@ object Bench {
       "b6i_upsert_hnsw_control" -> (() => {
         b6iGen += 1
         benchCat.insert("bench", "hplain", hnswChurnBatch(b6iGen, "hplain"))
+        spark.range(1).toDF("ok")
+      }),
+      // the serving-default insert: growing-segment append (window=8) —
+      // folds appear as every-8th-iteration spikes in the stderr trace
+      "b6j_upsert_hnsw_pending" -> (() => {
+        b6jGen += 1
+        benchCat.insert("bench", "hpend", hnswChurnBatch(b6jGen, "hpend"))
         spark.range(1).toDF("ok")
       }),
     ) ++ (if (sys.env.contains("SPARK_GRAFT_BENCH_HOTKEY")) Seq[(String, () => DataFrame)](

@@ -463,6 +463,40 @@ object SparkEntry {
       val g = Hnsw.build(corpus, m = 8)
       Hnsw.searchBulk(g, queries, k = 10, ef = 8192)
     }),
+    // Growing-segment serving through the FACADE (r16): the corpus is
+    // split — 80% graph-indexed, 20% inserted after the build in
+    // sub-window batches that stay PENDING (hnsw_absorb_window default 8,
+    // served brute-force ∪ beam, the Milvus growing-segment shape). At
+    // full beam both legs are exact, so the union must equal brute-force
+    // KNN over the WHOLE corpus — same oracle as q_hnsw_knn. Keys/chunks
+    // carry the numeric doc_id so the facade result maps back to the
+    // oracle's id space.
+    "q_hnsw_pending" -> ((s, dir) => {
+      val cat = new graft.sources.VectorStoreCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_hnswpend").toString)
+      val corpus = Tables.docsCorpus(s, dir)
+        .select(col("doc_id"), col("qv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+        .sortBy(_._1)
+      val dim = corpus.head._2.length
+      cat.generateSchema(graft.api.SchemaSpec("verify", "hpend",
+        dimension = dim, indexType = "HNSW"))
+      val cut = corpus(corpus.length * 4 / 5)._1
+      def rows(sel: Long => Boolean) = corpus.filter(c => sel(c._1)).map {
+        case (id, v) =>
+          graft.api.EmbeddedVector(id.toString, id.toString, "hpend", Map(), v)
+      }
+      rows(_ < cut).grouped(1000).toSeq
+        .foreach(b => cat.insert("verify", "hpend", b))
+      cat.persistIndex("verify", "hpend")
+      rows(_ >= cut).grouped(40).toSeq // a few batches, all under the window
+        .foreach(b => cat.insert("verify", "hpend", b))
+      val qs = corpus.filter(_._1 < 8).map(_._2: Seq[Double]).toSeq
+      cat.searchDfBatch(graft.api.SearchRequest("verify", "hpend", qs.head,
+          limit = 10, ef = Some(8192)), qs)
+        .select(col("qid"), col("rank"),
+          col("chunk").cast("long").as("doc_id"), col("score"))
+    }),
 
     // ---- D2 variant: INT64 / auto_id primary keys (base_milvus.py:895-917,
     //      1019-1030: dtype INT64 ⇒ auto_id, store-generated PKs). The id
@@ -929,6 +963,7 @@ object SparkEntry {
     "q_hnsw_knn"      -> Oracles.annEmbedExact(8, 10),
     "q_hnsw_bulk"     -> Oracles.annEmbedExact(8, 10),
     "q_hnsw_sharded"  -> Oracles.annEmbedExact(8, 10),
+    "q_hnsw_pending"  -> Oracles.annEmbedExact(8, 10),
     "q_ann_lsh"       -> Oracles.annLsh(4, 10),
     "q_sessionize"    -> Oracles.sessionize(30L * 60 * 1000000L), // us gap, matches query
     "q_asof_join"     -> Oracles.asofJoin,

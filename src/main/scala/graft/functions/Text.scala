@@ -38,21 +38,40 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Driver-side mirror of [[tokens]] — byte-identical output, guaranteed.
-    * Every driver-known vocabulary that feeds a plan-side pruning hint
-    * (Bm25 `knownTerms` — a pruned dictionary join silently DROPS postings
-    * of any term the hint missed) must tokenize through this, never an
-    * inline `toLowerCase.split(...)`: `String.toLowerCase()` is
-    * locale-sensitive (a Turkish default locale maps 'I' → 'ı', which the
-    * plan-side `lower()` — locale-independent UTF8String lowercasing —
-    * never produces), so an inline copy can drift from the plan tokenizer
-    * without any code change. Locale.ROOT matches Spark's behavior on the
-    * ascii range the regex keeps. TokenizerParitySpec pins the agreement
-    * over the fixture corpus.
+  /** Driver-side mirror of [[tokens]] — identical output on FULL-ASCII
+    * input (Spark's UTF8String lowercases such strings bytewise,
+    * locale-free, matching Locale.ROOT here; TokenizerParitySpec pins the
+    * agreement over the fixture corpus and under a Turkish default
+    * locale). On non-ASCII input both sides strip the non-ascii bytes as
+    * delimiters, but the LOWERCASING step can split differently: Spark
+    * 4.1.2's `UTF8String.toLowerCaseSlow()` falls back to default-locale
+    * `String.toLowerCase()` for any non-full-ASCII string, so under e.g. a
+    * Turkish default locale the plan side maps 'I' → 'ı' (a delimiter)
+    * where this Locale.ROOT mirror keeps 'i' — divergent token SPLITS, not
+    * just divergent tokens. A driver-known vocabulary that feeds a
+    * plan-side PRUNING hint (Bm25 `knownTerms` — a pruned dictionary join
+    * silently DROPS postings of any term the hint missed) must therefore
+    * use [[driverTokenHint]], which unions both lowercasings into a safe
+    * superset; this mirror alone is only exact for full-ASCII input.
     */
   def driverTokens(text: String): Seq[String] =
     text.toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  /** Locale-robust SUPERSET of the plan-side tokenization, for pruning
+    * hints: the union of the Locale.ROOT tokens (Spark's full-ASCII fast
+    * path) and the default-locale tokens (Spark's non-ASCII slow path —
+    * `UTF8String.toLowerCaseSlow()` delegates to default-locale
+    * `String.toLowerCase()`). Whichever path the plan takes, its token set
+    * is contained here, so a hint built from this can ONLY over-include —
+    * extra terms miss the dictionary and cost nothing, while a missed term
+    * would silently lose its postings (TokenizerParitySpec asserts the
+    * superset property under a Turkish default locale on mixed-script
+    * adversarial strings).
+    */
+  def driverTokenHint(text: String): Seq[String] =
+    (driverTokens(text) ++
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)).distinct
 
   /** Deterministic integer code for a token, built only from ascii/length so
     * DuckDB can replicate it byte-for-byte. Collisions are fine — both engines

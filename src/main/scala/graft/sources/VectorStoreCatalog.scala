@@ -1308,8 +1308,24 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       stage("hnsw migrate")(migrateHnswLayout(tenant, model))
       stage("hnsw empty check")(hnswGraphEmpty(tenant, model))
     }
+    // Growing-segment regime (`hnsw_absorb_window` > 1, the default): the
+    // insert does NOT pay a per-batch beam+prune+write absorb. The batch is
+    // appended to a durable pending set that searches serve brute-force
+    // (how Milvus serves growing segments before a seal — the reference's
+    // backing engine never graph-inserts per request either), and ONE
+    // batched absorb folds the whole window when it fills. The absorb
+    // cycle's ~50 driver-synchronized jobs are per-CYCLE, not per-row (beam
+    // hops are bounded by graph diameter, writes are bucket-restricted), so
+    // folding W batches costs ~one single-insert absorb — the searchBulk
+    // hop-amortization argument applied to ingest. window <= 1 keeps the
+    // r15 absorb-per-insert path; an over-window batch with nothing queued
+    // absorbs directly (no pending round-trip for bulk loads).
+    val hnswPendingMode = haveHnsw && !hnswEmptyGraph &&
+      hnswAbsorbWindow(tenant, model) > 1 &&
+      !(batchSize >= hnswPendingMaxRows(tenant, model) &&
+        hnswPendingStats(tenant, model)._1 == 0)
     val hnswPrepFut =
-      if (haveHnsw && !hnswEmptyGraph)
+      if (haveHnsw && !hnswEmptyGraph && !hnswPendingMode)
         Some(graft.core.PoolPinned.future(spark.sparkContext)(prepareHnswAbsorb(
           hnswRoot(tenant, model), tenant, model, batchVecs, knownDocIds))(
           scala.concurrent.ExecutionContext.global))
@@ -1504,6 +1520,16 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     hnswPrepRes.foreach(prep =>
       stage("hnsw absorb commit")(finishHnswAbsorb(tenant, model, prep.get,
         batchVecs)))
+    // growing-segment append, AFTER the data commit is visible (a pending
+    // row must never serve ahead of the table); fold when the window fills
+    if (hnswPendingMode) {
+      stage("hnsw pending append")(
+        appendHnswPending(tenant, model, batchVecs, batchSize))
+      val (nb, nr) = hnswPendingStats(tenant, model)
+      if (nb >= hnswAbsorbWindow(tenant, model) ||
+          nr >= hnswPendingMaxRows(tenant, model))
+        stage("hnsw pending fold")(foldHnswPending(tenant, model))
+    }
     if (hnswEmptyGraph)
       // first build — there is no old generation to serve, so synchronous
       // (the data commit is already visible: awaited above)
@@ -1818,6 +1844,20 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     lazy val denseRootR = denseRoot(req.tenant, req.model)
     lazy val idx = loadIndexAt(denseRootR, req.tenant, req.model)
     lazy val hnsw = loadHnsw(req.tenant, req.model)
+    // Growing-segment rows not yet folded into the graph (the pending
+    // window): served EXACTLY — brute-force scored and unioned with the
+    // beam winners below — so a just-inserted or just-replaced key is
+    // always searchable at its current vector. Empty-window requests pay
+    // one directory existence probe and nothing else.
+    lazy val hnswPend: Option[DataFrame] =
+      if (!haveHnsw) None else pendingHnswVecs(req.tenant, req.model)
+    // node table with pending overlays applied (a replaced key's graph row
+    // holds its pre-replacement vector until the fold) — what the hybrid
+    // dense leg scores; the dense-only path re-scores from the data table
+    // and needs no overlay
+    lazy val hnswNodesEff: DataFrame = hnswPend.fold(hnsw.nodes)(p =>
+      hnsw.nodes.join(broadcast(p.select("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(p.select("doc_id", "dv")))
 
     // Shared tail of every indexed path: per-query (qid, doc_id) winners →
     // bucket-pruned point lookups → exact per-pair re-score → the reference
@@ -1841,16 +1881,32 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // seeds) — a post-hoc semi-join over the global top-k would starve a
     // small targeted partition entirely. `ef` comes from the request when
     // given (the reference forwards HNSW search params per request).
-    def hnswWinners(k: Int): DataFrame =
-      Hnsw.search(hnsw, queries, k = k, ef = effectiveEf(req, k),
+    def hnswWinners(k: Int): DataFrame = {
+      val beam = Hnsw.search(hnsw, queries, k = k, ef = effectiveEf(req, k),
           allowed = partOpt,
           // `hnsw_route_shards`: cap how many shards seed each query's beam
           // on an auto-sharded graph (nearest-R by entry-medoid score) —
           // the serving knob for S in the hundreds. Unset = all shards,
           // the bit-exact default; ignored by unsharded graphs
-          routeShards = properties(req.tenant, req.model)
-            .get("hnsw_route_shards").map(_.toInt).getOrElse(Int.MaxValue))
+          routeShards = clampProp(properties(req.tenant, req.model)
+            .get("hnsw_route_shards"), Int.MaxValue, 1, Int.MaxValue))
         .select("qid", "doc_id")
+      hnswPend.fold(beam) { p =>
+        // pending leg: exact top-k over the bounded pending set, partition-
+        // scoped like the beam's allowed set. A replaced key can surface
+        // from BOTH legs — the union dedups the pair and every downstream
+        // score comes from the CURRENT stored vector (exact re-rank), so
+        // staleness in the graph costs recall never correctness.
+        val scoped = partOpt.fold(p)(ids =>
+          p.join(ids, Seq("doc_id"), "left_semi"))
+        val pendK = TopK.perKey(
+            Knn.scored(scoped, queries, req.metricType),
+            "qid", "rawScore", "doc_id", k,
+            desc = Knn.higherIsBetter(req.metricType))
+          .select("qid", "doc_id")
+        beam.unionByName(pendK).dropDuplicates("qid", "doc_id")
+      }
+    }
 
     // Index-bounded dense search; without any index: the full-scan Knn plan.
     def denseSearch(): DataFrame =
@@ -1883,7 +1939,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           // hnswSearchK resolves to the H5 per-leg cap min(limit,50)·2 on
           // this branch (its condition IS this branch's guard)
           Knn.scoredPairs(hnswWinners(hnswSearchK(req))
-            .join(hnsw.nodes, "doc_id"), queries, req.metricType)
+            .join(hnswNodesEff, "doc_id"), queries, req.metricType)
             .select("qid", "doc_id", "rawScore")
         else if (haveIndex) indexedScored(req, idx, denseRootR, queries, partOpt)
         else Knn.scored(partCorpus.select("doc_id", "dv"), queries, req.metricType)
@@ -1892,11 +1948,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // side is plan-resident end-to-end (no driver Seq of pairs) — and
       // the request vocabulary, driver-known from the text_filter string,
       // still drives the stored-dictionary partition prune via knownTerms.
-      // Text.driverTokens, NOT an inline toLowerCase.split: knownTerms is
-      // a pruning hint over the stored dictionary — a term the hint misses
-      // (e.g. locale-divergent lowercasing) silently loses its postings
-      val reqTerms = graft.functions.Text.driverTokens(req.textFilter.get)
-        .distinct
+      // Text.driverTokenHint, NOT an inline toLowerCase.split: knownTerms
+      // is a pruning hint over the stored dictionary — a term the hint
+      // misses silently loses its postings, and the plan-side lower() is
+      // default-locale for non-ASCII strings, so the hint must be the
+      // UNION of both lowercasings (superset-safe; Text.scala scaladoc)
+      val reqTerms = graft.functions.Text.driverTokenHint(req.textFilter.get)
       val fused = Hybrid.searchScoredDf(denseScored, m,
         queries.select(col("qid"), lit(req.textFilter.get).as("text")), params,
         sparseCandidates = partOpt, knownTerms = Some(reqTerms))
@@ -2056,30 +2113,68 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * metadata READ PER REQUEST — invisible on a local fs (~µs, adjudicated
     * ambient in r15, SCALE.md) but a real latency adder at object-store
     * GET latencies (10–50 ms) that grows with request rate, not data. The
-    * cache resolves once per (process, collection) and is updated INSIDE
-    * the flip ([[flipGeneration]] writes the new value right after the
-    * pointer PUT, under the commit scope) and dropped on collection
-    * create/drop. A reader that raced the flip and cached the OUTGOING
-    * generation is exactly the in-flight-reader case the retention rule
-    * already covers (the outgoing generation survives until the NEXT
-    * flip — by which point this process's cache has been updated by its
-    * own flip, or the entry dropped). Cross-PROCESS flips are not a thing
-    * here (one writer process per collection, same assumption as the
-    * collection lock itself); a restarted process re-reads.
+    * cache is updated INSIDE the flip ([[flipGeneration]] writes the new
+    * value right after the pointer PUT, under the commit scope) and
+    * dropped on collection create/drop, so same-process flips are visible
+    * instantly and the steady-state pointer GET rate is zero.
+    *
+    * Cross-INSTANCE flips (a second catalog over the same basePath — a
+    * reader replica, or the repo's own two-instance specs) have no flip
+    * hook into this map, so a cached entry is re-validated two ways
+    * (r15 advisor, medium):
+    *  - TTL (`spark.graft.gen.cache.ttl.ms`, default 2000): entries older
+    *    than the TTL re-read the pointer — one GET per TTL window per
+    *    collection, not per request; staleness is bounded by the TTL
+    *    (set 0 to re-read every resolution, the pre-cache behavior).
+    *  - missing-root fallback: if the resolved generation directory is
+    *    GONE (two flips elsewhere deleted it), the pointer is re-read
+    *    immediately — without this, `ignoreMissingFiles` would turn the
+    *    vanished root into silently EMPTY results for up to a TTL.
     */
+  private final case class GenEntry(
+      state: Option[(String, Option[String])], readAt: Long)
+
   private val genCache =
-    new java.util.concurrent.ConcurrentHashMap[Path, Option[(String, Option[String])]]()
+    new java.util.concurrent.ConcurrentHashMap[Path, GenEntry]()
+
+  private def genCacheTtlMs: Long =
+    scala.util.Try(spark.conf.get("spark.graft.gen.cache.ttl.ms").toLong)
+      .getOrElse(2000L)
 
   /** (current, prev) generation names; None = legacy in-place layout. */
-  private def genState(base: Path): Option[(String, Option[String])] =
-    genCache.computeIfAbsent(base.normalize(), b => readGenState(b))
+  private def genState(base: Path): Option[(String, Option[String])] = {
+    val b = base.normalize()
+    val now = System.currentTimeMillis()
+    def reread(): Option[(String, Option[String])] = {
+      val s = readGenState(b)
+      genCache.put(b, GenEntry(s, now))
+      s
+    }
+    val e = genCache.get(b)
+    val st =
+      if (e != null && now - e.readAt < genCacheTtlMs) e.state else reread()
+    st match {
+      case Some((c, _)) if !Files.exists(b.resolve(c)) => reread()
+      case other => other
+    }
+  }
 
-  private def readGenState(base: Path): Option[(String, Option[String])] =
+  private def readGenState(base: Path): Option[(String, Option[String])] = {
+    // SIMULATION knob (`spark.graft.sim.pointer.latency.ms`, default 0):
+    // sleep per pointer GET, modeling an object store's 10–50 ms metadata
+    // read — the deployment the genCache exists for. Lets the cache's
+    // claim be MEASURED locally (tools/ObjectStoreLatencyBench) instead of
+    // argued; zero cost when unset.
+    val lat = scala.util.Try(
+      spark.conf.get("spark.graft.sim.pointer.latency.ms").toLong)
+      .getOrElse(0L)
+    if (lat > 0) Thread.sleep(lat)
     if (!Files.exists(genPointer(base))) None
     else scala.util.Try {
       val m = readJson(genPointer(base))
       (m("current"), m.get("prev").filter(_.nonEmpty))
     }.toOption
+  }
 
   /** The CURRENT dense generation root — resolve ONCE per request/commit
     * and derive every read from it.
@@ -2141,6 +2236,27 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       else Map.empty
     val old: Option[(String, Option[String])] =
       oldMap.get("current").map(c => (c, oldMap.get("prev").filter(_.nonEmpty)))
+    // grandparent's demote time = the flip that made the OUTGOING current
+    // current (recorded in the pointer being replaced); legacy pointers
+    // without the field are ancient — delete
+    val ppRetain: Option[(Path, Long)] = old match {
+      case Some((_, Some(pp))) =>
+        val demotedAt = oldMap.get("flipped_at").flatMap(v =>
+          scala.util.Try(v.toLong).toOption).getOrElse(0L)
+        Some((base.resolve(pp), demotedAt))
+      case _ => None
+    }
+    // Retention stamp BEFORE the pointer PUT: a crash in the window
+    // between the PUT and a post-PUT stamp would leave the grandparent
+    // unreferenced AND unstamped — restart vacuum would classify it as
+    // phase-1 debris and sweep it inside the floor, defeating the floor
+    // for the long-tail reader it protects (r15 advisor). Stamping a
+    // still-prev generation is harmless: it stays pointer-referenced, and
+    // the stamp only ever widens what vacuum retains.
+    ppRetain.foreach { case (ppDir, demotedAt) =>
+      if (System.currentTimeMillis() - demotedAt < genRetentionMs)
+        writeJson(demoteStamp(ppDir), Map("at" -> demotedAt.toString))
+    }
     CrashHooks.maybe("gen.beforeFlip")
     writeJson(genPointer(base),
       Map("current" -> newGen,
@@ -2148,22 +2264,31 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         old.map { case (c, _) => "prev" -> c })
     // cache update INSIDE the commit scope, right after the PUT: readers
     // resolve the new generation from memory from this point on
-    genCache.put(base.normalize(), Some((newGen, old.map(_._1))))
+    genCache.put(base.normalize(),
+      GenEntry(Some((newGen, old.map(_._1))), System.currentTimeMillis()))
     CrashHooks.maybe("gen.afterFlip")
-    old match {
-      case Some((_, Some(pp))) =>
-        val ppDir = base.resolve(pp)
-        // pp's demote time = the flip that made the OUTGOING current
-        // current (recorded in the pointer being replaced); legacy
-        // pointers without the field are ancient — delete
-        val demotedAt = oldMap.get("flipped_at").flatMap(v =>
-          scala.util.Try(v.toLong).toOption).getOrElse(0L)
-        if (System.currentTimeMillis() - demotedAt < genRetentionMs)
-          writeJson(demoteStamp(ppDir), Map("at" -> demotedAt.toString))
-        else deleteRec(ppDir)
-      case None => legacyDirs.foreach(n => deleteRec(base.resolve(n)))
-      case _ => ()
+    ppRetain.foreach { case (ppDir, demotedAt) =>
+      if (System.currentTimeMillis() - demotedAt >= genRetentionMs)
+        deleteRec(ppDir)
     }
+    if (old.isEmpty) legacyDirs.foreach(n => deleteRec(base.resolve(n)))
+    // Opportunistic sweep of AGED-OUT stamped generations (r15 advisor):
+    // stamped gens were only reclaimed by an explicit vacuum(), so with a
+    // floor set and no periodic vacuum, demoted gen_* dirs (full index
+    // copies) accumulated across rebuilds. The flip already lists/touches
+    // this base — one more listing here bounds the debt to gens still
+    // inside their window, with vacuum() unchanged as the explicit path.
+    val keep = Set(newGen) ++ old.map(_._1)
+    listChildren(base)
+      .filter(p => p.getFileName.toString.startsWith("gen_") &&
+        !keep.contains(p.getFileName.toString))
+      .foreach { p =>
+        val s = demoteStamp(p)
+        val aged = Files.exists(s) && scala.util.Try(readJson(s)("at").toLong)
+          .toOption.exists(t =>
+            System.currentTimeMillis() - t >= genRetentionMs)
+        if (aged) deleteRec(p)
+      }
   }
 
   def indexExists(tenant: String, model: String): Boolean =
@@ -2480,6 +2605,10 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     try {
       buildHnswTo(tenant, model, tmp, vecCorpus(tenant, model))
       publishHnsw(tenant, model, tmp)
+      // synchronous full build under the collection lock: every pending
+      // row is in the table it just indexed — the pending window is clear
+      val pend = hnswPendingDir(tenant, model)
+      if (Files.exists(pend)) deleteRec(pend)
     } finally liveTmps.remove(tmp.toString)
   }
 
@@ -2740,6 +2869,113 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * absorb threshold. Runs on the insert thread AFTER the data commit is
     * visible (the graph must never advance past the table).
     */
+  // ---- HNSW growing-segment pending window ----------------------------
+  //
+  // The r15 absorb chain (beam + prune + three writes + merge commit) is a
+  // fixed ~50-job driver-synchronized cycle PER INSERT — the engine's only
+  // latency floor above the bar. But the cycle's cost is per-CYCLE, not
+  // per-row: beam hops are bounded by graph diameter, the prune and writes
+  // are bucket-restricted by the batch. So inserts queue into a durable
+  // pending set and ONE cycle folds the whole window — the same
+  // amortization searchBulk measured at 33× for the serving side. Between
+  // folds, searches serve the pending rows BRUTE-FORCE unioned with the
+  // beam results (exact — the set is bounded by the window knobs), which is
+  // precisely how the reference's backing engine serves growing segments
+  // before a seal (Milvus growing-segment search; the reference never
+  // graph-inserts per request either).
+  //
+  // Lifecycle: the pending dir lives at the pointer-independent base (it
+  // survives generation flips). A fold re-absorbing rows an intervening
+  // rebuild already covered is a keyed graph upsert — idempotent, so
+  // publish never needs to reason about unfolded pending rows; the
+  // synchronous [[persistHnsw]] (full rebuild from the CURRENT table,
+  // under the collection lock) clears it, since every pending row is in
+  // the table it just indexed. Crash story: batches are durable parquet;
+  // a crash between append and fold just folds later (stats re-derive
+  // from the listing); a crash between the fold's absorb commit and the
+  // pending delete re-absorbs the same keys and converges.
+
+  private def hnswPendingDir(tenant: String, model: String): Path =
+    hnswDir(tenant, model).resolve("_pending")
+
+  /** Fold after this many queued batches (≤1 = absorb per insert, the r15
+    * shape). Junk values degrade to the default (never throw mid-commit).
+    */
+  private def hnswAbsorbWindow(tenant: String, model: String): Int =
+    clampProp(properties(tenant, model).get("hnsw_absorb_window"), 8, 1, 4096)
+
+  /** Row bound on the pending set — caps what every search brute-forces
+    * and what a fold's request-path (local-relation) absorb shape carries.
+    */
+  private def hnswPendingMaxRows(tenant: String, model: String): Long =
+    clampProp(properties(tenant, model).get("hnsw_pending_max_rows"),
+      4096, 1, Int.MaxValue).toLong
+
+  /** Append one committed batch to the pending set — the backlog format
+    * ((doc_id, dv, _seq); `_seq` orders last-writer-wins across batches),
+    * with the row count in the directory name so the fold trigger and the
+    * search-path existence probe need no read job.
+    */
+  private def appendHnswPending(tenant: String, model: String,
+      vecs: DataFrame, rows: Long): Unit = {
+    val dir = hnswPendingDir(tenant, model)
+    Files.createDirectories(dir)
+    vecs.select(col("doc_id"), col("dv"))
+      .withColumn("_seq", lit(System.nanoTime()))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(dir.resolve("b" + System.nanoTime() + "_r" + rows).toString)
+  }
+
+  /** (queued batches, queued rows) from the directory listing alone. */
+  private def hnswPendingStats(tenant: String, model: String): (Int, Long) = {
+    val dir = hnswPendingDir(tenant, model)
+    if (!Files.exists(dir)) return (0, 0L)
+    val names = listChildren(dir).map(_.getFileName.toString)
+      .filter(_.startsWith("b"))
+    val rows = names.iterator.map { n =>
+      val i = n.lastIndexOf("_r")
+      if (i < 0) 0L
+      else scala.util.Try(n.substring(i + 2).toLong).getOrElse(0L)
+    }.sum
+    (names.size, rows)
+  }
+
+  /** The pending rows as (doc_id, dv), last writer wins — what searches
+    * union brute-force and what a fold absorbs. None when empty.
+    */
+  private def pendingHnswVecs(tenant: String, model: String): Option[DataFrame] =
+    readBacklog(hnswPendingDir(tenant, model)).map(_._1)
+
+  /** Fold the pending window into the live graph with ONE batched absorb
+    * cycle, then clear the pending set. Caller holds the collection lock.
+    */
+  private def foldHnswPending(tenant: String, model: String): Unit = {
+    val dir = hnswPendingDir(tenant, model)
+    readBacklog(dir).foreach { case (latest, _) =>
+      val folded = latest.localCheckpoint()
+      // a bounded window rides the request-path absorb shape (driver-known
+      // ids ⇒ micro-session + sized local relations); a window that
+      // overflowed past the fused cap keeps the distributed plans
+      val cap = graft.operators.Knn.maxFusedQueries
+      val ids = folded.select("doc_id").limit(cap + 1).collect()
+        .map(_.getLong(0))
+      val known = if (ids.length <= cap) Some(ids.toSeq) else None
+      val prep = prepareHnswAbsorb(hnswRoot(tenant, model), tenant, model,
+        folded, known)
+      finishHnswAbsorb(tenant, model, prep, folded)
+    }
+    if (Files.exists(dir)) deleteRec(dir)
+  }
+
+  /** Parse an extraProps int knob defensively: junk or out-of-range values
+    * degrade to the (clamped) default instead of throwing mid-commit —
+    * an unvalidated `.toInt` here can fail AFTER tmp writes launched and
+    * then fail every subsequent insert on the collection (r15 advisor).
+    */
+  private def clampProp(v: Option[String], dflt: Int, lo: Int, hi: Int): Int =
+    v.flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .map(n => math.max(lo, math.min(hi, n))).getOrElse(dflt)
+
   private def finishHnswAbsorb(tenant: String, model: String,
       prep: HnswAbsorbPrep, batchVecs: DataFrame): Unit = {
     val maxAbsorbs = properties(tenant, model)
@@ -2812,8 +3048,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // cacheGraph = false: nodesRaw/edgesRaw are ALREADY persisted for
       // this whole absorb (the prune/rewrite plans reuse them) — a second
       // request-scoped cache would just copy the same data
-      val connectHops = properties(tenant, model)
-        .getOrElse("hnsw_connect_hops", "3").toInt
+      val connectHops = clampProp(
+        properties(tenant, model).get("hnsw_connect_hops"), 3, 1, 8)
       def beam() = Hnsw.search(g, queries, k = 8, ef = 32,
           maxHops = connectHops, earlyStop = false, cacheGraph = false)
         .select(col("qid").as("src"), col("doc_id").as("dst"))

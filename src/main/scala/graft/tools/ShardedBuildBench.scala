@@ -127,31 +127,63 @@ object ShardedBuildBench {
     // recall@10 is measured at every R. Queries are corpus vectors, so
     // each query's true neighbourhood lives in few (usually one) shards.
     if (mode == "clustered") {
-      val S = 5
-      val byCluster = graft.operators.Ivf.assign(corpus,
-        graft.operators.Ivf.build(corpus, nlist = S, metric = "COSINE").centroids,
-        "COSINE")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("centroid_id").orderBy("doc_id")
-      val remapped = byCluster
-        .withColumn("doc_id",
-          (row_number().over(w).cast("long") - 1L) * S + col("centroid_id"))
-        .select("doc_id", "dv")
-        .localCheckpoint()
-      val g0 = time("hnsw_build_clustered")(Hnsw.buildSharded(remapped, m = 8,
-        shardTarget = math.max(1, math.ceil(n.toDouble / S).toInt)))
-      // PIN the union graph before serving: the in-memory build output's
-      // edge lineage reaches back through every shard build — an unpinned
-      // hop loop re-executes it per hop (measured: ~16 min for ONE search)
-      val g = Hnsw.Graph(g0.nodes.localCheckpoint(), g0.edges.localCheckpoint(),
-        g0.entries.localCheckpoint(), g0.metric)
+      // S from SPARK_GRAFT_SHARDS (default 5 — the r15 measured point;
+      // r16 task 4 runs S=32 at the 1M point). The fixture (remapped
+      // corpus + union graph) persists under out/clustered_S<S>/ so serve
+      // sweeps re-run without the KMeans + build walls.
+      val S = sys.env.getOrElse("SPARK_GRAFT_SHARDS", "5").toInt
+      val cDir = java.nio.file.Paths.get(s"$out/clustered_S$S")
+      val built = java.nio.file.Files.exists(cDir.resolve("edges"))
+      val remapped =
+        if (built)
+          spark.read.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+            .parquet(cDir.resolve("corpus").toString).localCheckpoint()
+        else {
+          val byCluster = graft.operators.Ivf.assign(corpus,
+            graft.operators.Ivf.build(corpus, nlist = S,
+              metric = "COSINE").centroids,
+            "COSINE")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("centroid_id").orderBy("doc_id")
+          val r0 = byCluster
+            .withColumn("doc_id",
+              (row_number().over(w).cast("long") - 1L) * S + col("centroid_id"))
+            .select("doc_id", "dv")
+          r0.write.mode("overwrite").parquet(cDir.resolve("corpus").toString)
+          spark.read.schema("doc_id LONG, dv ARRAY<DOUBLE>")
+            .parquet(cDir.resolve("corpus").toString).localCheckpoint()
+        }
+      val g =
+        if (built)
+          Hnsw.Graph(remapped,
+            spark.read.schema("src LONG, dst LONG")
+              .parquet(cDir.resolve("edges").toString),
+            spark.read.parquet(cDir.resolve("entries").toString), "COSINE")
+        else {
+          val g0 = time("hnsw_build_clustered")(Hnsw.buildSharded(remapped,
+            m = 8, shardTarget = math.max(1, math.ceil(n.toDouble / S).toInt)))
+          g0.edges.write.mode("overwrite")
+            .parquet(cDir.resolve("edges").toString)
+          g0.entries.write.mode("overwrite")
+            .parquet(cDir.resolve("entries").toString)
+          // PIN via the persisted tables: the in-memory build output's edge
+          // lineage reaches back through every shard build — an unpinned
+          // hop loop re-executes it per hop (measured: ~16 min for ONE
+          // search)
+          Hnsw.Graph(remapped,
+            spark.read.schema("src LONG, dst LONG")
+              .parquet(cDir.resolve("edges").toString),
+            spark.read.parquet(cDir.resolve("entries").toString), "COSINE")
+        }
       val queries = remapped.filter(col("doc_id") % 1999 === 0).limit(64)
         .select(col("doc_id").as("qid"), col("dv").as("qv"))
         .localCheckpoint()
       val exact = graft.operators.Knn.search(remapped, queries,
         graft.operators.SearchParams(limit = 10, outputFields = Nil))
         .localCheckpoint()
-      for (r <- Seq(1, 2, 3, Int.MaxValue)) {
+      val rSweep = if (S <= 8) Seq(1, 2, 3, Int.MaxValue)
+                   else Seq(1, 2, 4, 8, Int.MaxValue)
+      for (r <- rSweep) {
         val t0 = System.nanoTime()
         val res = Hnsw.search(g, queries, k = 10, ef = 64,
           routeShards = if (r > S) Int.MaxValue else r).localCheckpoint()

@@ -106,7 +106,9 @@ class AsyncRebuildSpec extends SparkSpec {
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_async_hnsw").toString)
     cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW",
-      extraProps = Map("hnsw_max_absorbs" -> "1")))
+      // window=1: these tests pin the ABSORB/REBUILD machinery per insert;
+      // the r16 growing-segment default regime is HnswPendingSpec
+      extraProps = Map("hnsw_max_absorbs" -> "1", "hnsw_absorb_window" -> "1")))
     cat.insert("t", "m", (0 until 40).map(i =>
       EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
     cat.persistIndex("t", "m")
@@ -235,7 +237,9 @@ class AsyncRebuildSpec extends SparkSpec {
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_snap_hnsw").toString)
     cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW",
-      extraProps = Map("hnsw_max_absorbs" -> "1")))
+      // window=1: these tests pin the ABSORB/REBUILD machinery per insert;
+      // the r16 growing-segment default regime is HnswPendingSpec
+      extraProps = Map("hnsw_max_absorbs" -> "1", "hnsw_absorb_window" -> "1")))
     cat.insert("t", "m", (0 until 40).map(i =>
       EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), avec(i))))
     cat.persistIndex("t", "m")

@@ -325,7 +325,11 @@ class CrashRecoverySpec extends SparkSpec {
   }
 
   test("HNSW: crash mid node-bucket swaps heals the graph from the data table") {
-    val cat = mkCat(indexType = "HNSW")
+    // window=1: the midNodeSwap hook fires inside the absorb COMMIT — this
+    // test pins that path per insert (pending-regime crash story is
+    // HnswPendingSpec's restart test)
+    val cat = mkCat(indexType = "HNSW",
+      extraProps = Map("hnsw_absorb_window" -> "1"))
     cat.insert("t", "m", docs(0 until 30))
     cat.persistIndex("t", "m")
     CrashHooks.arm("hnsw.midNodeSwap")

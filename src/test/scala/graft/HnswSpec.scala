@@ -256,7 +256,11 @@ class HnswSpec extends SparkSpec {
       (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_hnsw").toString)
-    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW"))
+    // hnsw_absorb_window=1: this test pins the ABSORB path's internals
+    // (per-insert graph connect, entries refresh, bucket-restricted
+    // rewrites); the r16 growing-segment default regime is HnswPendingSpec
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW",
+      extraProps = Map("hnsw_absorb_window" -> "1")))
     // 90 < 97 = synthetic vector period, so all vectors are distinct
     cat.insert("t", "m", (0 until 90).map(i =>
       EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
@@ -411,8 +415,10 @@ class HnswSpec extends SparkSpec {
       (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
     val cat = new VectorStoreCatalog(spark,
       Files.createTempDirectory("graft_hnsw_rb").toString)
+    // window=1: the counter bumps per ABSORB CYCLE — with the default
+    // pending window this test would count folds, not inserts
     cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW",
-      extraProps = Map("hnsw_max_absorbs" -> "3")))
+      extraProps = Map("hnsw_max_absorbs" -> "3", "hnsw_absorb_window" -> "1")))
     cat.insert("t", "m", (0 until 40).map(i =>
       EmbeddedVector(s"k$i", s"chunk $i", "m", Map(), vec(i))))
     cat.persistIndex("t", "m")

@@ -676,4 +676,102 @@ class ObjectStoreCommitSpec extends SparkSpec {
       assert(hit.success && hit.data.head.content == "adoc 7")
     } finally spark.conf.unset("spark.graft.gen.retention.ms")
   }
+
+  /** r15 advisor (medium): the generation-pointer cache is per-INSTANCE,
+    * and a second catalog over the same basePath (the reader-replica
+    * shape) has no hook into the writer's flip. After two flips the
+    * reader's cached root names a DELETED gen dir, and
+    * `ignoreMissingFiles` would turn that into silently EMPTY results.
+    * The cache therefore re-validates two ways: a TTL
+    * (`spark.graft.gen.cache.ttl.ms`) bounds ordinary staleness, and a
+    * missing-root fallback re-reads the pointer IMMEDIATELY when the
+    * resolved dir is gone. This test pins the fallback with the TTL
+    * maxed out (the cache alone must not save the reader), then the TTL
+    * path with ttl=0 (pre-cache behavior: every resolution re-reads).
+    */
+  test("genCache cross-instance: reader observes another instance's flips; vanished cached root never serves empty") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    val base = Files.createTempDirectory("gen_xinst").toString
+    val writer = new VectorStoreCatalog(spark, base)
+    writer.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4))
+    writer.insert("t", "m", (0 until 40).map(i =>
+      EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), vec(i))))
+    def served(cat: VectorStoreCatalog): Unit = {
+      val r = cat.search(SearchRequest("t", "m", vec(7), limit = 1))
+      assert(r.success && r.data.head.content == "adoc 7", s"got $r")
+    }
+    spark.conf.set("spark.graft.gen.cache.ttl.ms", Long.MaxValue.toString)
+    try {
+      writer.persistIndex("t", "m") // legacy → gen A
+      val reader = new VectorStoreCatalog(spark, base)
+      served(reader) // reader caches gen A
+      writer.persistIndex("t", "m") // gen B (A = prev, on disk)
+      writer.persistIndex("t", "m") // gen C (A DELETED)
+      // reader's cached root is gone — the fallback must re-read the
+      // pointer and serve, not return an empty result set
+      served(reader)
+      assert(reader.denseRoot("t", "m") == writer.denseRoot("t", "m"),
+        "after the fallback both instances resolve the same generation")
+      // ttl=0 = re-read every resolution: ONE flip (old root still on
+      // disk as prev, so the fallback never fires) is observed at once
+      spark.conf.set("spark.graft.gen.cache.ttl.ms", "0")
+      writer.persistIndex("t", "m") // gen D (C = prev, still on disk)
+      assert(reader.denseRoot("t", "m") == writer.denseRoot("t", "m"),
+        "ttl=0 reader must observe a flip whose old root still exists")
+      served(reader)
+    } finally spark.conf.unset("spark.graft.gen.cache.ttl.ms")
+  }
+
+  /** r15 advisor (low): demote-stamped generations were only swept by an
+    * explicit vacuum() — with a retention floor set and no periodic
+    * vacuum, stamped gen dirs (full index copies) accumulated unboundedly
+    * across rebuilds. Flips now sweep aged-out stamped generations
+    * opportunistically. Also pins the stamp-before-PUT ordering: a crash
+    * exactly between the pointer PUT and any post-PUT stamping would
+    * leave the grandparent unstamped-unreferenced (vacuum bait inside the
+    * floor) — so the stamp must land BEFORE the flip becomes visible.
+    */
+  test("flip-time sweep of aged-out stamped generations; stamp lands before the pointer PUT") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
+    val cat = new VectorStoreCatalog(spark,
+      Files.createTempDirectory("gen_flipsweep").toString)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, nlist = 4))
+    cat.insert("t", "m", (0 until 40).map(i =>
+      EmbeddedVector(s"a$i", s"adoc $i", "m", Map(), vec(i))))
+    import scala.jdk.CollectionConverters._
+    def gens: List[String] = {
+      val base = cat.tableDir("t", "m").resolve("index")
+      Files.list(base).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("gen_")).toList
+    }
+    spark.conf.set("spark.graft.gen.retention.ms", "3600000")
+    try {
+      cat.persistIndex("t", "m") // gen A
+      val rootA = cat.denseRoot("t", "m")
+      cat.persistIndex("t", "m") // gen B
+      // crash AFTER the pointer PUT of flip 3: the stamp protecting gen A
+      // must ALREADY be on disk (stamp-before-PUT), else a restart vacuum
+      // sweeps A inside the floor
+      CrashHooks.arm("gen.afterFlip")
+      try intercept[CrashHooks.InjectedCrash] { cat.persistIndex("t", "m") }
+      finally CrashHooks.disarm()
+      assert(Files.exists(rootA.resolve("_demoted.json")),
+        "grandparent must be demote-stamped BEFORE the pointer PUT")
+      cat.vacuum("t", "m")
+      assert(Files.exists(rootA.resolve("centroids")),
+        "restart vacuum honors the pre-PUT stamp inside the floor")
+      // stamped generations accumulate while the floor holds...
+      cat.persistIndex("t", "m")
+      assert(gens.size > 2, s"floor retains stamped generations: $gens")
+      // ...and the NEXT FLIP (no vacuum call) sweeps the aged-out ones
+      spark.conf.set("spark.graft.gen.retention.ms", "0")
+      cat.persistIndex("t", "m")
+      assert(gens.size <= 2,
+        s"flip must sweep aged-out stamped generations, found $gens")
+      val hit = cat.search(SearchRequest("t", "m", vec(7), limit = 1))
+      assert(hit.success && hit.data.head.content == "adoc 7")
+    } finally spark.conf.unset("spark.graft.gen.retention.ms")
+  }
 }

@@ -60,4 +60,41 @@ class TokenizerParitySpec extends SparkSpec {
       assert(Text.driverTokens("TITLE I FILING") == Seq("title", "i", "filing"))
     } finally java.util.Locale.setDefault(prev)
   }
+
+  /** r15 advisor (low): the pure-ASCII Turkish test above misses the real
+    * trap — Spark 4.1.2's `UTF8String.toLowerCaseSlow()` uses
+    * default-locale `String.toLowerCase()` for any NON-full-ASCII string,
+    * so under a Turkish default locale a MIXED-script query lowercases
+    * plan-side to dotless-ı splits the Locale.ROOT mirror never produces.
+    * `driverTokens` alone cannot mirror that (softened scaladoc); the
+    * pruning-hint contract is carried by [[Text.driverTokenHint]], whose
+    * union of both lowercasings must SUPERSET the plan tokens whichever
+    * path the plan takes — asserted here with Spark itself running under
+    * the Turkish default locale on adversarial mixed-script strings.
+    */
+  test("driverTokenHint supersets plan tokens under a Turkish default locale on mixed-script strings") {
+    val texts = Seq(
+      "DIYARBAKIR İstanbul", // the advisor's adversarial pair
+      "İIıi DIŞ İÇ", // dotted/dotless cluster
+      "ISPARTA ilçe IŞIK infra", // ascii-I words beside non-ascii words
+      "TITLE-I İZMİR 42", "İİİ III",
+      "Ärzte ÜBER ışık I/O")
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val plan = planTokens(texts)
+      texts.zip(plan).foreach { case (t, planToks) =>
+        val hint = Text.driverTokenHint(t).toSet
+        assert(planToks.toSet.subsetOf(hint),
+          s"hint must superset plan tokens under tr on '$t': " +
+            s"plan=$planToks hint=$hint")
+      }
+      // full-ASCII input stays EXACTLY mirrored even under tr: Spark's
+      // full-ASCII fast path is locale-free, as is Locale.ROOT
+      val ascii = Seq("TITLE I FILING", "ISPARTA INFRA 42")
+      ascii.zip(planTokens(ascii)).foreach { case (t, planToks) =>
+        assert(Text.driverTokens(t) == planToks, s"ascii drift on '$t'")
+      }
+    } finally java.util.Locale.setDefault(prev)
+  }
 }
