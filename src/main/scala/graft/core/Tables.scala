@@ -51,11 +51,13 @@ object Tables {
     df.withColumn(name, micros)
   }
 
-  /** Deterministic integer-valued vector for a row key (as array<double>). */
+  /** Deterministic integer-valued vector for a row key (as array<double>).
+    * Codegen kernel ([[graft.functions.VecExprs.synthVec]]); bit-identical
+    * to the original `transform(sequence(...))` HOF, which was interpreted
+    * per element (CodegenFallback) and dominated the orders-corpus scans.
+    */
   def synthVec(key: Column, dim: Int = Dim): Column =
-    transform(
-      sequence(lit(0), lit(dim - 1)),
-      i => ((key.cast("long") * 131 + i.cast("long") * 313 + 7) % 97 - 48).cast("double"))
+    graft.functions.VecExprs.synthVec(key, dim)
 
   /** Query vector q(qid) = synthVec(qid*997 + 1). */
   def queryVec(qid: Column, dim: Int = Dim): Column =

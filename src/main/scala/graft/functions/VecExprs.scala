@@ -220,6 +220,49 @@ case class NearestCentroid(child: Expression, ids: Array[Int],
     copy(child = c)
 }
 
+/** Deterministic synthetic vector kernel — the codegen twin of the
+  * `transform(sequence(0, dim-1), i => ((key*131 + i*313 + 7) % 97 - 48))`
+  * HOF in [[graft.core.Tables.synthVec]]. The HOF is CodegenFallback: one
+  * interpreted lambda eval (boxed longs, a fresh NamedLambdaVariable bind)
+  * PER ELEMENT, ~dim·|corpus| of them under every orders-corpus scan
+  * (b1/b2/b5 class). This emits one tight primitive loop into the stage.
+  * All arithmetic is 64-bit integer (Java `%` == Spark `%` == pmod-free
+  * Remainder), so values are bit-identical to the HOF and to the oracle.
+  */
+case class SynthVec(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes() = org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any): Any = {
+    val key = a.asInstanceOf[Long]
+    val arr = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      arr(i) = ((key * 131L + i * 313L + 7L) % 97L - 48L).toDouble
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val arr = ctx.freshName("arr")
+      s"""
+         |double[] $arr = new double[$dim];
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  $arr[$i] = (double) (($a * 131L + $i * 313L + 7L) % 97L - 48L);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SynthVec =
+    copy(child = c)
+}
+
 object VecExprs {
   /** Column API over the codegen kernels. */
   def dot(a: Column, b: Column): Column =
@@ -229,6 +272,8 @@ object VecExprs {
   def pqAdc(codes: Column, lut: Column): Column =
     ColumnBridge.column(PqAdc(ColumnBridge.expression(codes),
       ColumnBridge.expression(lut)))
+  def synthVec(key: Column, dim: Int): Column =
+    ColumnBridge.column(SynthVec(ColumnBridge.expression(key.cast("long")), dim))
 
   /** Nearest-centroid assignment over a collected centroid table. Centroids
     * are scanned in ascending id order (ties → lowest id, as
