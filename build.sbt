@@ -32,6 +32,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // spark-submit injects this too (JavaModuleOptions): without it netlib
+  // falls back from VectorBLAS to the pure-Java F2j BLAS ("Failed to load
+  // implementation from: dev.ludovic.netlib.blas.VectorBLAS" at startup),
+  // and every MLlib KMeans distance pass (IVF/HNSW coarse builds) runs
+  // scalar instead of SIMD.
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
