@@ -233,6 +233,13 @@ object Bm25 {
       .withColumn("termIdx",
         (Text.tokenHash32(Text.tokenCode(col("term"))) % Int.MaxValue).cast("int"))
     if (dropRatioBuild > 0) {
+      // a bounded batch pins its postings before the quantile: approxQuantile
+      // is EAGER, so left lazy the whole weight chain (tokenize ⋈ dictionary
+      // ⋈ globals) evaluates twice per insert — once under the quantile, once
+      // under the caller's data-commit plan. The checkpoint preserves
+      // partitioning and within-partition order, so the GK sketch (and the
+      // cut) is bit-identical to the unpinned evaluation.
+      if (smallTf) p = p.localCheckpoint()
       val cut = p.stat.approxQuantile("w", Array(dropRatioBuild), 0.001).head
       p = p.filter(col("w") >= cut)
     }

@@ -363,7 +363,12 @@ object Dedup {
     // ahead of the probe — the very shuffle this operator exists to avoid —
     // and recomputed it for each of the three actions).
     val tagged = docs.join(splitDf, "doc_id")
+    // Materialized ONCE: the test side is the SMALL side by construction
+    // (the benchmark suite being protected), and it feeds three actions —
+    // the filter-sizing count, the Bloom build, and the final overlap join.
+    // Left lazy, each action re-tokenizes and re-distincts the test docs.
     val test = shingles(tagged.filter(col("split") === "test")).distinct()
+      .localCheckpoint()
     val testShingles = test.select("shingle").distinct()
     val expected = math.max(testShingles.count(), 1L)
     val bf = testShingles.stat.bloomFilter("shingle", expected, fpp)
@@ -415,6 +420,13 @@ object Dedup {
     // argmax cosine via max(struct(sim, -cid)): highest sim, ties -> lowest
     // cid. groupBy (not a window) so partial aggregation prunes the N×k
     // rows back to N map-side.
+    // Materialized ONCE: `assigned` feeds three consumers (both sides of
+    // the pair join + the kept-set anti-join). Left lazy, Catalyst plans
+    // the N×k assignment subtree THREE times — 3 full aggregate+join chains
+    // of fixed stage latency; checkpointed, the pair join reads one
+    // size-known relation (which also lets the planner broadcast it instead
+    // of sort-merge-joining). One corpus-sized materialization — the same
+    // byte volume the pair join must shuffle anyway.
     val assigned = e.join(broadcast(cents))
       .select(col("doc_id"), col("cid"),
         Vec.cosine(col("qv"), col("cv")).as("sim"))
@@ -422,6 +434,7 @@ object Dedup {
       .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("m"))
       .select(col("doc_id"), (-col("m.ncid")).as("cluster"))
       .join(e, "doc_id")
+      .localCheckpoint()
     val dups = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.doc_id") < col("b.doc_id"))

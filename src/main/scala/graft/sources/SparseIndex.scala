@@ -279,7 +279,8 @@ object SparseIndex {
   def prepareUpsert(spark: SparkSession, dir: String, batchDocs: DataFrame,
       nBuckets: Int = 16, knownTouched: Option[Seq[Long]] = None,
       broadcastBatch: Boolean = false, maxTermDeltas: Int = 16,
-      beforeRenames: () => Unit = () => ()): Pending = {
+      beforeRenames: () => Unit = () => (),
+      knownDocIds: Option[Seq[Long]] = None): Pending = {
     val add = Bm25.fit(batchDocs) // batch-only tokenization
     if (!exists(dir))
       // the initial build overwrites the live dirs directly (there is no
@@ -293,7 +294,12 @@ object SparseIndex {
     // checkpointed batch has no stats — without the hint these are
     // sort-merge); unbounded insertDf batches keep the shuffle plans
     def bb(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
-    val batchIds = batchDocs.select("doc_id")
+    // driver-known ids become a LOCAL relation: its broadcast builds with
+    // no Spark job, where a projection of the (checkpointed) batch costs
+    // one scheduled job per join build — 4 slice joins below
+    val batchIds = knownDocIds.fold(batchDocs.select("doc_id"))(ids =>
+      spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("doc_id"))
     // the catalog buckets data and sparse tables by the SAME hash
     // (pmod(xxhash64(pk), n) = pmod(doc_id, n)), so a caller that already
     // collected its touched buckets passes them instead of a second job

@@ -1091,17 +1091,19 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // a reserved consecutive id block replaces the caller's keys; fresh ids
     // can never collide, so auto_id inserts are append-only by construction.
     val nB = nBuckets(tenant, model)
-    val (keyed: DataFrame, docIds: Seq[Long]) =
+    val (keyed: DataFrame, docIds: Seq[Long], rawKeys: Seq[Any]) =
       if (auto) {
         val start = reserveAutoIds(tenant, model, rows.size)
         (rows.zipWithIndex.map { case (r, i) =>
           (start + i, r.chunk, r.model, r.vector, r.metadata, r.dynamicFields)
         }.toDF("flouds_vector_id", "chunk", "model", "vector", "metadata", "extra"),
-          rows.indices.map(i => hashKey(start + i.toLong)))
+          rows.indices.map(i => hashKey(start + i.toLong)),
+          rows.indices.map(i => start + i.toLong))
       } else (rows.toDF()
         .select(col("key").as("flouds_vector_id"), col("chunk"), col("model"),
           col("vector"), col("metadata"), col("dynamicFields").as("extra")),
-        rows.map(r => hashKey(r.key)))
+        rows.map(r => hashKey(r.key)),
+        rows.map(r => r.key))
     // the keys are driver-resident on this path — the doc_id set, the
     // touched-bucket set and the broadcast-gate byte estimate come for
     // free instead of costing the commit extra jobs
@@ -1111,7 +1113,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         metaJson(r.metadata).length + 64L).sum
     commitKeyed(tenant, model, keyed, partition, rows.size.toLong,
       knownTouched = Some(touched), estBytes = Some(estBytes),
-      knownDocIds = Some(docIds.distinct))
+      knownDocIds = Some(docIds.distinct), knownKeys = Some(rawKeys))
   }
 
   /** §2.8 large-stream ingest: the same validated, bucket-restricted,
@@ -1247,7 +1249,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       partition: Option[String], batchSize: Long,
       knownTouched: Option[Seq[Long]] = None,
       estBytes: Option[Long] = None,
-      knownDocIds: Option[Seq[Long]] = None): Long = {
+      knownDocIds: Option[Seq[Long]] = None,
+      knownKeys: Option[Seq[Any]] = None): Long = {
     val nB = nBuckets(tenant, model)
     // both gates: bounded ROWS and bounded BYTES (an unknown estimate —
     // no caller measurement — trusts the row gate alone only up to the
@@ -1260,14 +1263,14 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val outerOverride = sessionOverride.get()
     sessionOverride.set(if (small) microSpark else spark)
     try commitKeyedImpl(tenant, model, keyed, partition, batchSize,
-      knownTouched, knownDocIds, small)
+      knownTouched, knownDocIds, knownKeys, small)
     finally sessionOverride.set(outerOverride)
   }
 
   private def commitKeyedImpl(tenant: String, model: String, keyed: DataFrame,
       partition: Option[String], batchSize: Long,
       knownTouched: Option[Seq[Long]], knownDocIds: Option[Seq[Long]],
-      small: Boolean): Long = {
+      knownKeys: Option[Seq[Any]], small: Boolean): Long = {
     val nB = nBuckets(tenant, model)
     // ONE eager materialization of the prepared batch. Two reasons: the
     // commit protocol walks the batch many times (bucket set, sparse delta,
@@ -1345,12 +1348,34 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // insertDf batches keep the distributed shuffle plans.
     def bb(df: DataFrame) = if (small) broadcast(df) else df
 
+    // Driver-known batches (every request-path insert) hand the batch-id
+    // joins a LOCAL relation as build side: a LocalTableScan broadcast is
+    // built driver-side with NO Spark job, where the same ids projected off
+    // the checkpointed batch cost one scheduled job per join build (the
+    // commit runs ~5 such joins — data merge, old-cells, IVF kept, sparse
+    // slices — each a fixed job latency on the serving insert path). Same
+    // device as prepareHnswAbsorb's batchIds. Unbounded insertDf batches
+    // keep the distributed projections.
+    val keyRel: Option[DataFrame] = knownKeys.filter(_.nonEmpty).map { ks =>
+      ks.head match {
+        case _: String => S.createDataset(ks.asInstanceOf[Seq[String]])(
+          org.apache.spark.sql.Encoders.STRING).toDF("flouds_vector_id")
+        case _ => S.createDataset(ks.asInstanceOf[Seq[Long]])(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("flouds_vector_id")
+      }
+    }
+    def batchKeys = keyRel.getOrElse(batch.select("flouds_vector_id"))
+    def batchIdRel = knownDocIds.fold(
+      batch.select(xxhash64(col("flouds_vector_id")).as("doc_id")))(ids =>
+      S.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id"))
+
     val batchDocs = batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"),
       col("chunk").as("text"))
     val pendingSparse = stage("sparse prepare")(
       SparseIndex.prepareUpsert(S, sparseDir(tenant, model).toString,
         batchDocs, nB, knownTouched = Some(touched), broadcastBatch = small,
-        beforeRenames = () => armIntent(tenant, model)))
+        beforeRenames = () => armIntent(tenant, model),
+        knownDocIds = knownDocIds))
     val addModel = pendingSparse.add
     val encModel = Bm25.Model(addModel.tf, addModel.docLen,
       pendingSparse.termDf, pendingSparse.global)
@@ -1377,7 +1402,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val idxOpt = if (indexExists(tenant, model)) Some(loadIndex(tenant, model)) else None
     val oldCells = idxOpt.map { idx =>
       stage("old-cells collect")(Ivf.assign(
-        slice.join(bb(batch.select("flouds_vector_id")), Seq("flouds_vector_id"), "left_semi")
+        slice.join(bb(batchKeys), Seq("flouds_vector_id"), "left_semi")
           .select(xxhash64(col("flouds_vector_id")).as("doc_id"), col("vector").as("dv")),
         idx.centroids, idx.metric)
         .select("centroid_id").distinct().collect().map(_.getInt(0)).toIndexedSeq)
@@ -1407,7 +1432,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       } else {
         // Bucket-restricted MERGE: read only the touched buckets, anti-join
         // ∪ batch, rewrite only those bucket directories.
-        val out = slice.join(bb(batch.select("flouds_vector_id")),
+        val out = slice.join(bb(batchKeys),
             Seq("flouds_vector_id"), "left_anti")
           .unionByName(batchOut.select(slice.columns.map(col).toSeq: _*))
         graft.core.PoolPinned.future(spark.sparkContext)(
@@ -1460,10 +1485,9 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       val newCells = assigned.select("centroid_id").distinct().collect()
         .map(_.getInt(0)).toIndexedSeq
       val cells = (oldCells.getOrElse(Nil) ++ newCells).distinct
-      val batchIds = batch.select(xxhash64(col("flouds_vector_id")).as("doc_id"))
       val kept = clusteredRaw(tenant, model)
         .filter(col("centroid_id").isin(cells: _*))
-        .join(bb(batchIds), Seq("doc_id"), "left_anti")
+        .join(bb(batchIdRel), Seq("doc_id"), "left_anti")
       val outIdx = kept.unionByName(toAppend.select(kept.columns.map(col).toSeq: _*))
       val target = denseRoot(tenant, model).resolve("clustered")
       val tmp = target.resolveSibling("clustered_tmp_" + System.nanoTime())

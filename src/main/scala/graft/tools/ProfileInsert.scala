@@ -47,7 +47,8 @@ object ProfileInsert {
           jobs.incrementAndGet()
           if (traceJobs) System.err.println(
             s"[job ${js.jobId}] stages=${js.stageInfos.size} " +
-              String.valueOf(js.properties.getProperty("callSite.short")))
+              js.stageInfos.map(_.name.takeWhile(_ != '\n').take(60))
+                .mkString(" | "))
         }
       })
       cat.jobProbe = () => jobs.get()
