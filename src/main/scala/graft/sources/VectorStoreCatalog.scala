@@ -2944,10 +2944,24 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       vecs: DataFrame, rows: Long): Unit = {
     val dir = hnswPendingDir(tenant, model)
     Files.createDirectories(dir)
+    // Reboot-safe last-writer-wins: the pending dir is DURABLE across
+    // restarts, and `System.nanoTime` has an arbitrary per-boot origin — a
+    // pre-reboot batch could carry a LARGER _seq than a post-reboot
+    // replacement of the same key, so readBacklog's `_seq desc` would serve
+    // and fold the stale vector. `_seq` is instead max(live batch seq)+1
+    // from the directory listing (this runs under the collection lock, so
+    // the listing always includes every prior append): monotonic across
+    // any restart, no counter file to corrupt. Batch dirs written before
+    // this fix carry nanoTime-sized seqs; max+1 continues past them.
+    val seq = listChildren(dir).map(_.getFileName.toString)
+      .filter(n => n.startsWith("b") && n.contains("_r"))
+      .flatMap(n =>
+        scala.util.Try(n.substring(1, n.lastIndexOf("_r")).toLong).toOption)
+      .maxOption.getOrElse(0L) + 1L
     vecs.select(col("doc_id"), col("dv"))
-      .withColumn("_seq", lit(System.nanoTime()))
+      .withColumn("_seq", lit(seq))
       .write.mode(SaveMode.Overwrite)
-      .parquet(dir.resolve("b" + System.nanoTime() + "_r" + rows).toString)
+      .parquet(dir.resolve("b" + seq + "_r" + rows).toString)
   }
 
   /** (queued batches, queued rows) from the directory listing alone. */

@@ -155,6 +155,42 @@ class HnswPendingSpec extends SparkSpec {
     assert(nodeIds == tableIds, "fold after restart converged the graph")
   }
 
+  test("pending last-writer-wins survives a reboot-skewed seq") {
+    // The pending dir is durable across machine reboots, and nanoTime has
+    // an arbitrary per-boot origin: a pre-reboot batch could carry a LARGER
+    // seq than a post-reboot replacement, making `_seq desc` serve and fold
+    // the stale vector. The append derives seq from the live listing, so a
+    // forged batch with a nanoTime-sized seq must still LOSE to the next
+    // API append of the same key.
+    val base = Files.createTempDirectory("graft_hpendseq").toString
+    val cat = new VectorStoreCatalog(spark, base)
+    cat.generateSchema(SchemaSpec("t", "m", dimension = 8, indexType = "HNSW",
+      extraProps = Map("hnsw_absorb_window" -> "8",
+        "hnsw_max_absorbs" -> "100000")))
+    cat.insert("t", "m", (0 until 40).map(i => row(s"k$i", i, "m")))
+    cat.persistIndex("t", "m")
+    // forge the "pre-reboot" pending batch: key k0 at a STALE vector,
+    // stamped with a nanoTime-sized seq (what the pre-fix code wrote)
+    val dir = pendingDir(cat, "t", "m")
+    Files.createDirectories(dir)
+    import spark.implicits._
+    val k0Id = Seq("k0").toDF("k").select(xxhash64(col("k")))
+      .head.getLong(0)
+    val hugeSeq = 1500000000000000000L
+    Seq((k0Id, vec(77), hugeSeq)).toDF("doc_id", "dv", "_seq")
+      .write.parquet(dir.resolve(s"b${hugeSeq}_r1").toString)
+    // "post-reboot": a fresh instance replaces k0 at a NEW vector
+    val cat2 = new VectorStoreCatalog(spark, base)
+    cat2.insert("t", "m", Seq(row("k0", 60, "m", tag = "v3")))
+    val hit = fullBeam(cat2, "t", "m", 60)
+    assert(hit.head._3.contains("k0") && hit.head._4 > 0.9999,
+      s"replacement must out-order the reboot-skewed stale batch: $hit")
+    // ... and the stale vector must no longer score as k0's current vector
+    val stale = fullBeam(cat2, "t", "m", 77)
+    assert(!(stale.head._3.contains("k0") && stale.head._4 > 0.9999),
+      s"stale vector still served for k0: $stale")
+  }
+
   test("synchronous persistIndex clears the pending window it just indexed") {
     val cat = mkCatalog("graft_hpendddl")
     churned(cat, "t", "w8", window = "8")
