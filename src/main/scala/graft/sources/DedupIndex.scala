@@ -200,25 +200,51 @@ object DedupIndex {
     * corpus (DedupIndexSpec). Cost: O(batch + touched partition dirs).
     */
   def upsert(spark: SparkSession, dir: String, batchDocs: DataFrame,
-      nBuckets: Int = 16): Unit = lockFor(dir).synchronized {
+      nBuckets: Int = 16): Unit = upsert(spark, dir, batchDocs, nBuckets, None)
+
+  /** `knownSig`: the batch's ALREADY-COLLECTED signature rows (sigSchema
+    * order), when the caller just computed them — [[ingestDeduped]]'s gate
+    * collects the batch signatures anyway, and recomputing them here cost a
+    * second tokenize+aggregate chain per micro-batch. The rows MUST equal
+    * `Dedup.minhashSignatures(batchDocs).collect()` (same doc set); the
+    * touched-bucket and new-band-key sets then derive driver-side with no
+    * extra jobs.
+    */
+  private[sources] def upsert(spark: SparkSession, dir: String,
+      batchDocs: DataFrame, nBuckets: Int,
+      knownSig: Option[IndexedSeq[org.apache.spark.sql.Row]]): Unit =
+      lockFor(dir).synchronized {
     if (!exists(dir)) { build(batchDocs, dir, nBuckets); return }
     healIfTorn(spark, dir) // a prior hard crash heals before we mutate
     CrashHooks.maybe("dedup.beforeJobs")
-    val batchSig = Dedup.minhashSignatures(batchDocs).localCheckpoint()
+    val batchSig = knownSig.fold(
+      Dedup.minhashSignatures(batchDocs).localCheckpoint())(rows =>
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(sigSchema)))
     val batchIds = broadcast(batchSig.select("doc_id"))
-    val touched = batchSig
-      .select(sigBucket(col("doc_id"), nBuckets).as("_bucket"))
-      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val touched = knownSig.fold(batchSig
+        .select(sigBucket(col("doc_id"), nBuckets).as("_bucket"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq)(rows =>
+      rows.map(r => java.lang.Math.floorMod(r.getLong(0), nBuckets.toLong))
+        .distinct)
 
     // the replaced docs' OLD signatures name the band partitions their old
     // postings live in — read from the touched sig buckets only
     val oldSig = sigRaw(spark, dir)
       .filter(col("_bucket").isin(touched: _*))
       .join(batchIds, Seq("doc_id"), "left_semi")
-    // affected band dirs: old keys ∪ new keys (collected pairs, ≤ 4·64)
-    val affected = bandsOf(oldSig).select("_band", "_bb")
-      .unionByName(bandsOf(batchSig).select("_band", "_bb"))
-      .distinct().collect().map(r => (r.getInt(0), r.getLong(1))).toIndexedSeq
+    // affected band dirs: old keys ∪ new keys (collected pairs, ≤ 4·64);
+    // driver-known signatures contribute their band keys without a job
+    val affected = knownSig.fold(bandsOf(oldSig).select("_band", "_bb")
+        .unionByName(bandsOf(batchSig).select("_band", "_bb"))
+        .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+        .toIndexedSeq)(rows =>
+      (bandsOf(oldSig).select("_band", "_bb")
+        .distinct().collect().map(r => (r.getInt(0), r.getLong(1))) ++
+        rows.flatMap(r => (0 until Dedup.NumHashes / 2).map { bd =>
+          val bucket = r.getLong(1 + 2 * bd) * Dedup.P + r.getLong(2 + 2 * bd)
+          (bd, java.lang.Math.floorMod(bucket, BandBuckets.toLong))
+        })).distinct.toIndexedSeq)
     def inAffected(df: DataFrame) =
       df.filter(affected.map { case (b, bb) =>
         col("_band") === b && col("_bb") === bb
@@ -353,15 +379,47 @@ object DedupIndex {
       threshold: Double = 0.75, nBuckets: Int = 16): DataFrame = {
     val b = batch.select("doc_id", "text").localCheckpoint()
     healIfTorn(spark, dir)
+    if (!exists(dir)) { upsert(spark, dir, b, nBuckets); return b }
+    // ONE signature computation serves BOTH halves of the trigger: the dup
+    // gate (queryBatch's exact plan, inlined around the shared collect) and
+    // the survivor upsert (which otherwise re-tokenized the batch). Bounded
+    // like queryBatch: past the broadcast cap the signatures never land on
+    // the driver and the original two-pass path runs unchanged.
+    val capped = Dedup.minhashSignatures(b).limit(MaxBroadcastQuerySigs + 1)
+      .collect().toIndexedSeq
     val survivors =
-      if (!exists(dir)) b
-      else {
+      if (capped.length <= MaxBroadcastQuerySigs) {
+        val qSig = spark.createDataFrame(
+          spark.sparkContext.parallelize(capped, 1),
+          org.apache.spark.sql.types.StructType.fromDDL(sigSchema))
+        val keys = capped.iterator.flatMap { r =>
+          (0 until Dedup.NumHashes / 2).map { bd =>
+            val bucket = r.getLong(1 + 2 * bd) * Dedup.P + r.getLong(2 + 2 * bd)
+            (bd, java.lang.Math.floorMod(bucket, BandBuckets.toLong))
+          }
+        }.toIndexedSeq.distinct
+        val dups = answerPruned(spark, dir, nBuckets, qSig, keys, broadcast)
+          .filter(col("est_sim") >= threshold)
+          .select("query_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        // null-safe NOT-IN (an anti join KEEPS a null-keyed row; bare
+        // NOT IN would drop it)
+        val surv =
+          (if (dups.isEmpty) b
+           else b.filter(col("doc_id").isNull ||
+             !col("doc_id").isInCollection(dups))).localCheckpoint()
+        upsert(spark, dir, surv, nBuckets,
+          Some(capped.filterNot(r => dups(r.getLong(0)))))
+        surv
+      } else {
         val dupIds = queryBatch(spark, dir, b, nBuckets)
           .filter(col("est_sim") >= threshold)
           .select(col("query_id").as("doc_id")).distinct()
-        b.join(broadcast(dupIds), Seq("doc_id"), "left_anti").localCheckpoint()
+        val surv = b.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        upsert(spark, dir, surv, nBuckets)
+        surv
       }
-    upsert(spark, dir, survivors, nBuckets)
     survivors
   }
 

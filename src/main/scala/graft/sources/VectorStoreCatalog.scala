@@ -535,7 +535,11 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     */
   private def readBacklog(dir: Path): Option[(DataFrame, Int)] = {
     if (!Files.exists(dir)) return None
-    val parts = listChildren(dir).filter(_.getFileName.toString.startsWith("b"))
+    readBacklogParts(
+      listChildren(dir).filter(_.getFileName.toString.startsWith("b")))
+  }
+
+  private def readBacklogParts(parts: Seq[Path]): Option[(DataFrame, Int)] = {
     if (parts.isEmpty) return None
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("_seq").desc)
@@ -2958,18 +2962,40 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       .flatMap(n =>
         scala.util.Try(n.substring(1, n.lastIndexOf("_r")).toLong).toOption)
       .maxOption.getOrElse(0L) + 1L
+    // tmp-write + move-and-publish — the same commit seam every other
+    // durable structure uses (appendDelta's shape). A torn copy-then-delete
+    // append is then INVISIBLE to readers (livePendingBatches skips
+    // unpublished dirs) instead of relying on the big-hammer
+    // heal-from-table; replaying the batch converges (keyed upsert).
+    val tmp = dir.resolveSibling("_pending_tmp_" + seq)
     vecs.select(col("doc_id"), col("dv"))
       .withColumn("_seq", lit(seq))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(dir.resolve("b" + seq + "_r" + rows).toString)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    CrashHooks.maybe("hnsw.beforePendingMove")
+    VectorStoreCatalog.fs.moveAndPublish(tmp,
+      dir.resolve("b" + seq + "_r" + rows))
+  }
+
+  /** Published pending-batch dirs — the liveDeltas discipline: under POSIX
+    * renames an unpublished dir is complete by construction (legacy or
+    * crashed-after-move) and is backfill-published; under copy-then-delete
+    * semantics it is a torn append and stays invisible.
+    */
+  private def livePendingBatches(dir: Path): Seq[Path] = {
+    if (!Files.exists(dir)) return Nil
+    val f = VectorStoreCatalog.fs
+    val dirs = listChildren(dir).filter(p =>
+      p.getFileName.toString.startsWith("b") && Files.isDirectory(p))
+    if (f.atomicMoves) {
+      dirs.filterNot(f.isPublished).foreach(d => scala.util.Try(f.publish(d)))
+      dirs.filter(Files.exists(_))
+    } else dirs.filter(f.isPublished)
   }
 
   /** (queued batches, queued rows) from the directory listing alone. */
   private def hnswPendingStats(tenant: String, model: String): (Int, Long) = {
-    val dir = hnswPendingDir(tenant, model)
-    if (!Files.exists(dir)) return (0, 0L)
-    val names = listChildren(dir).map(_.getFileName.toString)
-      .filter(_.startsWith("b"))
+    val names = livePendingBatches(hnswPendingDir(tenant, model))
+      .map(_.getFileName.toString)
     val rows = names.iterator.map { n =>
       val i = n.lastIndexOf("_r")
       if (i < 0) 0L
@@ -2982,14 +3008,15 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * union brute-force and what a fold absorbs. None when empty.
     */
   private def pendingHnswVecs(tenant: String, model: String): Option[DataFrame] =
-    readBacklog(hnswPendingDir(tenant, model)).map(_._1)
+    readBacklogParts(livePendingBatches(hnswPendingDir(tenant, model)))
+      .map(_._1)
 
   /** Fold the pending window into the live graph with ONE batched absorb
     * cycle, then clear the pending set. Caller holds the collection lock.
     */
   private def foldHnswPending(tenant: String, model: String): Unit = {
     val dir = hnswPendingDir(tenant, model)
-    readBacklog(dir).foreach { case (latest, _) =>
+    readBacklogParts(livePendingBatches(dir)).foreach { case (latest, _) =>
       val folded = latest.localCheckpoint()
       // a bounded window rides the request-path absorb shape (driver-known
       // ids ⇒ micro-session + sized local relations); a window that

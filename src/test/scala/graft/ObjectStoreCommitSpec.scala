@@ -434,6 +434,70 @@ class ObjectStoreCommitSpec extends SparkSpec {
     }
   }
 
+  test("e2e HNSW pending append: crash across the move windows is all-or-nothing; replay converges") {
+    // The pending append is tmp-write + moveAndPublish: a torn
+    // copy-then-delete move must leave the WHOLE batch invisible to the
+    // brute-force pending overlay (never a partial file subset), and
+    // at-least-once replay converges. Windows are swept from the op count
+    // at the `hnsw.beforePendingMove` hook (everything earlier is the
+    // data/sparse schedule, covered by the merge-mode e2e).
+    def mkPend(dir: Path): VectorStoreCatalog = {
+      val cat = new VectorStoreCatalog(spark, dir.toString)
+      cat.generateSchema(SchemaSpec("t", "m", dimension = 4, nlist = 2,
+        indexType = "HNSW", extraProps = Map("n_buckets" -> "2",
+          "hnsw_absorb_window" -> "8", "hnsw_max_absorbs" -> "100000")))
+      cat
+    }
+    // replacement batch: k0/k1 at NEW vectors (seeds 60/61 — distinct mod
+    // 97 from every seed vector, so a 1.0-cosine hit at newVec(i) proves
+    // the pending overlay serves that key's new vector)
+    def newBatch = Seq(
+      EmbeddedVector("k0", "alpha beta doc0 tail0", "m", Map("g" -> "c0"), vec(60)),
+      EmbeddedVector("k1", "alpha beta doc1 tail1", "m", Map("g" -> "c1"), vec(61)))
+    def servedAtNew(cat: VectorStoreCatalog): Seq[Boolean] =
+      Seq(("k0", 60), ("k1", 61)).map { case (k, s) =>
+        val top = cat.searchDfBatch(SearchRequest("t", "m", vec(s), limit = 1,
+            ef = Some(8192)), Seq(vec(s)))
+          .select("chunk", "score").collect().head
+        top.getString(0).contains(k.replace("k", "doc")) && top.getDouble(1) > 0.9999
+      }
+    // probe: op count at the append hook
+    val probeCat = mkPend(Files.createTempDirectory("oss_pend_probe"))
+    val probe = new ObjectStoreSimFs()
+    val hookOps = withFs(probe) {
+      probeCat.insert("t", "m", docs(0 until 12))
+      probeCat.persistIndex("t", "m")
+      CrashHooks.arm("hnsw.beforePendingMove")
+      try { probeCat.insert("t", "m", newBatch); fail("hook did not fire") }
+      catch { case _: CrashHooks.InjectedCrash => () }
+      CrashHooks.disarm()
+      probe.ops
+    }
+    info(s"pending-append hook at object op $hookOps")
+    var pastSchedule = false
+    for (b <- hookOps until (hookOps + 10) if !pastSchedule) {
+      val cat = mkPend(Files.createTempDirectory(s"oss_pend_$b"))
+      withFs(new ObjectStoreSimFs()) {
+        cat.insert("t", "m", docs(0 until 12))
+        cat.persistIndex("t", "m")
+      }
+      val crashed = withFs(new ObjectStoreSimFs(budget = b)) {
+        try { cat.insert("t", "m", newBatch); false }
+        catch { case _: CrashHooks.InjectedCrash => true }
+      }
+      if (!crashed) pastSchedule = true
+      else withFs(new ObjectStoreSimFs()) {
+        val served = servedAtNew(cat)
+        assert(served == Seq(true, true) || served == Seq(false, false),
+          s"window $b: pending append partially visible: $served")
+        cat.insert("t", "m", newBatch) // at-least-once replay
+        assert(servedAtNew(cat) == Seq(true, true),
+          s"window $b: replay did not converge")
+      }
+    }
+    assert(pastSchedule, "budget sweep never ran past the append schedule")
+  }
+
   test("racing writers on two collections sharing a tenant dir: crash, heal, both converge") {
     // Two mutators on DIFFERENT collections take different locks, so their
     // commit protocols genuinely interleave on the shared object store (one
