@@ -516,9 +516,17 @@ object Bench {
       "b13_hnsw_build" -> (() => {
         val corpus = docsCorpus.select(col("doc_id"), col("qv").as("dv"))
         val g = Hnsw.build(corpus, m = 8)
-        g.edges.write.mode("overwrite").parquet(s"$prepDir/hnsw/edges")
-        g.nodes.write.mode("overwrite").parquet(s"$prepDir/hnsw/nodes")
-        g.entries.write.mode("overwrite").parquet(s"$prepDir/hnsw/entries")
+        // independent derivations of the same lazy graph — overlap the
+        // small nodes/entries writes with the edge chain (the same
+        // concurrency buildHnswTo uses; identical outputs)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fs = Seq(
+          Future(g.edges.write.mode("overwrite").parquet(s"$prepDir/hnsw/edges")),
+          Future(g.nodes.write.mode("overwrite").parquet(s"$prepDir/hnsw/nodes")),
+          Future(g.entries.write.mode("overwrite").parquet(s"$prepDir/hnsw/entries")))
+        fs.foreach(Await.result(_, Duration.Inf))
         spark.read.parquet(s"$prepDir/hnsw/edges")
       }),
       "b14_hnsw_search" -> (() => {

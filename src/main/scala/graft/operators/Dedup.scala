@@ -136,8 +136,17 @@ object Dedup {
     * bucket.
     */
   def lshCandidatePairs(signatures: DataFrame, maxBucketSize: Option[Int]): DataFrame = {
+    // Materialized ONCE: the signature aggregate feeds every band branch
+    // (4), both sides of the bucket self-join, and both sides of the
+    // est_sim attach — left lazy the plan carries ~10 copies of the
+    // tokenize+shingle+minhash subtree (AQE exchange reuse collapses only
+    // identical exchanges, and the band projections sit ABOVE the reused
+    // exchange, so the map-side tokenize still re-runs per branch).
+    // Signatures are 9 longs/doc — corpus-bounded, far smaller than the
+    // corpus text being re-tokenized.
+    val sig = signatures.localCheckpoint()
     val bands0 = (0 until NumHashes / 2).map { bd =>
-      signatures.select(col("doc_id"), lit(bd).as("band"),
+      sig.select(col("doc_id"), lit(bd).as("band"),
         (col(s"h${2 * bd}") * P + col(s"h${2 * bd + 1}")).as("bucket"))
     }.reduce(_.unionByName(_))
     val bands = maxBucketSize.fold(bands0) { cap =>
@@ -153,7 +162,6 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val sig = signatures
     val matches = (0 until NumHashes)
       .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
       .reduce(_ + _)

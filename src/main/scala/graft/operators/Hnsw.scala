@@ -134,7 +134,8 @@ object Hnsw {
     // Coarse cells: bounded-sample KMeans; ~64 docs per cell (clamped to
     // [2, n] — MLlib KMeans needs 2 ≤ k ≤ points).
     val nlist = math.max(2, math.min(math.min(4096L, n / 64), n).toInt)
-    val ivf = Ivf.build(corpus, nlist, metric, seed, maxIter = coarseIter)
+    val ivf = Ivf.build(corpus, nlist, metric, seed, maxIter = coarseIter,
+      knownCount = Some(n))
 
     // Cell-local candidate pairs (keyed on centroid_id), both directions.
     val c = ivf.clustered.select(col("centroid_id"),

@@ -37,12 +37,17 @@ object Ivf {
     */
   val TrainPerCell = 64
 
-  /** Build the index. `corpus`: (doc_id, dv ARRAY<DOUBLE>). */
+  /** Build the index. `corpus`: (doc_id, dv ARRAY<DOUBLE>).
+    * `knownCount`: corpus row count when the caller already aggregated it
+    * (Hnsw.build's stats pass) — skips the count job, which is pure fixed
+    * latency on the build's driver-synchronized chain.
+    */
   def build(corpus: DataFrame, nlist: Int, metric: String = "COSINE",
-      seed: Long = 42L, maxIter: Int = 20): Index = {
+      seed: Long = 42L, maxIter: Int = 20,
+      knownCount: Option[Long] = None): Index = {
     require(nlist >= 1 && nlist <= 65536, "nlist 1-65536")
     val target = TrainPerCell.toLong * nlist
-    val n = corpus.count()
+    val n = knownCount.getOrElse(corpus.count())
     // deterministic sample (hash filter, pushed to the scan): seeded so the
     // build is reproducible, independent of partitioning/row order
     val train =

@@ -2657,15 +2657,30 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       shardTarget = properties(tenant, model)
         .getOrElse("hnsw_shard_target", "200000").toInt)
     val nB = nBuckets(tenant, model).toLong
-    g.nodes.withColumn("_bucket", pmod(col("doc_id"), lit(nB)))
-      .repartition(col("_bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
-      .parquet(tmp.resolve("nodes").toString)
-    g.edges.withColumn("_bucket", pmod(col("src"), lit(nB)))
-      .repartition(col("_bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
-      .parquet(tmp.resolve("edges").toString)
-    g.entries.write.mode(SaveMode.Overwrite).parquet(tmp.resolve("entries").toString)
+    // the three table writes are independent derivations of the same lazy
+    // graph into a PRIVATE tmp — run them as concurrent jobs so the small
+    // nodes/entries writes overlap the edge-derivation chain instead of
+    // queueing behind it (the sparse-commit overlap pattern)
+    import scala.concurrent.Await
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fN = graft.core.PoolPinned.future(spark.sparkContext)(
+      g.nodes.withColumn("_bucket", pmod(col("doc_id"), lit(nB)))
+        .repartition(col("_bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+        .parquet(tmp.resolve("nodes").toString))
+    val fE = graft.core.PoolPinned.future(spark.sparkContext)(
+      g.edges.withColumn("_bucket", pmod(col("src"), lit(nB)))
+        .repartition(col("_bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+        .parquet(tmp.resolve("edges").toString))
+    val fEn = graft.core.PoolPinned.future(spark.sparkContext)(
+      g.entries.write.mode(SaveMode.Overwrite)
+        .parquet(tmp.resolve("entries").toString))
+    val rN = scala.util.Try(Await.result(fN, Duration.Inf))
+    val rE = scala.util.Try(Await.result(fE, Duration.Inf))
+    val rEn = scala.util.Try(Await.result(fEn, Duration.Inf))
+    rN.get; rE.get; rEn.get
   }
 
   /** Phase 2: publish a staged graph generation — ONE atomic pointer PUT
