@@ -137,7 +137,21 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     genCache.keySet().removeIf(_.startsWith(prefix))
   }
 
-  private def drainRebuilds(tenant: String, model: String): Unit =
+  private def drainRebuilds(tenant: String, model: String): Unit = {
+    // detached pending folds hold the same publish-takes-the-lock shape as
+    // rebuilds — drain them here too, same outside-the-lock discipline
+    val fold = inflightFolds.get(rebuildKey(tenant, model, "hnswfold"))
+    if (fold != null)
+      try fold.get()
+      catch {
+        case _: java.util.concurrent.ExecutionException => ()
+        case _: java.util.concurrent.CancellationException => ()
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw new IllegalStateException(
+            s"interrupted while draining in-flight pending fold of " +
+              s"$tenant/$model; aborting drop", e)
+      }
     Seq("ivf", "hnsw").foreach { fam =>
       val f = inflightRebuilds.get(rebuildKey(tenant, model, fam))
       // NO FutureTask.cancel here: cancel(false) flips a RUNNING task's
@@ -163,6 +177,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
                 s"$tenant/$model; aborting drop", e)
         }
     }
+  }
 
   /** Multi-step tenant bootstrap with ROLLBACK (reference
     * `_setup_tenant_vector_store`, base_milvus.py:1479-1524, wrapped in the
@@ -775,7 +790,8 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     * tearing a collection down; specs use it for determinism) — never
     * required for correctness of reads or inserts.
     */
-  def awaitRebuilds(tenant: String, model: String): Unit =
+  def awaitRebuilds(tenant: String, model: String): Unit = {
+    awaitFold(tenant, model)
     Seq("ivf", "hnsw").foreach { fam =>
       val f = inflightRebuilds.get(rebuildKey(tenant, model, fam))
       if (f != null)
@@ -787,6 +803,22 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           case _: java.util.concurrent.CancellationException => ()
         }
     }
+  }
+
+  /** Drain the in-flight detached pending fold, if any (same sync-point
+    * contract as [[awaitRebuilds]] — never required for correctness).
+    */
+  private def awaitFold(tenant: String, model: String): Unit = {
+    val f = inflightFolds.get(rebuildKey(tenant, model, "hnswfold"))
+    if (f != null)
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw new RuntimeException(
+            s"background pending fold of $tenant/$model failed", e.getCause)
+        case _: java.util.concurrent.CancellationException => ()
+      }
+  }
 
   private def scheduleRebuild(tenant: String, model: String, fam: String,
       marker: Path)(body: => Unit): Unit = {
@@ -1554,9 +1586,17 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       stage("hnsw pending append")(
         appendHnswPending(tenant, model, batchVecs, batchSize))
       val (nb, nr) = hnswPendingStats(tenant, model)
-      if (nb >= hnswAbsorbWindow(tenant, model) ||
-          nr >= hnswPendingMaxRows(tenant, model))
+      if (nr >= hnswPendingMaxRows(tenant, model)) {
+        // back-pressure: the brute-force serving leg is at its row bound —
+        // fold the WHOLE live set synchronously (this insert pays, the r15
+        // shape). No await on a detached fold here: we hold the collection
+        // lock its commit needs (deadlock); instead this fold's absorb-count
+        // bump makes any raced in-flight commit abort and discard its tmps.
         stage("hnsw pending fold")(foldHnswPending(tenant, model))
+      } else if (nb >= hnswAbsorbWindow(tenant, model))
+        // window full: detach the fold (beam+prune run lock-free on the
+        // rebuild executor) — the insert returns now, r16 verdict #1
+        stage("hnsw fold schedule")(scheduleHnswFold(tenant, model))
     }
     if (hnswEmptyGraph)
       // first build — there is no old generation to serve, so synchronous
@@ -3026,12 +3066,18 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     readBacklogParts(livePendingBatches(hnswPendingDir(tenant, model)))
       .map(_._1)
 
-  /** Fold the pending window into the live graph with ONE batched absorb
-    * cycle, then clear the pending set. Caller holds the collection lock.
+  /** Fold a pending-batch set into the live graph with ONE batched absorb
+    * cycle, then delete exactly those batch dirs (appends that landed after
+    * the capture stay queued for the next fold). Caller holds the
+    * collection lock.
     */
-  private def foldHnswPending(tenant: String, model: String): Unit = {
-    val dir = hnswPendingDir(tenant, model)
-    readBacklogParts(livePendingBatches(dir)).foreach { case (latest, _) =>
+  private def foldHnswPending(tenant: String, model: String): Unit =
+    foldHnswParts(tenant, model,
+      livePendingBatches(hnswPendingDir(tenant, model)))
+
+  private def foldHnswParts(tenant: String, model: String,
+      parts: Seq[Path]): Unit = {
+    readBacklogParts(parts.filter(Files.exists(_))).foreach { case (latest, _) =>
       val folded = latest.localCheckpoint()
       // a bounded window rides the request-path absorb shape (driver-known
       // ids ⇒ micro-session + sized local relations); a window that
@@ -3044,7 +3090,94 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         folded, known)
       finishHnswAbsorb(tenant, model, prep, folded)
     }
-    if (Files.exists(dir)) deleteRec(dir)
+    parts.foreach(p => if (Files.exists(p)) deleteRec(p))
+    clearPendingIfEmpty(tenant, model)
+  }
+
+  /** Remove the pending dir itself once its last batch is folded (callers
+    * hold the collection lock, so no append can race the emptiness check).
+    */
+  private def clearPendingIfEmpty(tenant: String, model: String): Unit = {
+    val dir = hnswPendingDir(tenant, model)
+    if (Files.exists(dir) && listChildren(dir).isEmpty) deleteRec(dir)
+  }
+
+  // ---- asynchronous pending-window fold (r16 verdict #1) ----
+  //
+  // The synchronous fold ran inside the triggering insert's commit scope:
+  // every Wth insert stalled for a full absorb cycle (15-23 s at the 1M
+  // point, growing with graph size) — an unbounded p99 ingest spike on the
+  // DEFAULT serving path. The fold is now detached: the triggering insert
+  // captures the pending batch set and returns; the absorb's expensive
+  // phase (beam + prune + tmp writes — pure reads and private writes) runs
+  // on the rebuild executor with NO lock, in the low-weight graftRebuild
+  // pool; only the bucket swaps take the collection lock. The commit
+  // aborts — leaving the pending set intact for the next trigger — unless
+  // the collection (creation epoch), graph generation, and absorb count
+  // are exactly as prep time, so a racing drop/recreate, full-rebuild
+  // flip, or direct absorb can never be clobbered by stale staged buckets.
+  // Back-pressure survives: a pending set at `hnsw_pending_max_rows` still
+  // folds synchronously in the insert (after draining any in-flight fold).
+  private val inflightFolds =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.FutureTask[Unit]]()
+
+  private def scheduleHnswFold(tenant: String, model: String): Unit = {
+    val key = rebuildKey(tenant, model, "hnswfold")
+    if (inflightFolds.containsKey(key)) return // one fold at a time
+    val parts = livePendingBatches(hnswPendingDir(tenant, model))
+    if (parts.isEmpty) return
+    val epoch = creationEpoch(tenant, model)
+    val task = new java.util.concurrent.FutureTask[Unit](() => {
+      val sc = spark.sparkContext
+      sc.setLocalProperty("spark.scheduler.pool", "graftRebuild")
+      try runHnswFold(tenant, model, parts, epoch)
+      finally sc.setLocalProperty("spark.scheduler.pool", null)
+    })
+    if (inflightFolds.putIfAbsent(key, task) == null)
+      rebuildExec.execute(() =>
+        try task.run() finally inflightFolds.remove(key, task))
+  }
+
+  private def runHnswFold(tenant: String, model: String, parts: Seq[Path],
+      epoch: Option[String]): Unit = {
+    RebuildHooks.maybeHold()
+    try {
+      if (!sameCollection(tenant, model, epoch)) return
+      // phase 1, NO lock: beam + prune + staged bucket writes against the
+      // prep-time generation (pure reads of dirs nothing mutates in place;
+      // a generation flip under us is caught by the commit guard below)
+      val d0 = hnswRoot(tenant, model)
+      val count0 = hnswAbsorbCount(tenant, model)
+      readBacklogParts(parts.filter(Files.exists(_))).foreach {
+        case (latest, _) =>
+          val folded = latest.localCheckpoint()
+          val cap = graft.operators.Knn.maxFusedQueries
+          val ids = folded.select("doc_id").limit(cap + 1).collect()
+            .map(_.getLong(0))
+          val known = if (ids.length <= cap) Some(ids.toSeq) else None
+          val prep = prepareHnswAbsorb(d0, tenant, model, folded, known)
+          withCommitScope(tenant, model) {
+            if (sameCollection(tenant, model, epoch) &&
+                hnswRoot(tenant, model) == d0 &&
+                hnswAbsorbCount(tenant, model) == count0) {
+              finishHnswAbsorb(tenant, model, prep, folded)
+              parts.foreach(p => if (Files.exists(p)) deleteRec(p))
+              clearPendingIfEmpty(tenant, model)
+            } else
+              // stale prep (raced flip/absorb/drop): discard the staged
+              // tmps; the still-queued pending set re-folds next trigger
+              Seq(prep.nodesTmp, prep.edgesTmp, prep.entriesTmp)
+                .foreach(p => if (Files.exists(p)) deleteRec(p))
+          }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e)
+        if !sameCollection(tenant, model, epoch) =>
+        // the collection vanished or was recreated under the fold — the
+        // prep's reads failing is the expected shape, nothing to clean
+        ()
+    }
   }
 
   /** Parse an extraProps int knob defensively: junk or out-of-range values

@@ -19,7 +19,40 @@ object ProfileInsert {
     spark.sparkContext.setLogLevel("WARN")
     def vec(seed: Int): Seq[Double] =
       (0 until 64).map(i => ((seed * 131 + i * 313 + 7) % 97 - 48).toDouble)
-    val mode = args.headOption.getOrElse("plain") // plain | indexed | hnsw
+    val mode = args.headOption.getOrElse("plain") // plain | indexed | hnsw | pend
+    if (mode == "pend") {
+      // the r16 verdict #1 "done" trace: 18 sequential inserts into a
+      // pending-window (default 8) HNSW collection — pre-r17 every Wth
+      // iteration paid the synchronous fold inline (15-23 s at the 1M
+      // point); with the detached fold no iteration may read >2x steady
+      // state. The fold still runs (on the rebuild executor) — its cost
+      // shows up, if at all, as mild contention on later iterations.
+      val cat = new VectorStoreCatalog(spark,
+        java.nio.file.Files.createTempDirectory("graft_prof").toString)
+      cat.generateSchema(SchemaSpec("t", "m", dimension = 64,
+        indexType = "HNSW", extraProps = Map("hnsw_max_absorbs" -> "100000")))
+      cat.insert("t", "m", (0 until 1000).map(i =>
+        EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "m", Map(), vec(i))))
+      cat.persistIndex("t", "m")
+      def churn(gen: Int) = (0 until 100).map { i =>
+        val key = if (i < 50) s"seed${gen % 900 + i}" else s"k${gen}_$i"
+        EmbeddedVector(key, s"doc $gen $i", "m", Map("g" -> gen.toString),
+          vec(gen * 1000 + i))
+      }
+      cat.insert("t", "m", churn(0)) // warm
+      val times = (1 to 18).map { g =>
+        val t0 = System.nanoTime()
+        cat.insert("t", "m", churn(g))
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[pend] insert $g%2d  $dt%6.2f s")
+        dt
+      }
+      cat.awaitRebuilds("t", "m")
+      val steady = times.sorted.apply(times.size / 2)
+      println(f"[pend] median ${steady}%.2f s  max ${times.max}%.2f s  " +
+        f"max/median ${times.max / steady}%.2f")
+      spark.stop(); return
+    }
     val cat = new VectorStoreCatalog(spark,
       java.nio.file.Files.createTempDirectory("graft_prof").toString)
     if (mode == "hnsw") {

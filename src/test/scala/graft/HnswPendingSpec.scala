@@ -93,6 +93,10 @@ class HnswPendingSpec extends SparkSpec {
     churned(cat, "t", "w1", window = "1")
     churned(cat, "t", "w3", window = "3") // 3 waves = window: folds on wave 3
 
+    // the fold is DETACHED (the triggering insert returns immediately;
+    // the absorb runs on the rebuild executor) — drain it, the spec's
+    // usual sync point
+    cat.awaitRebuilds("t", "w3")
     assert(!Files.exists(pendingDir(cat, "t", "w3")),
       "window=3 after 3 waves must have folded and cleared pending")
     // the folded graph serves identically to the absorb-per-insert twin
@@ -145,6 +149,7 @@ class HnswPendingSpec extends SparkSpec {
     for (w <- 3 until 8)
       cat2.insert("t", "w8", (0 until 12).map(i =>
         row(s"x${w * 12 + i}", 300 + w * 12 + i, "w8")))
+    cat2.awaitRebuilds("t", "w8") // the fold is detached — drain it
     assert(!Files.exists(pendingDir(cat2, "t", "w8")),
       "crossing the window after restart folds the whole queue")
     val g = cat2.loadHnsw("t", "w8")
@@ -153,6 +158,79 @@ class HnswPendingSpec extends SparkSpec {
       .select(xxhash64(col("flouds_vector_id"))).collect()
       .map(_.getLong(0)).toSet
     assert(nodeIds == tableIds, "fold after restart converged the graph")
+  }
+
+  test("detached fold: appends and searches racing the fold stay correct; result equals the sync twin") {
+    // The fold is detached (r16 verdict #1): park it at its start
+    // (RebuildHooks.holdGate), land two more churn waves and run searches
+    // while it is parked, then release and drain — every stage must equal
+    // the window=1 absorb-per-insert twin on identical churn.
+    val cat = mkCatalog("graft_hfoldrace")
+    def extraWave(m: String, w: Int): Unit =
+      cat.insert("t", m, (0 until 12).map { i =>
+        val j = w * 12 + i
+        if (j % 2 == 0) row(s"k${j / 2}", 200 + j, m, tag = "v3")
+        else row(s"x$j", 300 + j, m)
+      })
+    churned(cat, "t", "w1", window = "1")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    graft.sources.RebuildHooks.holdGate = Some(gate)
+    try {
+      churned(cat, "t", "w3", window = "3") // wave 3 schedules the fold → parked
+      for (w <- 3 until 5) { extraWave("w1", w); extraWave("w3", w) }
+      // while the fold is parked, the raced appends serve from pending
+      for (q <- Seq(3, 40, 203, 311))
+        assert(fullBeam(cat, "t", "w3", q) == fullBeam(cat, "t", "w1", q),
+          s"parked-fold search diverged at $q")
+    } finally {
+      gate.countDown()
+      graft.sources.RebuildHooks.holdGate = None
+    }
+    cat.awaitRebuilds("t", "w3")
+    // the fold absorbed its captured window; the raced appends stay queued
+    assert(Files.exists(pendingDir(cat, "t", "w3")),
+      "appends that raced the fold must remain pending")
+    for (q <- Seq(3, 40, 203, 311))
+      assert(fullBeam(cat, "t", "w3", q) == fullBeam(cat, "t", "w1", q),
+        s"post-fold search diverged at $q")
+  }
+
+  test("cross-instance drop/recreate racing a parked fold: the stale fold aborts, the new collection is untouched") {
+    // Instance A schedules a fold and parks; instance B (no view of A's
+    // in-flight map — the reader-replica shape) drops and recreates the
+    // collection and inserts fresh data. A's fold must abort on the
+    // creation-epoch/generation guard and leave B's collection exactly as
+    // B built it.
+    val base = Files.createTempDirectory("graft_hfolddrop").toString
+    val catA = new VectorStoreCatalog(spark, base)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    graft.sources.RebuildHooks.holdGate = Some(gate)
+    try {
+      churned(catA, "t", "w3", window = "3") // fold scheduled → parked
+      val catB = new VectorStoreCatalog(spark, base)
+      catB.dropCollection("t", "w3") // B's drain sees no fold (per-instance)
+      catB.generateSchema(SchemaSpec("t", "w3", dimension = 8,
+        indexType = "HNSW", extraProps = Map("hnsw_absorb_window" -> "8",
+          "hnsw_max_absorbs" -> "100000")))
+      catB.insert("t", "w3", (0 until 20).map(i => row(s"f$i", 700 + i, "w3")))
+      catB.persistIndex("t", "w3")
+      val before = fullBeam(catB, "t", "w3", 705)
+      gate.countDown()
+      graft.sources.RebuildHooks.holdGate = None
+      catA.awaitRebuilds("t", "w3") // stale fold runs to completion (abort)
+      assert(fullBeam(catB, "t", "w3", 705) == before,
+        "stale fold must not mutate the recreated collection")
+      val g = catB.loadHnsw("t", "w3")
+      val nodeIds = g.nodes.select("doc_id").collect().map(_.getLong(0)).toSet
+      val tableIds = catB.load("t", "w3")
+        .select(xxhash64(col("flouds_vector_id"))).collect()
+        .map(_.getLong(0)).toSet
+      assert(nodeIds == tableIds,
+        "recreated collection's graph must contain exactly its own keys")
+    } finally {
+      gate.countDown()
+      graft.sources.RebuildHooks.holdGate = None
+    }
   }
 
   test("pending last-writer-wins survives a reboot-skewed seq") {
