@@ -475,13 +475,27 @@ object Hnsw {
     val qPrep0 = queries.select(col("qid"), col("qv"),
       VecExprs.norm2(col("qv")).as("nq2"))
     val qPrep = if (broadcastQueries) qPrep0 else qPrep0.localCheckpoint()
+    // Adaptive hop-join physicality for bulk batches (guide §3.1): the
+    // shuffle-join walk re-exchanges the FULL edges and nodes tables every
+    // hop — right for an unbounded query table, pure waste for a bulk batch
+    // whose beam state is broadcastable. The batch is already materialized
+    // (the checkpoint above), so ONE count decides: if |q|·ef fits the
+    // fused-request ceiling (|frontier| ≤ |q|·ef rows; the per-hop
+    // neighbour broadcast is bounded by that times the pruned degree), run
+    // the request path's broadcast hop joins — the graph tables are then
+    // only ever map-side scanned, never shuffled. Row-identical either way
+    // (BulkHnswSpec pins bulk ≡ request at full and partial beam); join
+    // strategy never changes the walk's row set. Past the ceiling the
+    // shuffle plans stay — a million-query batch must not broadcast.
+    val bcastQ = broadcastQueries ||
+      qPrep.count() * math.max(1L, ef.toLong) <= Knn.maxFusedQueries * 64L
 
     // (qid, doc_id, dv) → (qid, doc_id, s): per-pair scoring, queries
     // broadcast on the request path / qid-shuffled on the bulk path (same
     // kernel chain as Knn.scoredPairs either way).
     def score(cand: DataFrame): DataFrame = cand
       .withColumn("nd2", VecExprs.norm2(col("dv")))
-      .join(if (broadcastQueries) broadcast(qPrep) else qPrep, "qid")
+      .join(if (bcastQ) broadcast(qPrep) else qPrep, "qid")
       .withColumn("dotp", VecExprs.dot(col("qv"), col("dv")))
       .withColumn("s", Knn.rawScore(g.metric))
       .select("qid", "doc_id", "s")
@@ -555,21 +569,39 @@ object Hnsw {
     // bounded by |queries|·ef on this path (requests are ≤1000 vectors);
     // the bulk path (unbounded query tables) keeps shuffle joins.
     val bc: DataFrame => DataFrame =
-      df => if (broadcastQueries) broadcast(df) else df
+      df => if (bcastQ) broadcast(df) else df
     var hop = 0
     var frontierEmpty = earlyStop && state.filter(col("fr")).isEmpty
     while (hop < maxHops && !frontierEmpty) {
       val frontier = state.filter(col("fr")).select("qid", "doc_id")
+      // Neighbour candidates WITHOUT the per-hop distinct + anti-join of
+      // the r14–r17 shape: duplicate (qid, doc_id) pairs (multi-edge hits,
+      // already-visited nodes) ride through the vector attach and scoring
+      // — volume stays bounded by the frontier's out-degree, the walk's
+      // intrinsic cost — and ONE hash aggregate below dedups the union.
+      // That removes two fixed-latency plan rounds per hop: the distinct
+      // exchange inside the neighbour derivation and the anti-join against
+      // the full state (a broadcast-build job per hop on the request path,
+      // a state-sized shuffle on the bulk path). Row-identical: a
+      // re-scored pair is bit-equal to its state copy (same deterministic
+      // kernel over the same (qv, dv), and `af` is a function of doc_id),
+      // so first() picks among identical values; wasBest folds with OR
+      // (max), and rank monotonicity keeps `fr` semantics — a non-best
+      // state row's rank only degrades as rows accumulate, so it can never
+      // re-enter the frontier, exactly as when the anti-join dropped its
+      // re-score.
       val nbrs = bc(frontier)
         .join(edgesT, frontier("doc_id") === edgesT("src"))
-        .select(col("qid"), col("dst").as("doc_id")).distinct()
-        .join(bc(state.select("qid", "doc_id")), Seq("qid", "doc_id"), "left_anti")
+        .select(col("qid"), col("dst").as("doc_id"))
       val scoredN = withAllowedFlag(score(bc(nbrs).join(nodesT, "doc_id")))
         .withColumn("wasBest", lit(false))
       val all = state
         .select(col("qid"), col("doc_id"), col("s"), col("af"),
           col("best").as("wasBest"))
         .unionByName(scoredN.select("qid", "doc_id", "s", "af", "wasBest"))
+        .groupBy("qid", "doc_id")
+        .agg(first(col("s")).as("s"), first(col("af")).as("af"),
+          max(col("wasBest")).as("wasBest"))
       state = all
         .withColumn("_rn", row_number().over(wBest))
         .withColumn("best", col("_rn") <= ef)

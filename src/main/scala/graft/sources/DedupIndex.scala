@@ -402,14 +402,27 @@ object DedupIndex {
           .filter(col("est_sim") >= threshold)
           .select("query_id").distinct()
           .collect().map(_.getLong(0)).toSet
-        // null-safe NOT-IN (an anti join KEEPS a null-keyed row; bare
-        // NOT IN would drop it)
+        // Survivor filter as a broadcast ANTI-JOIN over a local dup-id
+        // relation, not an In-list: near the 100k cap `isInCollection`
+        // plants a giant In predicate (planning/codegen blowup), where the
+        // anti join builds one hash relation. Null semantics match the old
+        // null-safe NOT-IN: an anti join KEEPS a null-keyed row (null never
+        // equals a dup id).
         val surv =
           (if (dups.isEmpty) b
-           else b.filter(col("doc_id").isNull ||
-             !col("doc_id").isInCollection(dups))).localCheckpoint()
+           else {
+             val dupRel = spark.createDataset(dups.toSeq.sorted)(
+               org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
+             b.join(broadcast(dupRel), Seq("doc_id"), "left_anti")
+           }).localCheckpoint()
+        // knownSig derivations index r.getLong(0) driver-side — a null
+        // doc_id row (anticipated by the null-safe survivor filter above)
+        // would NPE there and in upsert's bucket math. Such a batch takes
+        // the distributed derivation path instead, which handles nulls by
+        // construction; the fast path keeps its exact-equality contract.
+        val knownOk = capped.forall(r => !r.isNullAt(0))
         upsert(spark, dir, surv, nBuckets,
-          Some(capped.filterNot(r => dups(r.getLong(0)))))
+          if (knownOk) Some(capped.filterNot(r => dups(r.getLong(0)))) else None)
         surv
       } else {
         val dupIds = queryBatch(spark, dir, b, nBuckets)

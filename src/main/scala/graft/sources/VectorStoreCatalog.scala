@@ -3013,23 +3013,43 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // any restart, no counter file to corrupt. Batch dirs written before
     // this fix carry nanoTime-sized seqs; max+1 continues past them.
     val seq = listChildren(dir).map(_.getFileName.toString)
-      .filter(n => n.startsWith("b") && n.contains("_r"))
-      .flatMap(n =>
-        scala.util.Try(n.substring(1, n.lastIndexOf("_r")).toLong).toOption)
+      .flatMap(pendingSeqOf)
       .maxOption.getOrElse(0L) + 1L
     // tmp-write + move-and-publish — the same commit seam every other
     // durable structure uses (appendDelta's shape). A torn copy-then-delete
     // append is then INVISIBLE to readers (livePendingBatches skips
     // unpublished dirs) instead of relying on the big-hammer
     // heal-from-table; replaying the batch converges (keyed upsert).
-    val tmp = dir.resolveSibling("_pending_tmp_" + seq)
+    // The dir name carries a per-instance nonce: `_seq` serialization rides
+    // on the PER-INSTANCE collection lock, so two catalog instances on the
+    // same base path can mint the same seq concurrently — equal dir NAMES
+    // would make the second move throw (or interleave object-store copies
+    // into one dir); the nonce keeps the dirs distinct while `_seq` keeps
+    // ordering.
+    val tmp = dir.resolveSibling("_pending_tmp_" + seq + "_" + instanceNonce)
     vecs.select(col("doc_id"), col("dv"))
       .withColumn("_seq", lit(seq))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     CrashHooks.maybe("hnsw.beforePendingMove")
     VectorStoreCatalog.fs.moveAndPublish(tmp,
-      dir.resolve("b" + seq + "_r" + rows))
+      dir.resolve("b" + seq + "_" + instanceNonce + "_r" + rows))
   }
+
+  /** Seq of a pending batch dir name — both formats: `b<seq>_r<rows>`
+    * (pre-nonce) and `b<seq>_<nonce>_r<rows>`. None for non-batch names.
+    */
+  private def pendingSeqOf(n: String): Option[Long] =
+    if (n.startsWith("b") && n.contains("_r") && n.indexOf('_') > 1)
+      scala.util.Try(n.substring(1, n.indexOf('_')).toLong).toOption
+    else None
+
+  /** Distinguishes this catalog instance's pending appends from another
+    * instance's on the SAME base path (the cross-instance shape the specs
+    * exercise): pid + identity, hex — never parsed, only collision-avoided.
+    */
+  private val instanceNonce: String =
+    java.lang.Long.toHexString(ProcessHandle.current().pid()) + "x" +
+      Integer.toHexString(System.identityHashCode(this))
 
   /** Published pending-batch dirs — the liveDeltas discipline: under POSIX
     * renames an unpublished dir is complete by construction (legacy or
@@ -3091,6 +3111,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       finishHnswAbsorb(tenant, model, prep, folded)
     }
     parts.foreach(p => if (Files.exists(p)) deleteRec(p))
+    sweepTornPending(tenant, model, parts)
     clearPendingIfEmpty(tenant, model)
   }
 
@@ -3100,6 +3121,43 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
   private def clearPendingIfEmpty(tenant: String, model: String): Unit = {
     val dir = hnswPendingDir(tenant, model)
     if (Files.exists(dir) && listChildren(dir).isEmpty) deleteRec(dir)
+  }
+
+  /** Sweep torn pending debris after a fold (callers hold the collection
+    * lock). On object stores (`atomicMoves = false`) a batch torn between
+    * copyTree and publish is correctly INVISIBLE to livePendingBatches —
+    * but nothing ever deleted it: it blocked clearPendingIfEmpty forever
+    * (listChildren never empty) and accumulated, as did crashed
+    * `_pending_tmp_*` sibling dirs. Deletion is bounded to dirs whose seq
+    * is STRICTLY below the maximum folded seq: an in-flight append always
+    * mints max(live)+1 under its instance lock, so nothing being copied
+    * right now can sit below a seq that already folded — only debris can.
+    */
+  private def sweepTornPending(tenant: String, model: String,
+      foldedParts: Seq[Path]): Unit = {
+    val maxFolded = foldedParts
+      .flatMap(p => pendingSeqOf(p.getFileName.toString)).maxOption
+    maxFolded.foreach { mx =>
+      val dir = hnswPendingDir(tenant, model)
+      val f = VectorStoreCatalog.fs
+      // unpublished b* dirs are torn only under copy-then-delete semantics
+      // (POSIX readers backfill-publish them, so they are live appends)
+      if (!f.atomicMoves && Files.exists(dir))
+        listChildren(dir)
+          .filter(p => Files.isDirectory(p) && !f.isPublished(p))
+          .filter(p => pendingSeqOf(p.getFileName.toString).exists(_ < mx))
+          .foreach(p => scala.util.Try(deleteRec(p)))
+      val parent = dir.getParent
+      if (parent != null && Files.exists(parent))
+        listChildren(parent)
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("_pending_tmp_") &&
+              scala.util.Try(n.stripPrefix("_pending_tmp_")
+                .takeWhile(_ != '_').toLong).toOption.exists(_ < mx)
+          }
+          .foreach(p => scala.util.Try(deleteRec(p)))
+    }
   }
 
   // ---- asynchronous pending-window fold (r16 verdict #1) ----
@@ -3163,6 +3221,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
                 hnswAbsorbCount(tenant, model) == count0) {
               finishHnswAbsorb(tenant, model, prep, folded)
               parts.foreach(p => if (Files.exists(p)) deleteRec(p))
+              sweepTornPending(tenant, model, parts)
               clearPendingIfEmpty(tenant, model)
             } else
               // stale prep (raced flip/absorb/drop): discard the staged
@@ -3172,11 +3231,23 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           }
       }
     } catch {
-      case scala.util.control.NonFatal(e)
-        if !sameCollection(tenant, model, epoch) =>
-        // the collection vanished or was recreated under the fold — the
-        // prep's reads failing is the expected shape, nothing to clean
-        ()
+      // A fold is NEVER required for correctness (the pending set stays
+      // queued and refolds on the next trigger), so NO failure here may
+      // escape into the FutureTask — awaitRebuilds/awaitFold would rethrow
+      // it as a hard error despite that contract. Two benign shapes the old
+      // guard missed (r17 advisor): a SYNC max-rows fold deleting the
+      // captured parts between the Files.exists filter and the parquet path
+      // resolution, and an old-generation vacuum after a rebuild flip —
+      // both leave the collection unchanged, so the collection-changed
+      // guard let the exception escape. prepareHnswAbsorb cleans its own
+      // staged tmps on failure, so nothing leaks.
+      case scala.util.control.NonFatal(e) =>
+        if (sameCollection(tenant, model, epoch))
+          System.err.println(
+            s"[graft] detached hnsw fold aborted ($tenant/$model), " +
+              s"pending stays queued: $e")
+        // else: the collection vanished or was recreated under the fold —
+        // the prep's reads failing is the expected shape, nothing to log
     }
   }
 
@@ -3263,18 +3334,6 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
       // request-scoped cache would just copy the same data
       val connectHops = clampProp(
         properties(tenant, model).get("hnsw_connect_hops"), 3, 1, 8)
-      def beam() = Hnsw.search(g, queries, k = 8, ef = 32,
-          maxHops = connectHops, earlyStop = false, cacheGraph = false)
-        .select(col("qid").as("src"), col("doc_id").as("dst"))
-        .filter(col("src") =!= col("dst"))
-      val nbrs = stage("hnsw beam search")(
-        if (knownDocIds.isDefined)
-          sess.createDataset(beam().as[(Long, Long)].collect().toSeq)
-            .toDF("src", "dst")
-        else beam().localCheckpoint())
-      val newEdges = nbrs.unionByName(
-          nbrs.select(col("dst").as("src"), col("src").as("dst")))
-        .withColumn("_bucket", pmod(col("src"), lit(nB)))
 
       // BUCKET-RESTRICTED rewrite, O(batch), never O(graph): node buckets =
       // the batch ids' buckets (a replaced key hashes to the same bucket as
@@ -3289,6 +3348,62 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
         .join(batchIds, Seq("doc_id"), "left_anti")
         .unionByName(batchVecs.select("doc_id", "dv")
           .withColumn("_bucket", pmod(col("doc_id"), lit(nB))))
+      // An upserted key that is a cell's entry medoid must seed future walks
+      // with its NEW vector — refresh the (tiny) entries table from the
+      // batch. The shard id rides through unchanged (an absorb never moves
+      // an entry between shards).
+      val entriesOut = g.entries
+        .join(batchVecs.select(col("doc_id"), col("dv").as("new_dv")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("new_dv"), col("dv")).as("dv"),
+          col("shard"))
+
+      // tmp-write materializes (reading the current dirs) before any swap.
+      // The nodes/entries writes depend ONLY on the batch and the current
+      // dirs — not on the beam search — so they launch FIRST and the beam's
+      // driver-synchronized hop chain (the absorb's single largest fixed
+      // cost) runs concurrently over them (guide §2.6); the edges write
+      // joins once the prune plan exists. PoolPinned: these run both
+      // FOREGROUND (request-path absorb) and inside the weight-1 rebuild
+      // pool (backlog replay) — the submission's pool must ride onto the
+      // shared workers, not the worker-creation accident.
+      val nodesTmp = d.resolve("_tmp_nodes_" + System.nanoTime())
+      val edgesTmp = d.resolve("_tmp_edges_" + System.nanoTime())
+      val entriesTmp = d.resolve("_tmp_entries_" + System.nanoTime())
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val sc = spark.sparkContext
+      val earlyWrites = Seq(
+        graft.core.PoolPinned.future(sc)(stage("hnsw nodes write")(
+          nodesOut.repartition(col("_bucket")).write.mode(SaveMode.Overwrite)
+            .partitionBy("_bucket").parquet(nodesTmp.toString))),
+        graft.core.PoolPinned.future(sc)(stage("hnsw entries write")(
+          entriesOut.write.mode(SaveMode.Overwrite).parquet(entriesTmp.toString))))
+
+      // beam + prune construction run eager jobs — if any fails, settle the
+      // in-flight writes BEFORE unwinding (the settle-all contract below: no
+      // job may still be writing a tmp this frame's caller might vacuum),
+      // then drop the half-written tmps (a failed prepare must not leak
+      // staged dirs for the vacuum to misread).
+      def settleAndCleanup(): Unit = {
+        earlyWrites.foreach(w => scala.util.Try(scala.concurrent.Await
+          .result(w, scala.concurrent.duration.Duration.Inf)))
+        Seq(nodesTmp, edgesTmp, entriesTmp)
+          .foreach(p => scala.util.Try(if (Files.exists(p)) deleteRec(p)))
+      }
+      def beam() = Hnsw.search(g, queries, k = 8, ef = 32,
+          maxHops = connectHops, earlyStop = false, cacheGraph = false)
+        .select(col("qid").as("src"), col("doc_id").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val (edgeBuckets, edgesOut) = try {
+      val nbrs = stage("hnsw beam search")(
+        if (knownDocIds.isDefined)
+          sess.createDataset(beam().as[(Long, Long)].collect().toSeq)
+            .toDF("src", "dst")
+        else beam().localCheckpoint())
+      val newEdges = nbrs.unionByName(
+          nbrs.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("_bucket", pmod(col("src"), lit(nB)))
       val edgeBuckets =
         if (knownDocIds.isDefined)
           nbrs.as[(Long, Long)].collect().iterator
@@ -3315,62 +3430,24 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
           .join(batchIds, Seq("doc_id"), "left_anti")
           .unionByName(batchVecs.select("doc_id", "dv"))
       }
-      // An upserted key that is a cell's entry medoid must seed future walks
-      // with its NEW vector — refresh the (tiny) entries table from the
-      // batch. The shard id rides through unchanged (an absorb never moves
-      // an entry between shards).
-      val entriesOut = g.entries
-        .join(batchVecs.select(col("doc_id"), col("dv").as("new_dv")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("new_dv"), col("dv")).as("dv"),
-          col("shard"))
-
-      // tmp-write materializes (reading the current dirs) before any swap;
-      // the three tables share no directories and no uncomputed inputs, so
-      // their write jobs run concurrently (the edges write alone was ~2× the
-      // nodes write — overlap collapses the sum to the max). PoolPinned:
-      // these run both FOREGROUND (request-path absorb) and inside the
-      // weight-1 rebuild pool (backlog replay) — the submission's pool must
-      // ride onto the shared workers, not the worker-creation accident.
-      // The nodes/entries writes launch BEFORE the prune plan is built:
-      // pruneAdjacency runs two eager driver-synchronized jobs (overfull
-      // candidates checkpoint + the bucket-restricted vector lookup's
-      // collect) during plan CONSTRUCTION, and neither nodesOut nor
-      // entriesOut depends on it — sequencing them behind the prune was
-      // dead time on the absorb's fixed-latency chain.
-      val nodesTmp = d.resolve("_tmp_nodes_" + System.nanoTime())
-      val edgesTmp = d.resolve("_tmp_edges_" + System.nanoTime())
-      val entriesTmp = d.resolve("_tmp_entries_" + System.nanoTime())
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.global
-      val sc = spark.sparkContext
-      val earlyWrites = Seq(
-        graft.core.PoolPinned.future(sc)(stage("hnsw nodes write")(
-          nodesOut.repartition(col("_bucket")).write.mode(SaveMode.Overwrite)
-            .partitionBy("_bucket").parquet(nodesTmp.toString))),
-        graft.core.PoolPinned.future(sc)(stage("hnsw entries write")(
-          entriesOut.write.mode(SaveMode.Overwrite).parquet(entriesTmp.toString))))
-      // prune construction runs eager jobs — if it fails, settle the
-      // in-flight writes BEFORE unwinding (the settle-all contract below:
-      // no job may still be writing a tmp this frame's caller might vacuum)
-      val edgesOut =
-        try Hnsw.pruneAdjacency(
-            keptExisting.drop("_bucket").unionByName(newEdges.drop("_bucket")).distinct(),
-            g.entries.select("doc_id"), maxDeg, g.metric, vecsFor)
-          .withColumn("_bucket", pmod(col("src"), lit(nB)))
-        catch { case t: Throwable =>
-          earlyWrites.foreach(w => scala.util.Try(scala.concurrent.Await
-            .result(w, scala.concurrent.duration.Duration.Inf)))
-          throw t
-        }
+      val edgesOut = Hnsw.pruneAdjacency(
+          keptExisting.drop("_bucket").unionByName(newEdges.drop("_bucket")).distinct(),
+          g.entries.select("doc_id"), maxDeg, g.metric, vecsFor)
+        .withColumn("_bucket", pmod(col("src"), lit(nB)))
+      (edgeBuckets, edgesOut)
+      } catch { case t: Throwable => settleAndCleanup(); throw t }
       val writes = earlyWrites :+
         graft.core.PoolPinned.future(sc)(stage("hnsw edges write")(
           edgesOut.repartition(col("_bucket")).write.mode(SaveMode.Overwrite)
             .partitionBy("_bucket").parquet(edgesTmp.toString)))
       // settle ALL writes before propagating any failure (no job may still
-      // be writing a tmp this frame's caller might vacuum)
+      // be writing a tmp this frame's caller might vacuum); a failed write
+      // drops the half-written tmps before unwinding
       val results = writes.map(w => scala.util.Try(
         scala.concurrent.Await.result(w, scala.concurrent.duration.Duration.Inf)))
+      if (results.exists(_.isFailure))
+        Seq(nodesTmp, edgesTmp, entriesTmp)
+          .foreach(p => scala.util.Try(if (Files.exists(p)) deleteRec(p)))
       results.foreach(_.get)
       HnswAbsorbPrep(d, nodesTmp, edgesTmp, entriesTmp, nodeBuckets, edgeBuckets)
     } finally { nodesRaw.unpersist(false); edgesRaw.unpersist(false) }

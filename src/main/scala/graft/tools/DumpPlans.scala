@@ -66,6 +66,11 @@ object DumpPlans {
           .select(col("doc_id").as("qid"), col("qv"))
         Hnsw.search(persistedHnsw, queries, k = 10, ef = 64)
       }),
+      "b14b_hnsw_search_bulk" -> (() => {
+        val queries = docsCorpus.filter(col("doc_id") < 512)
+          .select(col("doc_id").as("qid"), col("qv"))
+        Hnsw.searchBulk(persistedHnsw, queries, k = 10, ef = 64)
+      }),
       "q_knn_cosine" -> (() => graft.SparkEntry.queries("q_knn_cosine")(spark, dir)),
       "q_ivf_knn" -> (() => graft.SparkEntry.queries("q_ivf_knn")(spark, dir)),
       "q_contamination" -> (() => graft.SparkEntry.queries("q_contamination")(spark, dir)),

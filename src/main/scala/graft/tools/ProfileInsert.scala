@@ -62,6 +62,11 @@ object ProfileInsert {
       val hops = args.drop(1).headOption.getOrElse("3")
       cat.generateSchema(SchemaSpec("t", "m", dimension = 64,
         indexType = "HNSW", extraProps = Map("hnsw_max_absorbs" -> "100000",
+          // window=1 = absorb-per-insert: this profiler exists to trace the
+          // ABSORB CYCLE (the b6i shape); without it the r16 pending default
+          // routes every insert to the append path and the trace shows no
+          // absorb at all
+          "hnsw_absorb_window" -> "1",
           "hnsw_connect_hops" -> hops)))
       cat.insert("t", "m", (0 until 1000).map(i =>
         EmbeddedVector(s"seed$i", s"seed doc $i lorem ipsum", "m", Map(), vec(i))))

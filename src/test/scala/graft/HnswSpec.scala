@@ -384,6 +384,7 @@ class HnswSpec extends SparkSpec {
       cat.insert("t", "m",
         ups :+ EmbeddedVector(s"f$r", s"fresh $r", "m", Map(), cvec(100 + r * 4 + 3)))
     }
+    cat.awaitRebuilds("t", "m") // drain in-flight detached folds (r17)
     val g = cat.loadHnsw("t", "m")
     val entrySrc = g.entries.select(col("doc_id").as("src"))
     val entryDst = g.entries.select(col("doc_id").as("dst"))
