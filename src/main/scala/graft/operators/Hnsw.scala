@@ -109,7 +109,7 @@ object Hnsw {
     */
   def build(corpus: DataFrame, m: Int = 8, metric: String = "COSINE",
       seed: Long = 42L, nTables: Int = 4, nPlanes: Int = 6,
-      maxBridgeBucket: Int = 4096, coarseIter: Int = 8,
+      maxBridgeBucket: Int = 4096, coarseIter: Int = 4,
       stats: Option[(Long, Int)] = None): Graph = {
     val spark = corpus.sparkSession
     // ONE stats job for corpus size AND vector width (a separate
@@ -136,11 +136,23 @@ object Hnsw {
     val nlist = math.max(2, math.min(math.min(4096L, n / 64), n).toInt)
     val ivf = Ivf.build(corpus, nlist, metric, seed, maxIter = coarseIter,
       knownCount = Some(n))
+    // The cell assignment is a LAZY map-only pass (corpus scan + one fused
+    // nearestCentroid loop: n·nlist·dim multiply-adds) and FOUR consumers
+    // below read it — both sides of the cell-pair self-join, the entry
+    // scoring, and the hub stars. Left lazy each consumer recomputes the
+    // full pass; pinned once (DISK_ONLY: lineage kept, a lost block
+    // recomputes — the semanticDedup pin's rationale, guide §5), the other
+    // three read the materialized rows. Negligible at sf0.1 (~8M flops per
+    // pass), 3 saved corpus-wide assignment passes at production nlist/dim.
+    // Lifetime is the returned Graph's (edges/entries plans reference it);
+    // the ContextCleaner reclaims the blocks when the caller drops it.
+    val clustered = ivf.clustered
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     // Cell-local candidate pairs (keyed on centroid_id), both directions.
-    val c = ivf.clustered.select(col("centroid_id"),
+    val c = clustered.select(col("centroid_id"),
       col("doc_id").as("a_id"), col("dv").as("a_dv"))
-    val c2 = ivf.clustered.select(col("centroid_id"),
+    val c2 = clustered.select(col("centroid_id"),
       col("doc_id").as("b_id"), col("dv").as("b_dv"))
     val cellPairs = c.join(c2, "centroid_id")
       .filter(col("a_id") =!= col("b_id"))
@@ -181,7 +193,7 @@ object Hnsw {
       .select("src", "dst")
 
     // Entry medoids: per cell, the node nearest its centroid.
-    val entryScored = scorePairs(ivf.clustered
+    val entryScored = scorePairs(clustered
         .join(broadcast(ivf.centroids), "centroid_id")
         .select(col("centroid_id"), col("doc_id"), col("dv"),
           col("dv").as("a_dv"), col("center").as("b_dv")), metric)
@@ -200,7 +212,7 @@ object Hnsw {
     // diameter (~4: node → medoid → medoid' → node') and make every node
     // reachable from the entry set; the medoids themselves get their own
     // kNN-m graph (≤ nlist² scored pairs, build-time only).
-    val star = ivf.clustered.join(broadcast(entryByCell), "centroid_id")
+    val star = clustered.join(broadcast(entryByCell), "centroid_id")
       .filter(col("doc_id") =!= col("entry_id"))
       .select(col("doc_id").as("src"), col("entry_id").as("dst"))
     val entryPairs = entryByCell

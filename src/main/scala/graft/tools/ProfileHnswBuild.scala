@@ -51,6 +51,31 @@ object ProfileHnswBuild {
           g.entries.write.mode("overwrite").parquet(s"$out/entries"))
       }
     }
+    // coarseIter sweep (r17 verdict next-round item 1a): the coarse cells
+    // only need LOCALITY, and each KMeans iteration is a driver-synchronized
+    // job round — measure what iterations actually buy in approximate-regime
+    // recall before touching the default. Recall is @10 at ef=64 over 64
+    // queries vs exact KNN (the HnswSpec bound's shape, wider query set).
+    val queries = Tables.docsCorpus(spark, dir)
+      .filter(col("doc_id") < 64)
+      .select(col("doc_id").as("qid"), col("qv"))
+    val exact = Knn.search(Tables.docsCorpus(spark, dir)
+        .select(col("doc_id"), col("qv").as("dv")), queries,
+      SearchParams(limit = 10, outputFields = Nil)).localCheckpoint()
+    for (ci <- Seq(8, 4, 2, 1); rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val g = Hnsw.build(corpus, m = 8, coarseIter = ci)
+      g.edges.write.mode("overwrite").parquet(s"$out/ci/edges")
+      g.nodes.write.mode("overwrite").parquet(s"$out/ci/nodes")
+      g.entries.write.mode("overwrite").parquet(s"$out/ci/entries")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val served = Hnsw.Graph(spark.read.parquet(s"$out/ci/nodes"),
+        spark.read.parquet(s"$out/ci/edges"),
+        spark.read.parquet(s"$out/ci/entries"), "COSINE")
+      val rec = Ivf.recallVsExact(
+        Hnsw.search(served, queries, k = 10, ef = 64), exact)
+      println(f"[ci] coarseIter=$ci%2d rep=$rep  build+write ${dt}%6.2f s  recall@10(ef=64)=$rec%.4f")
+    }
     spark.stop()
   }
 }
