@@ -66,4 +66,15 @@ private[graft] object RebuildHooks {
     publishArrived.foreach(_.countDown())
     publishGate.foreach(_.await())
   }
+
+  /** Park a detached pending-window FOLD between its absorb commit and the
+    * pending-batch deletes — the straddle window the search-ordering spec
+    * pins (a search issued here must serve every row from graph ∪ pending).
+    */
+  @volatile var foldCommitArrived: Option[java.util.concurrent.CountDownLatch] = None
+  @volatile var foldCommitGate: Option[java.util.concurrent.CountDownLatch] = None
+  def maybeHoldFoldCommit(): Unit = {
+    foldCommitArrived.foreach(_.countDown())
+    foldCommitGate.foreach(_.await())
+  }
 }

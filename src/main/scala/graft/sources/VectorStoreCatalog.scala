@@ -1916,9 +1916,12 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     // window): served EXACTLY — brute-force scored and unioned with the
     // beam winners below — so a just-inserted or just-replaced key is
     // always searchable at its current vector. Empty-window requests pay
-    // one directory existence probe and nothing else.
-    lazy val hnswPend: Option[DataFrame] =
-      if (!haveHnsw) None else pendingHnswVecs(req.tenant, req.model)
+    // one directory existence probe and nothing else. STRICT, and taken
+    // BEFORE the lazy graph resolution below is ever forced: folds delete
+    // batches only after their commit, so snapshot-then-graph read order
+    // closes the one-request straddle window (see pendingHnswSnapshot).
+    val hnswPend: Option[DataFrame] =
+      if (!haveHnsw) None else pendingHnswSnapshot(req.tenant, req.model)
     // node table with pending overlays applied (a replaced key's graph row
     // holds its pre-replacement vector until the fold) — what the hybrid
     // dense leg scores; the dense-only path re-scores from the data table
@@ -2222,9 +2225,25 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     val st =
       if (e != null && now - e.readAt < genCacheTtlMs) e.state else reread()
     st match {
-      case Some((c, _)) if !Files.exists(b.resolve(c)) => reread()
+      case Some((c, _)) if !probeExists(b.resolve(c)) => reread()
       case other => other
     }
+  }
+
+  /** The vanished-root existence probe on every generation resolution —
+    * the guard ObjectStoreCommitSpec pins (a TTL-fresh cache entry naming
+    * a root a cross-instance drop deleted must not serve silent-empty).
+    * SIMULATION knob (`spark.graft.sim.exists.latency.ms`, default 0):
+    * sleep per probe, modeling the object-store HEAD this costs in the
+    * deployment the cache exists for — lets the probe's keep/gate decision
+    * be MEASURED (tools/ObjectStoreLatencyBench pointer arm), not argued.
+    */
+  private def probeExists(p: Path): Boolean = {
+    val lat = scala.util.Try(
+      spark.conf.get("spark.graft.sim.exists.latency.ms").toLong)
+      .getOrElse(0L)
+    if (lat > 0) Thread.sleep(lat)
+    Files.exists(p)
   }
 
   private def readGenState(base: Path): Option[(String, Option[String])] = {
@@ -3086,6 +3105,37 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
     readBacklogParts(livePendingBatches(hnswPendingDir(tenant, model)))
       .map(_._1)
 
+  /** Consistent pending snapshot for the lock-free SEARCH path (r17
+    * verdict #6 — the search-straddles-fold transient). The lazy
+    * [[pendingHnswVecs]] frame pins a file LISTING but reads at job time
+    * with ignoreMissingFiles: a fold that commits and deletes its batches
+    * between a request's graph resolution and its pending read silently
+    * served NEITHER copy of the folded rows for that one request. Closed
+    * by two orderings: (a) the rows are MATERIALIZED here (bounded by
+    * hnsw_pending_max_rows) and validated against the live listing — if
+    * every listed batch still exists after the read, every captured row
+    * was live throughout it; (b) callers resolve the GRAPH only AFTER this
+    * snapshot, and folds delete batches only AFTER their commit, so any
+    * row missing from the snapshot (its batch deleted mid-read) is already
+    * in the graph the caller is about to resolve. The winners union dedups
+    * rows served by both legs. Bounded retries: folds run one at a time,
+    * so repeated invalidation means the rows keep landing in the graph —
+    * the last (possibly partial) snapshot plus the graph still covers
+    * every row by the commit-before-delete argument.
+    */
+  private def pendingHnswSnapshot(tenant: String, model: String): Option[DataFrame] = {
+    var last: Option[DataFrame] = None
+    var attempt = 0
+    while (attempt < 3) {
+      val parts = livePendingBatches(hnswPendingDir(tenant, model))
+      if (parts.isEmpty) return None
+      last = readBacklogParts(parts).map(_._1.localCheckpoint())
+      if (parts.forall(Files.exists(_))) return last
+      attempt += 1
+    }
+    last
+  }
+
   /** Fold a pending-batch set into the live graph with ONE batched absorb
     * cycle, then delete exactly those batch dirs (appends that landed after
     * the capture stay queued for the next fold). Caller holds the
@@ -3220,6 +3270,7 @@ class VectorStoreCatalog(spark: SparkSession, basePath: String) {
                 hnswRoot(tenant, model) == d0 &&
                 hnswAbsorbCount(tenant, model) == count0) {
               finishHnswAbsorb(tenant, model, prep, folded)
+              RebuildHooks.maybeHoldFoldCommit()
               parts.foreach(p => if (Files.exists(p)) deleteRec(p))
               sweepTornPending(tenant, model, parts)
               clearPendingIfEmpty(tenant, model)

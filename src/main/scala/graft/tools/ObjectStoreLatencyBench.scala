@@ -71,6 +71,20 @@ object ObjectStoreLatencyBench {
       }
       spark.conf.unset("spark.graft.sim.pointer.latency.ms")
       spark.conf.unset("spark.graft.gen.cache.ttl.ms")
+      // The vanished-root EXISTENCE PROBE's own cost at the latency axis
+      // (r17 deferred item): cache fully warm (long TTL, no pointer
+      // latency), inject per-probe HEAD latency and A/B against zero —
+      // the delta is exactly what the guard costs a warm serving loop.
+      spark.conf.set("spark.graft.gen.cache.ttl.ms", "3600000")
+      for (round <- 1 to 2; probeMs <- Seq(0L, latMs)) {
+        spark.conf.set("spark.graft.sim.exists.latency.ms", probeMs.toString)
+        val t0 = System.nanoTime()
+        serve()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"bench":"exists_probe","round":$round,"probeLatencyMs":$probeMs,"requests":$reqs,"sec":$dt%.2f,"ms_per_req":${dt * 1000 / reqs}%.1f}""")
+      }
+      spark.conf.unset("spark.graft.sim.exists.latency.ms")
+      spark.conf.unset("spark.graft.gen.cache.ttl.ms")
     }
 
     if (mode == "graph") {

@@ -19,6 +19,10 @@ import scala.jdk.CollectionConverters._
   * and asserts ZERO reader failures while upsert churn rewrites the same
   * buckets, then exact convergence once the storm ends.
   */
+// Minutes-long race/crash-window sweeps: excluded from the default
+// `sbt test` so the suite fits the driver budget (build.sbt); run with
+// GRAFT_SLOW_TESTS=1.
+@org.scalatest.tags.Slow
 class ConcurrentServingSpec extends SparkSpec {
 
   private def vec(seed: Int, dim: Int = 8): Seq[Double] =

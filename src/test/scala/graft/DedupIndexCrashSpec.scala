@@ -16,6 +16,10 @@ import java.nio.file.Files
   * next access, heal by re-deriving `bands/` from `sig/`, and replay
   * convergence to the crash-free twin.
   */
+// Minutes-long race/crash-window sweeps: excluded from the default
+// `sbt test` so the suite fits the driver budget (build.sbt); run with
+// GRAFT_SLOW_TESTS=1.
+@org.scalatest.tags.Slow
 class DedupIndexCrashSpec extends SparkSpec {
   import spark.implicits._
 

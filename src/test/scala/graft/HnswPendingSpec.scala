@@ -16,6 +16,10 @@ import java.nio.file.{Files, Paths}
   * `hnsw_absorb_window = 1` twin collection (the r15 absorb-per-insert
   * path) on identical insert waves.
   */
+// Minutes-long race/crash-window sweeps: excluded from the default
+// `sbt test` so the suite fits the driver budget (build.sbt); run with
+// GRAFT_SLOW_TESTS=1.
+@org.scalatest.tags.Slow
 class HnswPendingSpec extends SparkSpec {
 
   private def mkCatalog(tag: String) = new VectorStoreCatalog(spark,
@@ -298,5 +302,56 @@ class HnswPendingSpec extends SparkSpec {
     assert(hit.head._3.contains("k1 v2"), s"replacement served: $hit")
     cat.flush("t", "junk") // flush never folds the graph window
     assert(Files.exists(pendingDir(cat, "t", "junk")))
+  }
+
+  test("search straddling a fold commit never misses folded rows (r18 snapshot ordering)") {
+    // The straddle transient (r17 verdict #6): a fold commits its absorb,
+    // then deletes the folded pending batches. A lock-free search that read
+    // the two sides in the wrong order — graph resolved BEFORE the commit,
+    // pending read (lazily, ignoreMissingFiles) AFTER the deletes — served
+    // NEITHER copy of the folded rows for that one request. The fix is
+    // reader-side ordering: the pending rows are MATERIALIZED first
+    // (validated snapshot), the graph resolved after; fold order is
+    // commit-then-delete, so one side always has every row.
+    val cat = mkCatalog("graft_hstraddle")
+    churned(cat, "t", "w1", window = "1")
+    val arrived = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    graft.sources.RebuildHooks.foldCommitArrived = Some(arrived)
+    graft.sources.RebuildHooks.foldCommitGate = Some(gate)
+    val lazyPend = try {
+      churned(cat, "t", "w3", window = "3") // wave 3 schedules the fold
+      // fold parked BETWEEN its absorb commit and the batch deletes —
+      // graph already contains the folded rows, pending dirs still live.
+      // NOTE: no facade search can be issued inside this window — the
+      // commit intent is armed until the fold's commit scope exits, so a
+      // NEW request's healIfTorn probe serializes behind the lock (that
+      // probe is why only requests whose probe PREDATES the arm can
+      // straddle — exactly the readers the snapshot ordering protects).
+      assert(arrived.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "fold never reached the commit/delete window")
+      // the OLD reader shape, captured inside the window exactly as a
+      // pre-arm request would have: a lazy ignoreMissingFiles scan over
+      // the listed batch dirs (what pendingHnswVecs served before r18's
+      // materialized snapshot)
+      val parts = VectorStoreCatalog.listChildren(pendingDir(cat, "t", "w3"))
+        .filter(_.getFileName.toString.startsWith("b"))
+      spark.read.option("ignoreMissingFiles", "true")
+        .schema("doc_id LONG, dv ARRAY<DOUBLE>, _seq LONG")
+        .parquet(parts.map(_.toString): _*)
+    } finally {
+      gate.countDown()
+      graft.sources.RebuildHooks.foldCommitArrived = None
+      graft.sources.RebuildHooks.foldCommitGate = None
+    }
+    cat.awaitRebuilds("t", "w3") // deletes ran; pending set is folded away
+    // the old lazy shape silently loses every folded row after the deletes
+    // — the demonstrated miss mechanism the snapshot ordering closes
+    assert(lazyPend.count() == 0,
+      "expected the lazily-read pending leg to lose its rows post-delete")
+    // ... while the facade (snapshot-then-graph) still serves everything
+    for (q <- Seq(3, 40, 59))
+      assert(fullBeam(cat, "t", "w3", q) == fullBeam(cat, "t", "w1", q),
+        s"post-fold search diverged at $q")
   }
 }
